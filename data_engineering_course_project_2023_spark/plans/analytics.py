@@ -1,0 +1,378 @@
+"""Analytical query library (SURVEY §2.5 A1–A9, §2.3 J-family).
+
+The reference's analytical workload is declared in
+``/root/reference/docs/neo4j_analytical_ideas.md`` (collaboration
+networks, most-cited, trends, prolific authors, topic popularity) and its
+one shipped query ``create_collaboration_graph.cql``. Here each becomes a
+named Spark query over the driver benchmark tables, shaped so the same
+operator does the same work the reference's serving layers were built for.
+
+Every function takes the loaded tables dict and returns a lazy DataFrame.
+Aggregate columns are aliased to match the DuckDB oracle exactly.
+
+Scale notes (100 TB):
+- All dim joins (region/nation/customer/supplier/part) are broadcastable
+  at real TPC-H proportions; ``F.broadcast`` hints the small sides so
+  plans never sort-merge a dimension.
+- The fact-fact self-join (``copair_counts``) shuffles on the order key —
+  the natural co-partition key — and AQE's skew-join splits hot keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.expr import MONEY, money, revenue
+
+Tables = dict[str, DataFrame]
+
+
+# --- flagship (entry): star join, J8 + A-family --------------------------
+def star_revenue_by_region_year(t: Tables) -> DataFrame:
+    """Revenue by region × order-year: full star join over the fact table.
+
+    J8 star-join pattern (ref DWH wiring: src/airflow/dags/check_DWH.py:
+    39,48,68,94,104). Catalyst broadcasts every dim; the only shuffle is
+    the final groupBy — partial aggregation runs map-side.
+    """
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").alias("order_year"),
+        )
+        .agg(
+            F.sum(revenue()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+STAR_REVENUE_SQL = """
+SELECT r_name AS region,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+
+# --- A1/J4: co-occurrence pair counts (collaboration-graph analog) -------
+def copair_counts(t: Tables) -> DataFrame:
+    """Canonical undirected pair counts of parts co-occurring in an order.
+
+    The reference's co-authorship graph (create_collaboration_graph.cql:
+    1-5): authors sharing a publication → parts sharing an order. Cypher
+    MERGE produces both edge directions over iterations; we define the
+    engine semantics as the canonical pair via least/greatest (SURVEY
+    §4.4). Self-pairs excluded as in the Cypher (`a1 <> a2`).
+
+    Scale: self-join shuffles once on l_orderkey (both sides identically
+    partitioned → no second shuffle); per-order fan-out is quadratic in
+    order size, so heavy orders are the skew risk — AQE skew-join handles
+    the shuffle side, and a per-key cap would bound pathological inputs.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+COPAIR_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+WHERE a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+
+# --- A2: most-referenced (top-k with deterministic tiebreak) --------------
+def top_parts_by_revenue(t: Tables) -> DataFrame:
+    """Top-20 parts by revenue — 'most cited publications' analog
+    (neo4j_analytical_ideas.md:8). orderBy+limit → TakeOrderedAndProject,
+    a per-partition top-k then single merge; no full sort at scale."""
+    return (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(revenue()).cast("double").alias("part_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy(F.desc("part_revenue"), F.asc("l_partkey"))
+        .limit(20)
+    )
+
+
+TOP_PARTS_SQL = """
+SELECT l_partkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS part_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY 1
+ORDER BY part_revenue DESC, l_partkey ASC
+LIMIT 20
+"""
+
+
+# --- A3: trends over time -------------------------------------------------
+def orders_per_year(t: Tables) -> DataFrame:
+    """Publications-per-year analog (neo4j_analytical_ideas.md:9)."""
+    return (
+        t["orders"]
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+ORDERS_PER_YEAR_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_value
+FROM orders GROUP BY 1
+"""
+
+
+# --- A4: most prolific ----------------------------------------------------
+def prolific_customers(t: Tables) -> DataFrame:
+    """Most-prolific-authors analog (neo4j_analytical_ideas.md:12)."""
+    return (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(15)
+    )
+
+
+PROLIFIC_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+ORDER BY n_orders DESC, o_custkey ASC
+LIMIT 15
+"""
+
+
+# --- A5: specialization via window ----------------------------------------
+def segment_top_customers(t: Tables) -> DataFrame:
+    """Author-specialization analog (neo4j_analytical_ideas.md:13):
+    rank customers inside their market segment by total spend, keep top 3.
+    Window partitioned by segment — one shuffle, no driver collect."""
+    spend = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("spend"), F.asc("c_custkey")
+    )
+    return (
+        spend.withColumn("rank_in_segment", F.row_number().over(w))
+        .filter(F.col("rank_in_segment") <= 3)
+        .select("c_mktsegment", "c_custkey", "spend", "rank_in_segment")
+    )
+
+
+SEGMENT_TOP_SQL = """
+WITH spend AS (
+  SELECT c_mktsegment, c_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS spend
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+)
+SELECT c_mktsegment, c_custkey, spend,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+            ORDER BY spend DESC, c_custkey ASC) AS INTEGER)
+         AS rank_in_segment
+FROM spend
+QUALIFY rank_in_segment <= 3
+"""
+
+
+# --- A6: popularity -------------------------------------------------------
+def popular_segments(t: Tables) -> DataFrame:
+    """Popular-topics analog (neo4j_analytical_ideas.md:16)."""
+    return (
+        t["customer"]
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_balance"),
+        )
+    )
+
+
+POPULAR_SEGMENTS_SQL = """
+SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_balance
+FROM customer GROUP BY 1
+"""
+
+
+# --- A7: year × category matrix (cube) ------------------------------------
+def year_priority_cube(t: Tables) -> DataFrame:
+    """Topic-evolution matrix analog (neo4j_analytical_ideas.md:17):
+    CUBE over (year, priority) gives the matrix plus both margins in one
+    pass (partial aggregation handles the grouping-set expansion)."""
+    return (
+        t["orders"]
+        .cube(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+YEAR_PRIORITY_CUBE_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderpriority AS priority, COUNT(*) AS n_orders
+FROM orders GROUP BY CUBE (1, 2)
+"""
+
+
+# --- A8: impact percentiles ------------------------------------------------
+def customer_spend_percentile(t: Tables) -> DataFrame:
+    """Citation-impact-score analog (neo4j_analytical_ideas.md:19-21):
+    percent_rank of each customer by total spend. percent_rank is
+    (rank-1)/(n-1) — exact integer arithmetic then one IEEE division,
+    deterministic across engines."""
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).cast("double").alias("spend"))
+    )
+    w = Window.orderBy(F.asc("spend"), F.asc("o_custkey"))
+    return spend.withColumn(
+        "spend_pctile", F.percent_rank().over(w)
+    ).select("o_custkey", "spend", "spend_pctile")
+
+
+SPEND_PCTILE_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           AS spend
+  FROM orders GROUP BY 1
+)
+SELECT o_custkey, spend,
+       PERCENT_RANK() OVER (ORDER BY spend ASC, o_custkey ASC)
+         AS spend_pctile
+FROM spend
+"""
+
+
+# --- A9: institutional collaboration (nation-pair trade volume) ------------
+def nation_trade_pairs(t: Tables) -> DataFrame:
+    """Institutional-collaboration analog (neo4j_analytical_ideas.md:5):
+    volume between (customer nation, supplier nation) pairs — TPC-H Q7
+    shape. Dims broadcast; one shuffle for the groupBy."""
+    cust_nation = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey"), F.col("n_name").alias("cust_nation"))
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey"), F.col("n_name").alias("supp_nation"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.sum(revenue()).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+NATION_TRADE_SQL = """
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS volume,
+       COUNT(*) AS n_lines
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+# --- TPC-H Q1-shaped pricing summary (scan + wide agg) ---------------------
+def pricing_summary(t: Tables) -> DataFrame:
+    """Wide aggregation over the fact table — the canonical full-scan agg
+    (TPC-H Q1 shape). Everything is partial-aggregatable; the shuffle
+    carries only (flag, status) groups."""
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(revenue()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                revenue() * (F.lit(1).cast(MONEY) + money("l_tax"))
+            ).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+         AS sum_charge,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""

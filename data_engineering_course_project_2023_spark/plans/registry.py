@@ -1,0 +1,125 @@
+"""Query registry: name → (spark builder, DuckDB oracle SQL).
+
+``__spark_entry__.queries()`` / ``oracle_sql()`` are generated from this
+table. Conventions that keep the driver's exact hash-compare green:
+
+- every computed column aliased identically in Spark and SQL;
+- money sums via DECIMAL(18,2) casts on both sides (exact, order-free);
+- int-typed outputs cast explicitly where DuckDB widens (year→INTEGER,
+  SUM(int)→BIGINT);
+- top-k queries carry a deterministic tiebreak key.
+
+Queries whose semantics aren't SQL-expressible register oracle=None and
+get the driver's rows-only check.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_tables
+from . import analytics
+
+Builder = Callable[[dict[str, DataFrame]], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    """One registered query: builder over the loaded tables + oracle."""
+
+    builder: Builder
+    oracle: str | None
+    tables: tuple[str, ...]  # tables to load (scan only what's needed)
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {
+    "star_revenue_by_region_year": Query(
+        analytics.star_revenue_by_region_year,
+        analytics.STAR_REVENUE_SQL,
+        ("lineitem", "orders", "customer", "nation", "region"),
+        "J8 star join + agg (flagship)",
+    ),
+    "copair_counts": Query(
+        analytics.copair_counts,
+        analytics.COPAIR_SQL,
+        ("lineitem",),
+        "J4/A1 self-join canonical pair counts (collaboration graph)",
+    ),
+    "top_parts_by_revenue": Query(
+        analytics.top_parts_by_revenue,
+        analytics.TOP_PARTS_SQL,
+        ("lineitem",),
+        "A2 top-k most-referenced",
+    ),
+    "orders_per_year": Query(
+        analytics.orders_per_year,
+        analytics.ORDERS_PER_YEAR_SQL,
+        ("orders",),
+        "A3 trend over time",
+    ),
+    "prolific_customers": Query(
+        analytics.prolific_customers,
+        analytics.PROLIFIC_SQL,
+        ("orders",),
+        "A4 most prolific",
+    ),
+    "segment_top_customers": Query(
+        analytics.segment_top_customers,
+        analytics.SEGMENT_TOP_SQL,
+        ("orders", "customer"),
+        "A5 specialization window (row_number per group)",
+    ),
+    "popular_segments": Query(
+        analytics.popular_segments,
+        analytics.POPULAR_SEGMENTS_SQL,
+        ("customer",),
+        "A6 popularity count",
+    ),
+    "year_priority_cube": Query(
+        analytics.year_priority_cube,
+        analytics.YEAR_PRIORITY_CUBE_SQL,
+        ("orders",),
+        "A7 evolution matrix via CUBE",
+    ),
+    "customer_spend_percentile": Query(
+        analytics.customer_spend_percentile,
+        analytics.SPEND_PCTILE_SQL,
+        ("orders",),
+        "A8 impact percentile (percent_rank)",
+    ),
+    "nation_trade_pairs": Query(
+        analytics.nation_trade_pairs,
+        analytics.NATION_TRADE_SQL,
+        ("lineitem", "orders", "customer", "supplier", "nation"),
+        "A9 institutional collaboration (Q7 shape)",
+    ),
+    "pricing_summary": Query(
+        analytics.pricing_summary,
+        analytics.PRICING_SUMMARY_SQL,
+        ("lineitem",),
+        "Q1-shaped wide aggregation",
+    ),
+}
+
+
+def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = REGISTRY[name]
+    # DuckDB treats parquet TIMESTAMP as wall-clock; pin the Spark session
+    # to UTC so year()/date_format() agree regardless of driver config.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return q.builder(load_tables(spark, sf_dir, list(q.tables)))
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def bind(name: str) -> Callable[[SparkSession, str], DataFrame]:
+        return lambda spark, sf_dir: run_query(name, spark, sf_dir)
+
+    return {name: bind(name) for name in REGISTRY}
+
+
+def oracles() -> dict[str, str]:
+    return {n: q.oracle for n, q in REGISTRY.items() if q.oracle is not None}

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+One place to encode the scale-oriented defaults so every entry point
+(tests, bench, driver) runs with the same plan-shaping configuration.
+
+Design notes for the 100 TB target (tested on local[N]):
+
+- AQE on: runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic broadcast selection replace hand-tuned partition counts.
+- ``spark.sql.shuffle.partitions`` is only the *pre-AQE upper bound*; AQE
+  coalesces down using ``advisoryPartitionSizeInBytes``. On a real
+  cluster this would be set to ~3× total executor cores.
+- Arrow enabled for any Pandas-UDF path (the slow-path escape hatch).
+- Ansi mode stays at the Spark 4 default (on); expressions that must be
+  failure-tolerant use try_* variants explicitly rather than relying on
+  silent-null legacy semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "data_engineering_course_project_2023_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the configured SparkSession."""
+    master = master or f"local[{DEFAULT_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- adaptive execution: the scale story ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # pre-AQE shuffle width; AQE coalesces below this
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(DEFAULT_CPUS)),
+        )
+        # --- scan shaping ---
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # --- broadcast: dims up to 64 MB go map-side ---
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- python interop (Pandas-UDF escape hatch) ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- quieter local runs ---
+        .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,80 @@
+"""Scan-side operators (SURVEY §2.1).
+
+Reference behaviors re-expressed declaratively so Catalyst pushes work
+into the scan:
+
+- S1 JSON-lines scan  (ref: src/utils/utils.py:17-34) — schema-pinned
+  ``spark.read.json``; no inference, single pass.
+- S2 row-range subset (ref: src/utils/utils.py:22-30) — offset/limit on a
+  deterministic ordering.
+- S3 scan-time predicate (ref: src/utils/utils.py:27) — ordinary
+  ``filter``; pushdown gets it into the scan for free.
+- S7 re-scan staged parts (ref: src/utils/databases.py:369-383) — a glob
+  path replaces the reference's sequential per-part loop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..schemas import DRIVER_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver parquet table.
+
+    Plain ``spark.read.parquet`` — predicate pushdown, column pruning and
+    partition-splitting (``spark.sql.files.maxPartitionBytes``) all apply;
+    at 100 TB the same call scans a multi-file partitioned layout
+    unchanged.
+    """
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Scan the driver tables into a dict of DataFrames."""
+    return {
+        name: load_table(spark, sf_dir, name)
+        for name in (names or DRIVER_TABLES.keys())
+    }
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    required_non_null: list[str] | None = None,
+) -> DataFrame:
+    """S1+S3: schema-pinned JSONL scan with scan-time predicate.
+
+    The reference streams the file line-by-line keeping only rows with
+    non-null key columns (utils.py:27); here the filter is declarative and
+    Catalyst pushes it down (for parquet all the way into row groups).
+    """
+    df = spark.read.schema(schema).json(path)
+    if required_non_null:
+        cond = None
+        for c in required_non_null:
+            this = F.col(c).isNotNull()
+            cond = this if cond is None else (cond & this)
+        df = df.filter(cond)
+    return df
+
+
+def scan_subset(df: DataFrame, order_by: str, start_row: int, rows: int) -> DataFrame:
+    """S2: read ``rows`` rows starting at ``start_row``.
+
+    The reference does this imperatively while streaming the file
+    (utils.py:22-30). Relationally the subset is only well-defined against
+    an ordering, so we require an explicit sort key and use Spark's
+    native offset/limit (both push into ``CollectLimitExec``).
+    """
+    return df.orderBy(order_by).offset(start_row).limit(rows)

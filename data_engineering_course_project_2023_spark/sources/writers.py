@@ -1,0 +1,43 @@
+"""Sink-side operators (SURVEY §2.1 S5, S6, S9, S10).
+
+- S5 JSONL sink (ref: src/utils/utils.py:175) — ``df.write.json``;
+  non-ASCII is preserved by default (Spark writes UTF-8, not \\u escapes).
+- S6 partitioned write (ref: src/utils/utils.py:158-176) — the
+  reference's 4 contiguous chunks become ``repartition(n)``; at scale,
+  ``partitionBy`` on a natural column replaces fixed part counts.
+- S9/S10 warehouse sink (ref: src/airflow/dags/populate_DWH.py:25-51,
+  check_DWH.py:132-171) — templated-INSERT anti-pattern replaced by
+  DataFrame writes; ``saveAsTable``/``insertInto`` in a metastore
+  deployment, parquet dir locally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S5: write records as JSON-lines (UTF-8, one object per line)."""
+    df.write.mode(mode).json(path)
+
+
+def write_parquet_parts(
+    df: DataFrame,
+    path: str,
+    num_parts: int | None = None,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S6: partitioned parquet write.
+
+    ``partition_by`` (hive-style directory partitioning, prunable at
+    read) is the scale path; ``num_parts`` reproduces the reference's
+    fixed part count for small outputs.
+    """
+    writer = df
+    if num_parts:
+        writer = df.repartition(num_parts)
+    w = writer.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

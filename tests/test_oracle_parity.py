@@ -1,0 +1,31 @@
+"""Every registered query must match its DuckDB oracle exactly
+(the local twin of the driver's t2 gate). Runs at sf0.01 — the same
+scale the driver uses."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_course_project_2023_spark.plans import registry
+
+from .conftest import SF_CORRECT
+from .parity import compare
+
+
+@pytest.mark.parametrize(
+    "name",
+    [n for n, q in registry.REGISTRY.items() if q.oracle is not None],
+)
+def test_query_matches_oracle(spark, name):
+    q = registry.REGISTRY[name]
+    df = registry.run_query(name, spark, SF_CORRECT)
+    problems = compare(df, q.oracle, SF_CORRECT)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.queries()) >= set(e.oracle_sql())
