@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_tables
-from . import analytics
+from . import analytics, relational
 
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -102,6 +102,103 @@ REGISTRY: dict[str, Query] = {
         analytics.PRICING_SUMMARY_SQL,
         ("lineitem",),
         "Q1-shaped wide aggregation",
+    ),
+    # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
+    "scan_offset_limit": Query(
+        relational.scan_offset_limit,
+        relational.SCAN_OFFSET_LIMIT_SQL,
+        ("orders",),
+        "S2 row-range subset",
+    ),
+    "null_drop_any": Query(
+        relational.null_drop_any,
+        relational.NULL_DROP_SQL,
+        ("customer",),
+        "S4 dropna(how=all)",
+    ),
+    "split_names": Query(
+        relational.split_names,
+        relational.SPLIT_NAMES_SQL,
+        ("part",),
+        "P4 string split → array-of-struct",
+    ),
+    "remap_tokens": Query(
+        relational.remap_tokens,
+        relational.REMAP_TOKENS_SQL,
+        ("part",),
+        "P5+P6 token dedup/sort + dictionary remap",
+    ),
+    "date_reformat": Query(
+        relational.date_reformat,
+        relational.DATE_REFORMAT_SQL,
+        ("events",),
+        "P7 ISO reformat, keep-original-on-failure",
+    ),
+    "normalize_text": Query(
+        relational.normalize_text,
+        relational.NORMALIZE_TEXT_SQL,
+        ("documents",),
+        "P8 whitespace normalization",
+    ),
+    "null_defaulting": Query(
+        relational.null_defaulting,
+        relational.NULL_DEFAULTING_SQL,
+        ("customer",),
+        "P9 null → 'Unknown'",
+    ),
+    "conditional_id": Query(
+        relational.conditional_id,
+        relational.CONDITIONAL_ID_SQL,
+        ("orders",),
+        "P12 conditional id formatting",
+    ),
+    "table_counts": Query(
+        relational.table_counts,
+        relational.TABLE_COUNTS_SQL,
+        ("lineitem",),
+        "P14 counts + X5 exact distinct",
+    ),
+    "explode_tokens": Query(
+        relational.explode_tokens,
+        relational.EXPLODE_TOKENS_SQL,
+        ("documents",),
+        "N1-N4 explode arrays",
+    ),
+    "distinct_entities": Query(
+        relational.distinct_entities,
+        relational.DISTINCT_ENTITIES_SQL,
+        ("documents",),
+        "N5 entity dedup + P2 sha2 surrogate keys",
+    ),
+    "collect_renest": Query(
+        relational.collect_renest,
+        relational.COLLECT_RENEST_SQL,
+        ("lineitem",),
+        "N6 collect_list re-nesting",
+    ),
+    "enrichment_join": Query(
+        relational.enrichment_join,
+        relational.ENRICHMENT_JOIN_SQL,
+        ("lineitem", "part"),
+        "J5 broadcast enrichment lookup join",
+    ),
+    "fallback_join": Query(
+        relational.fallback_join,
+        relational.FALLBACK_JOIN_SQL,
+        ("orders", "customer"),
+        "J6 primary/fallback key lookup + J9 drop-miss",
+    ),
+    "semi_anti_customers": Query(
+        relational.semi_anti_customers,
+        relational.SEMI_ANTI_SQL,
+        ("customer", "orders"),
+        "J9 left_semi / left_anti",
+    ),
+    "running_order_totals": Query(
+        relational.running_order_totals,
+        relational.RUNNING_TOTALS_SQL,
+        ("orders",),
+        "window frames: running sum + lag",
     ),
 }
 

@@ -1,0 +1,497 @@
+"""Scan / projection / nested / join operator queries (SURVEY §2.1–2.4).
+
+Each reference operator (cited per function) is exercised on the driver
+benchmark tables with a DuckDB oracle, using exactly the Column
+expressions the arXiv pipeline modules use — so the oracle gate covers
+the same code paths the reference-parity pipeline runs.
+
+String timestamps are exchanged as ISO strings and money as exact
+decimals cast to double (see functions.expr) to keep cross-engine hashes
+identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.expr import clean_text, iso_or_original, null_default, revenue
+
+Tables = dict[str, DataFrame]
+
+
+# --- S2: row-range subset (limit/offset) -----------------------------------
+def scan_offset_limit(t: Tables) -> DataFrame:
+    """S2 (ref: src/utils/utils.py:22-30,36-37): skip to start_row, read N
+    rows — well-defined only against an ordering, so the subset is taken
+    over o_orderkey. Spark plans this as a global-sort-free
+    CollectLimit at small offsets."""
+    return (
+        t["orders"]
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+SCAN_OFFSET_LIMIT_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice
+FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100
+"""
+
+
+# --- S4: drop rows where ALL of a column set is null ------------------------
+def null_drop_any(t: Tables) -> DataFrame:
+    """S4 (ref: src/utils/utils.py:39): dropna(how='all', subset=[...]).
+    The driver tables have no nulls, so nulls are synthesized
+    deterministically first (nullif), then dropped with na.drop —
+    the operator under test."""
+    seeded = t["customer"].select(
+        "c_custkey",
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 0, F.col("c_acctbal")).alias("neg_bal"),
+    )
+    return (
+        seeded.na.drop(how="all", subset=["seg_or_null", "neg_bal"])
+        .groupBy(F.coalesce("seg_or_null", F.lit("<dropped-seg>")).alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+NULL_DROP_SQL = """
+WITH seeded AS (
+  SELECT c_custkey,
+         nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+         CASE WHEN c_acctbal < 0 THEN c_acctbal END AS neg_bal
+  FROM customer
+)
+SELECT COALESCE(seg_or_null, '<dropped-seg>') AS segment,
+       COUNT(*) AS n_rows
+FROM seeded
+WHERE seg_or_null IS NOT NULL OR neg_bal IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --- P4: string split → array-of-struct, flattened --------------------------
+def split_names(t: Tables) -> DataFrame:
+    """P4 (ref: src/utils/utils.py:73-88): '"A, B"' → [{'name':'A'},...]
+    with trim/empty-drop/null→[]. Applied to p_name tokens; output is
+    flattened to primitives for the oracle (SURVEY §7 hard part e)."""
+    toks = F.filter(
+        F.transform(F.split(F.col("p_name"), " "), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    structs = F.transform(toks, lambda x: F.struct(x.alias("name")))
+    return t["part"].select(
+        "p_partkey",
+        F.element_at(structs, 1).getField("name").alias("first_token"),
+        F.element_at(structs, -1).getField("name").alias("last_token"),
+        F.size(structs).alias("n_tokens"),
+    )
+
+
+SPLIT_NAMES_SQL = """
+WITH toks AS (
+  SELECT p_partkey,
+         list_filter(list_transform(string_split(p_name, ' '), x -> trim(x)),
+                     x -> x <> '') AS l
+  FROM part
+)
+SELECT p_partkey, l[1] AS first_token, l[-1] AS last_token,
+       CAST(len(l) AS INTEGER) AS n_tokens
+FROM toks
+"""
+
+
+# --- P5+P6: token dedup/sort + dictionary remap with pass-through -----------
+# Small category map, the analog of category_mapping.json
+# (ref: src/resources/category_mapping.json, src/utils/utils.py:45-62).
+TOKEN_MAP: dict[str, str] = {
+    "red": "color",
+    "blue": "color",
+    "green": "color",
+    "hot": "temp",
+    "cold": "temp",
+    "small": "size",
+    "large": "size",
+    "big": "size",
+}
+
+
+def remap_tokens(t: Tables) -> DataFrame:
+    """P5 (dedup+sort tokens; ref utils.py:45-46,60) + P6 (map with
+    unmapped pass-through; ref utils.py:53-62). The 156-entry category
+    map becomes a create_map literal — semantically a broadcast join,
+    but folded into the row expression so it never shuffles."""
+    m = F.create_map(*[F.lit(x) for kv in TOKEN_MAP.items() for x in kv])
+    toks = F.array_distinct(F.split(F.col("p_name"), " "))
+    mapped = F.transform(toks, lambda x: F.coalesce(m[x], x))
+    return t["part"].select(
+        "p_partkey",
+        F.concat_ws(" ", F.array_sort(toks)).alias("clean_tokens"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(mapped))).alias(
+            "general_tokens"
+        ),
+    )
+
+
+_CASE = " ".join(
+    f"WHEN x = '{k}' THEN '{v}'" for k, v in TOKEN_MAP.items()
+)
+
+REMAP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT p_partkey, list_distinct(string_split(p_name, ' ')) AS l FROM part
+)
+SELECT p_partkey,
+       array_to_string(list_sort(l), ' ') AS clean_tokens,
+       array_to_string(list_sort(list_distinct(
+           list_transform(l, x -> CASE {_CASE} ELSE x END))), ' ')
+         AS general_tokens
+FROM toks
+"""
+
+
+# --- P7: date reformat with keep-original-on-failure -------------------------
+def date_reformat(t: Tables) -> DataFrame:
+    """P7 (ref: src/utils/databases.py:56-64): reformat to ISO-8601,
+    keeping the original string when parsing fails. Failures are
+    synthesized deterministically (every 10th event carries garbage)."""
+    raw = F.when(F.col("event_id") % 10 == 0, F.lit("not-a-date")).otherwise(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    df = t["events"].select("event_id", raw.alias("raw_ts"))
+    return df.select(
+        "event_id",
+        iso_or_original("raw_ts", "yyyy-MM-dd HH:mm:ss").alias("iso_ts"),
+    )
+
+
+DATE_REFORMAT_SQL = """
+WITH raw AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 = 0 THEN 'not-a-date'
+              ELSE strftime(ts, '%Y-%m-%d %H:%M:%S') END AS raw_ts
+  FROM events
+)
+SELECT event_id,
+       COALESCE(strftime(try_strptime(raw_ts, '%Y-%m-%d %H:%M:%S'),
+                         '%Y-%m-%dT%H:%M:%S'), raw_ts) AS iso_ts
+FROM raw
+"""
+
+
+# --- P8: text normalization ---------------------------------------------------
+def normalize_text(t: Tables) -> DataFrame:
+    """P8 (ref: src/utils/databases.py:66-74): strip CR/LF, collapse
+    whitespace runs, trim. Mess is injected deterministically so the
+    cleaner has something to clean."""
+    messy = F.concat(
+        F.lit("\n  "),
+        F.regexp_replace(F.col("text"), " (the|a) ", "\n\t$1  "),
+        F.lit(" \r"),
+    )
+    return t["documents"].select(
+        "doc_id", clean_text(messy).alias("clean"), F.length(clean_text(messy)).alias("clean_len")
+    )
+
+
+NORMALIZE_TEXT_SQL = r"""
+WITH messy AS (
+  SELECT doc_id,
+         chr(10) || '  ' ||
+         regexp_replace(text, ' (the|a) ', chr(10) || chr(9) || '\1  ', 'g')
+         || ' ' || chr(13) AS m
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(m, '\s+', ' ', 'g')) AS clean,
+       CAST(length(trim(regexp_replace(m, '\s+', ' ', 'g'))) AS INTEGER)
+         AS clean_len
+FROM messy
+"""
+
+
+# --- P9: null defaulting ------------------------------------------------------
+def null_defaulting(t: Tables) -> DataFrame:
+    """P9 (ref: src/utils/databases.py:138-141): null → 'Unknown'."""
+    seeded = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return (
+        t["customer"]
+        .select(null_default(seeded).alias("segment"))
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+NULL_DEFAULTING_SQL = """
+SELECT COALESCE(nullif(c_mktsegment, 'MACHINERY'), 'Unknown') AS segment,
+       COUNT(*) AS n_rows
+FROM customer GROUP BY 1
+"""
+
+
+# --- P12: conditional id formatting ------------------------------------------
+def conditional_id(t: Tables) -> DataFrame:
+    """P12 (ref: src/utils/api.py:182-187): ARXIV:/DOI:/null priority
+    chain as when/otherwise."""
+    return t["orders"].select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderstatus") == "F",
+            F.concat(F.lit("F:"), F.col("o_orderkey").cast("string")),
+        )
+        .when(
+            F.col("o_orderstatus") == "O",
+            F.concat(F.lit("O:"), F.col("o_orderkey").cast("string")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("formatted_id"),
+    )
+
+
+CONDITIONAL_ID_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderstatus = 'F' THEN 'F:' || CAST(o_orderkey AS VARCHAR)
+            WHEN o_orderstatus = 'O' THEN 'O:' || CAST(o_orderkey AS VARCHAR)
+       END AS formatted_id
+FROM orders
+"""
+
+
+# --- P14/X5: counts + exact distinct -----------------------------------------
+def table_counts(t: Tables) -> DataFrame:
+    """P14 row count (ref: src/utils/utils.py:90-95) + exact distinct
+    counts (X5's exact baseline). Distincts are partial-aggregated
+    (two-phase) — no single-reducer bottleneck at scale."""
+    return t["lineitem"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+TABLE_COUNTS_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+"""
+
+
+# --- N1–N4: explode ------------------------------------------------------------
+def explode_tokens(t: Tables) -> DataFrame:
+    """N1–N4 (ref: src/utils/databases.py:88-122 explode authors/
+    references/versions): one output row per array element. Explode of a
+    just-split array stays inside whole-stage codegen (Generate node) —
+    no shuffle until the aggregation."""
+    words = t["documents"].select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.length("word") > 3)
+    )
+
+
+EXPLODE_TOKENS_SQL = """
+SELECT u AS word, COUNT(*) AS n_occurrences
+FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+GROUP BY 1 HAVING length(u) > 3
+"""
+
+
+# --- N5 + P2: distinct entities with deterministic surrogate keys -------------
+def distinct_entities(t: Tables) -> DataFrame:
+    """N5 entity dedup (ref: src/utils/databases.py:51,91-93 — first-seen
+    UUID per author name) + P2 surrogate keys. uuid4 → sha2(natural key)
+    so keys are stable across runs/retries (SURVEY §1.2)."""
+    return (
+        t["documents"]
+        .select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .distinct()
+        .select("word", F.sha2(F.col("word"), 256).alias("word_key"))
+    )
+
+
+DISTINCT_ENTITIES_SQL = """
+SELECT u AS word, sha256(u) AS word_key
+FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS u FROM documents)
+"""
+
+
+# --- N6: re-nest via collect_list ----------------------------------------------
+def collect_renest(t: Tables) -> DataFrame:
+    """N6 (ref: src/utils/api.py:256-262): per-key list re-nesting.
+    Output flattened to a sorted CSV string so the oracle compare stays
+    primitive (SURVEY §7 hard part e)."""
+    return (
+        t["lineitem"]
+        .select("l_orderkey", F.col("l_partkey").cast("string").alias("pk"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("pk")), ",").alias("part_csv"),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+COLLECT_RENEST_SQL = """
+SELECT l_orderkey,
+       string_agg(CAST(l_partkey AS VARCHAR), ','
+                  ORDER BY CAST(l_partkey AS VARCHAR)) AS part_csv,
+       COUNT(*) AS n_parts
+FROM lineitem GROUP BY 1
+"""
+
+
+# --- J5: enrichment lookup join -------------------------------------------------
+def enrichment_join(t: Tables) -> DataFrame:
+    """J5 (ref: src/utils/api.py:5-88): per-row CrossRef lookup by key →
+    left join against the lookup table, broadcast (part is the dim)."""
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(revenue()).cast("double").alias("brand_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ENRICHMENT_JOIN_SQL = """
+SELECT p_brand AS brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS brand_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+# --- J6: batched lookup with key fallback ---------------------------------------
+def fallback_join(t: Tables) -> DataFrame:
+    """J6 (ref: src/utils/api.py:199-241): primary-key lookup, misses
+    retried on a fallback key, rows failing both dropped (J9 anti-join
+    semantics). Primary hits are synthesized as the orders whose key is
+    divisible by 3; the rest fall back to the plain customer join."""
+    orders = t["orders"]
+    cust = t["customer"]
+    primary = cust.select(
+        F.col("c_custkey").alias("pk_key"), F.col("c_name").alias("pk_name")
+    )
+    fallback = cust.select(
+        F.col("c_custkey").alias("fb_key"), F.col("c_name").alias("fb_name")
+    )
+    joined = (
+        orders.withColumn(
+            "primary_key",
+            F.when(F.col("o_orderkey") % 3 == 0, F.col("o_custkey")),
+        )
+        .join(F.broadcast(primary), F.col("primary_key") == F.col("pk_key"), "left")
+        .join(F.broadcast(fallback), F.col("o_custkey") == F.col("fb_key"), "left")
+    )
+    return (
+        joined.select(
+            "o_orderkey",
+            F.coalesce("pk_name", "fb_name").alias("cust_name"),
+            F.when(F.col("pk_name").isNotNull(), F.lit("primary"))
+            .when(F.col("fb_name").isNotNull(), F.lit("fallback"))
+            .otherwise(F.lit("miss"))
+            .alias("hit_source"),
+        )
+        .filter(F.col("cust_name").isNotNull())  # J9: drop both-miss rows
+        .groupBy("hit_source")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+FALLBACK_JOIN_SQL = """
+WITH joined AS (
+  SELECT o.o_orderkey,
+         pk.c_name AS pk_name, fb.c_name AS fb_name
+  FROM orders o
+  LEFT JOIN customer pk
+    ON (CASE WHEN o.o_orderkey % 3 = 0 THEN o.o_custkey END) = pk.c_custkey
+  LEFT JOIN customer fb ON o.o_custkey = fb.c_custkey
+)
+SELECT CASE WHEN pk_name IS NOT NULL THEN 'primary'
+            WHEN fb_name IS NOT NULL THEN 'fallback'
+            ELSE 'miss' END AS hit_source,
+       COUNT(*) AS n_orders
+FROM joined
+WHERE COALESCE(pk_name, fb_name) IS NOT NULL
+GROUP BY 1
+"""
+
+
+# --- J9: semi/anti joins -----------------------------------------------------------
+def semi_anti_customers(t: Tables) -> DataFrame:
+    """J9 (ref: src/utils/api.py:214-221,237-238): keep hits via
+    left_semi, drop-misses via left_anti — the relational spelling of the
+    reference's no_response_indices bookkeeping."""
+    orders_keys = t["orders"].select("o_custkey")
+    with_orders = (
+        t["customer"]
+        .join(orders_keys, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_mktsegment", "n", F.lit("with_orders").alias("cohort"))
+    )
+    without_orders = (
+        t["customer"]
+        .join(orders_keys, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("c_mktsegment", "n", F.lit("without_orders").alias("cohort"))
+    )
+    return with_orders.unionByName(without_orders)
+
+
+SEMI_ANTI_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, 'with_orders' AS cohort
+FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+GROUP BY 1
+UNION ALL
+SELECT c_mktsegment, COUNT(*) AS n, 'without_orders' AS cohort
+FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+GROUP BY 1
+"""
+
+
+# --- window frames: running totals / lag ------------------------------------------
+def running_order_totals(t: Tables) -> DataFrame:
+    """Window-frame operator: per-customer running order total and
+    previous-order delta. Exact decimal arithmetic inside the frame; one
+    shuffle on the partition key."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    return t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(price).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_total"),
+        (price - F.lag(price).over(w)).cast("double").alias("delta_prev"),
+    )
+
+
+RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2))
+            - LAG(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            AS DOUBLE) AS delta_prev
+FROM orders
+"""

@@ -26,6 +26,18 @@ from ..schemas import DRIVER_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — a metadata-only footer
+    read (no data IO), so safe at any scale."""
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [f.name for f in schema if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver parquet table.
 
@@ -33,8 +45,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     partition-splitting (``spark.sql.files.maxPartitionBytes``) all apply;
     at 100 TB the same call scans a multi-file partitioned layout
     unchanged.
+
+    Nanosecond-precision timestamps (which Spark's vectorized reader
+    rejects) are read as int64 nanos and floored to micros — exactly the
+    truncation DuckDB/Arrow consumers apply — so cross-engine values
+    agree.
     """
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_ts_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(
