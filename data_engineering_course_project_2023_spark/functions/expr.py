@@ -7,9 +7,23 @@ no Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
+
+
+def spread(df: DataFrame, multiple: int = 1) -> DataFrame:
+    """Repartition a narrow input to cluster parallelism before a
+    CPU-heavy row expansion (shingling, per-token hashing, explodes).
+
+    A small parquet file arrives as ONE scan partition; without this the
+    expansion runs on one core. The shuffle moves only the narrow input
+    — trivially cheap relative to the work it parallelizes. At real
+    scale inputs are already wide and this becomes a cheap no-op-ish
+    rebalance.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * multiple)
 
 # Money math: the driver's value-hash comparison is exact, and float
 # sums are order-dependent across engines/partitionings. Casting 2-dp

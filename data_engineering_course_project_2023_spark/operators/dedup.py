@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines (extension ops,
+SURVEY §2.8 X1/X2): exact, n-gram-Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- Exact dedup hashes map-side and shuffles only (hash → min id) pairs.
+- The similarity join never goes all-pairs: candidates come from an
+  equi-join on shingles (inverted-index style) or on LSH band keys, so
+  the shuffle is keyed by shingle/band — the standard distributed
+  set-similarity-join layout. Hot shingles (stopword runs) are the skew
+  risk: a document-frequency cap drops shingles appearing in more than
+  ``max_df`` docs, the same prefix-filtering idea MinHash banding makes
+  unnecessary for the LSH path.
+- All hashes are md5-derived (not Spark's murmur3 ``hash()``) so results
+  are engine-independent and every operator here is oracle-checkable in
+  DuckDB — unusual for LSH pipelines and deliberate: correctness first,
+  then speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expr import spread
+
+# MinHash: k hash functions derived by slicing md5 digests — md5(seed|s)
+# yields four independent 32-bit slices, so k=8 costs only two md5 calls
+# per shingle. 32 bits is ample for min-wise hashing (collision prob
+# ~n/2^32 per set).
+N_MINHASH = 8
+SLICES_PER_MD5 = 4
+BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 with high prob
+
+
+def _md5_int60(c: Column, seed: int | None = None) -> Column:
+    """First 60 bits of md5 as non-negative int64 (same in DuckDB via
+    CAST('0x' || substr(md5(..),1,15) AS BIGINT))."""
+    inp = c if seed is None else F.concat(F.lit(f"{seed}|"), c)
+    return F.conv(F.substring(F.md5(inp), 1, 15), 16, 10).cast("long")
+
+
+def _minhash_slices(c: Column) -> list[Column]:
+    """k 32-bit hash values per input string from ceil(k/4) md5 calls."""
+    out: list[Column] = []
+    for seed in range((N_MINHASH + SLICES_PER_MD5 - 1) // SLICES_PER_MD5):
+        digest = F.md5(F.concat(F.lit(f"{seed}|"), c))
+        for s in range(SLICES_PER_MD5):
+            if len(out) < N_MINHASH:
+                out.append(
+                    F.conv(F.substring(digest, 1 + 8 * s, 8), 16, 10).cast("long")
+                )
+    return out
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """X1: exact duplicate groups — keep-first (min id) per content hash.
+    Output: (keep_id, n_dups, fp_hex). Map-side hash, single shuffle."""
+    fp = F.md5(F.col(text_col))
+    return (
+        df.select(F.col(id_col), fp.alias("fp_hex"))
+        .groupBy("fp_hex")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (doc, shingle).
+
+    Built with a transform over token indices — stays in codegen; the
+    explode happens once, after distinct-ing within the array.
+    """
+    toks = F.split(F.col(text_col), " ")
+    # sequence(0, -1) would count DOWN in Spark; guard docs shorter than n
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+    )
+    return spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """X2a: exact n-gram Jaccard similarity join via inverted index.
+
+    intersection from the shingle equi-join, union by inclusion-
+    exclusion; jaccard = |A∩B| / (|A|+|B|-|A∩B|) — int/int division,
+    engine-deterministic. ``max_df`` drops ubiquitous shingles (skew +
+    noise control at scale, like CountVectorizer's maxDF).
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = (
+            sh.join(F.broadcast(df_counts.filter(F.col("df") > max_df)),
+                    "shingle", "left_anti")
+        )
+    # the shingle frame feeds sizes + BOTH self-join sides: persist it so
+    # tokenization/md5 runs once (at cluster scale: a checkpoint/bucketed
+    # staging table plays this role)
+    sh = sh.persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = N_MINHASH,
+) -> DataFrame:
+    """X2b: k-permutation MinHash signature per document.
+
+    One shuffle (groupBy doc) with k partial mins — each hash is
+    min(md5(seed|shingle)) over the doc's shingle set.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    slices = _minhash_slices(F.col("shingle"))
+    aggs = [F.min(slices[i]).alias(f"mh_{i}") for i in range(k)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """X2b: candidate pairs via LSH banding over MinHash signatures.
+
+    Signature split into k/band_size bands; docs agreeing on any full
+    band become candidates. The band value is the join key → shuffle is
+    keyed by (band_idx, band_hash); no all-pairs comparison anywhere.
+    Output: distinct candidate (doc_a < doc_b) pairs.
+    """
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    # emit all bands with one explode (a union of k/band_size selects
+    # would recompute the signature aggregation per band)
+    band_structs = []
+    for b in range(k // band_size):
+        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    allb = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a, b2 = allb.alias("a"), allb.alias("b")
+    return (
+        a.join(b2, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def simhash16(c: Column) -> Column:
+    """X2c: 16-bit SimHash over whitespace tokens with md5-derived
+    per-token 16-bit hashes. Bit j of the result is set when the sum of
+    (±1 per token, sign = token's bit j) is positive.
+
+    16 bits keeps the oracle SQL tractable while demonstrating the
+    operator; widening to 64 bits is the same expression with a longer
+    hex slice.
+    """
+    toks = F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+    h = F.transform(
+        toks, lambda x: F.conv(F.substring(F.md5(x), 1, 4), 16, 10).cast("int")
+    )
+    bit_terms = []
+    for j in range(16):
+        vote = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, x: acc
+            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_terms.append(F.when(vote > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+    out = bit_terms[0]
+    for t in bit_terms[1:]:
+        out = out + t
+    return out.cast("int")
+
+
+def simhash_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """SimHash-identical groups (hamming distance 0 buckets): the
+    constant-time near-dup bucketing pass. Output one row per doc with
+    its simhash and the bucket's size.
+
+    Computed explode → hash once → 16 conditional sums in ONE groupBy
+    (the array-fold spelling in :func:`simhash16` re-evaluates the md5
+    transform per bit — 16× the hashing; this form hashes each token
+    once and lets partial aggregation do the bit votes map-side).
+    """
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    tok = spread(df).select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+    th = tok.select(
+        "doc_id", F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int").alias("h")
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(16)
+    ]
+    per_doc = th.groupBy("doc_id").agg(*votes)
+    bits = [
+        F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j in range(16)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    sh = per_doc.select("doc_id", acc.cast("int").alias("simhash"))
+    sizes = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))
+    return sh.join(sizes, "simhash").select("doc_id", "simhash", "bucket_size")

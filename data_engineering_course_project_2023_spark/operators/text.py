@@ -1,0 +1,127 @@
+"""Text-analysis operators for training-data pipelines (extension ops,
+SURVEY §2.8 / BASELINE north-star): language ID, quality scoring, token
+counting, fingerprinting.
+
+All pure Column expressions — JVM-side, codegen-friendly, no UDFs; they
+run at scan speed on 100 TB of documents. Each has a matching DuckDB
+oracle in plans/llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expr import spread
+
+# Small closed-class marker sets per language — the classic cheap
+# language-ID heuristic (function words are the strongest n-gram
+# signal). Deterministic and shared verbatim with the SQL oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "es", "y"),
+}
+
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "it",
+)
+
+# BPE-ish token pattern: runs of word chars, or single non-space
+# punctuation — approximates subword pre-tokenization.
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization, empty-safe."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokens(c))
+
+
+def bpe_ish_token_count(c: Column | str) -> Column:
+    """Token count under the BPE-ish regex (regexp_count is a single
+    codegen'd pass — no explode)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
+
+
+def stopword_ratio(c: Column | str) -> Column:
+    """Fraction of tokens that are stopwords — int/int division, so the
+    double result is bit-deterministic across engines."""
+    toks = tokens(c)
+    stops = F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))
+    return F.size(stops).cast("double") / F.size(toks).cast("double")
+
+
+def alpha_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are ASCII letters or space."""
+    col = F.col(c) if isinstance(c, str) else c
+    alpha = F.length(F.regexp_replace(col, r"[^A-Za-z ]", ""))
+    return alpha.cast("double") / F.length(col).cast("double")
+
+
+def quality_score(c: Column | str) -> Column:
+    """Composite quality heuristic in [0, ~3]: favors mid-length docs
+    with normal stopword density and alphabetic content. Weights are
+    integers over exact ratios, so cross-engine deterministic."""
+    toks = token_count(c)
+    length_ok = F.when((toks >= 10) & (toks <= 1000), F.lit(1.0)).otherwise(0.0)
+    return length_ok + stopword_ratio(c) + alpha_ratio(c)
+
+
+def lang_scores(c: Column | str) -> list[Column]:
+    """Per-language marker-hit counts."""
+    toks = tokens(c)
+    out = []
+    for lang, markers in LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*markers)))
+        out.append(hits.alias(f"score_{lang}"))
+    return out
+
+
+def predict_lang(c: Column | str) -> Column:
+    """Argmax over marker counts with deterministic tie-break (language
+    name order); 'und' when nothing matches."""
+    toks = tokens(c)
+    scored = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*markers)))
+        scored.append(F.struct(hits.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scored))
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def fingerprint_hex(c: Column | str) -> Column:
+    """Document fingerprint: md5 over the whitespace-normalized text.
+    (md5 agrees byte-for-byte with the DuckDB oracle's md5.)"""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.md5(F.trim(F.regexp_replace(col, r"\s+", " ")))
+
+
+def fingerprint_int64(c: Column | str) -> Column:
+    """First 60 bits of the md5 as a non-negative bigint — a compact
+    join/partition key for dedup at scale."""
+    return F.conv(F.substring(fingerprint_hex(c), 1, 15), 16, 10).cast("long")
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full per-document stats frame: one narrow scan, all expressions."""
+    return spread(df).select(
+        id_col,
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars_measured"),
+        stopword_ratio(text_col).alias("stop_ratio"),
+        alpha_ratio(text_col).alias("alpha_ratio"),
+        quality_score(text_col).alias("quality"),
+        predict_lang(text_col).alias("pred_lang"),
+        fingerprint_hex(text_col).alias("fp_hex"),
+        fingerprint_int64(text_col).alias("fp_int"),
+    )

@@ -1,0 +1,167 @@
+"""Event/stream analytics over the ``events`` table — the batch twin of
+the streaming surface (SURVEY §2.6 S13).
+
+The reference's only streaming element is the Logstash file-tail into a
+daily-rotated Elasticsearch index (logstash.conf:1-13) — a daily tumbling
+window. These queries define the windowing semantics as *batch*
+transforms; ``streaming/loganalytics.py`` reuses the same transform
+functions under ``readStream`` so the oracle-checked batch results pin
+the streaming behavior.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+Tables = dict[str, DataFrame]
+
+
+def daily_event_counts(t: Tables) -> DataFrame:
+    """S13: daily tumbling window × event_type — the reference's
+    per-day index rotation as a groupBy(window(...)). Window start is
+    emitted as an ISO string to keep the oracle primitive."""
+    return daily_counts_transform(t["events"])
+
+
+def daily_counts_transform(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transform (imported by streaming module)."""
+    return (
+        events.groupBy(
+            F.window("ts", "1 day").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+DAILY_EVENT_COUNTS_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def hourly_user_activity(t: Tables) -> DataFrame:
+    """Hourly tumbling window with exact distinct users — the
+    two-phase distinct keeps it partial-aggregatable at scale."""
+    return (
+        t["events"]
+        .groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+HOURLY_USER_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+"""
+
+
+def sessionize(t: Tables, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: a new session starts after a >30 min silence per
+    user (lag → gap flag → running sum). The batch spelling of
+    session_window/applyInPandasWithState; one shuffle on user_id.
+    Output: per-user session count + event totals."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    sessions = t["events"].withColumn(
+        "session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sessions.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SESSIONIZE_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY 1
+"""
+
+
+def json_props_stats(t: Tables) -> DataFrame:
+    """Semi-structured extraction: pull ``$.k`` out of the JSON props
+    column (get_json_object → JVM-side JSON path, no UDF) and aggregate."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        t["events"]
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY 1
+"""
+
+
+def value_quantiles(t: Tables) -> DataFrame:
+    """X5: exact quantiles of event value per type. Spark's exact
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear-
+    interpolation definition; inputs are 2-dp doubles so the interpolated
+    result is deterministic. (percentile_approx is the at-scale variant —
+    sketch-based, engine-specific, so the exact form is what's oracled.)"""
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+        )
+    )
+
+
+VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.50), 6) AS p50,
+       ROUND(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY 1
+"""

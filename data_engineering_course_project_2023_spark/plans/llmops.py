@@ -1,0 +1,294 @@
+"""Training-data pipeline queries (extension ops, SURVEY §2.8) over the
+``documents`` and ``embeddings`` tables, each with a DuckDB oracle.
+
+The MinHash / SimHash / LSH oracles are *generated* from the same
+constants the Spark operators use (md5-derived hashes, shared hyperplane
+literals), so even the probabilistic-dedup paths are exact-checked —
+the SQL text is long but mechanical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.expr import spread
+from ..operators import dedup, similarity, text as textops
+
+Tables = dict[str, DataFrame]
+
+# DuckDB spelling of _md5_int60 / the 16-bit token hash
+_D_INT60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+_D_INT16 = "CAST(('0x' || substr(md5({expr}), 1, 4)) AS INTEGER)"
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM idx)
+"""
+
+
+# --- X4: text stats / quality ------------------------------------------------
+def text_quality(t: Tables) -> DataFrame:
+    """X4: token counts (whitespace + BPE-ish regex), stopword/alpha
+    ratios, composite quality, fingerprints. Single narrow scan."""
+    return textops.text_stats(t["documents"]).drop("pred_lang")
+
+
+_STOPS = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+
+TEXT_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, toks,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(text,
+              '[A-Za-z0-9_]+|[^ \t\r\nA-Za-z0-9_]')) AS INTEGER)
+           AS n_bpe_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars_measured,
+         CAST(len(list_filter(toks, x -> lower(x) IN ({_STOPS}))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio,
+         md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fp_hex
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_measured, stop_ratio,
+       alpha_ratio,
+       (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+         + stop_ratio + alpha_ratio AS quality,
+       fp_hex,
+       CAST(('0x' || substr(fp_hex, 1, 15)) AS BIGINT) AS fp_int
+FROM m
+"""
+
+
+# --- X4b: language ID ----------------------------------------------------------
+def lang_id(t: Tables) -> DataFrame:
+    """Marker-word language ID vs. the labeled lang column; output the
+    confusion counts so the oracle stays primitive."""
+    df = spread(t["documents"]).select(
+        "lang", textops.predict_lang("text").alias("pred_lang")
+    )
+    return df.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+def _lang_case() -> str:
+    # struct-max in Spark = max by (score, lang) lexicographic; mirror:
+    # pick the (score, lang) max via ORDER BY in a lateral-free way
+    score_exprs = []
+    for lang, markers in sorted(textops.LANG_MARKERS.items()):
+        marks = ", ".join(f"'{m}'" for m in markers)
+        score_exprs.append(
+            f"(CAST(len(list_filter(toks, x -> lower(x) IN ({marks}))) AS INTEGER),"
+            f" '{lang}')"
+        )
+    return "[" + ", ".join(score_exprs) + "]"
+
+
+LANG_ID_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, list_max({_lang_case()}) AS best
+  FROM base
+)
+SELECT lang,
+       CASE WHEN best[1] > 0 THEN best[2] ELSE 'und' END AS pred_lang,
+       COUNT(*) AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+
+# --- X1: exact dedup -------------------------------------------------------------
+def exact_dedup(t: Tables) -> DataFrame:
+    """X1: duplicate groups by content hash, keep-first (min id)."""
+    return dedup.exact_dedup_groups(t["documents"])
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS fp_hex, MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# --- X2a: n-gram Jaccard similarity join ------------------------------------------
+def ngram_jaccard(t: Tables) -> DataFrame:
+    """X2a: exact 3-gram Jaccard pairs ≥ 0.8 via inverted-index join."""
+    return dedup.ngram_jaccard_pairs(t["documents"], threshold=0.8, max_df=1000)
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+df_counts AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+shf AS (SELECT s.* FROM sh s JOIN df_counts d USING (shingle) WHERE d.df <= 1000),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+"""
+
+
+# --- X2b: MinHash signatures + LSH candidate pairs ---------------------------------
+def minhash_sigs(t: Tables) -> DataFrame:
+    """X2b: 8-permutation MinHash signature per document."""
+    return dedup.minhash_signatures(t["documents"])
+
+
+def _mh_cols() -> str:
+    # mirror of dedup._minhash_slices: 32-bit slices of md5(seed|shingle)
+    cols = []
+    for i in range(dedup.N_MINHASH):
+        seed, sl = divmod(i, dedup.SLICES_PER_MD5)
+        h = (
+            f"CAST(('0x' || substr(md5('{seed}|' || shingle), "
+            f"{1 + 8 * sl}, 8)) AS BIGINT)"
+        )
+        cols.append(f"MIN({h}) AS mh_{i}")
+    return ",\n       ".join(cols)
+
+
+MINHASH_SIGS_SQL = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_id,
+       {_mh_cols()}
+FROM sh GROUP BY doc_id
+"""
+
+
+def minhash_pairs(t: Tables) -> DataFrame:
+    """X2b: LSH-banded candidate pairs (4 bands × 2 rows)."""
+    return dedup.minhash_lsh_pairs(t["documents"])
+
+
+def _band_union() -> str:
+    parts = []
+    for b in range(dedup.N_MINHASH // dedup.BAND_SIZE):
+        c0, c1 = f"mh_{b * dedup.BAND_SIZE}", f"mh_{b * dedup.BAND_SIZE + 1}"
+        parts.append(
+            f"SELECT doc_id, {b} AS band, CAST({c0} AS VARCHAR) || '_' || "
+            f"CAST({c1} AS VARCHAR) AS band_key FROM sigs"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+MINHASH_PAIRS_SQL = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, {_mh_cols()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_band_union()}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+            AND a.doc_id < b.doc_id
+"""
+
+
+# --- X2c: SimHash buckets -------------------------------------------------------
+def simhash_buckets(t: Tables) -> DataFrame:
+    """X2c: 16-bit SimHash per doc + hamming-0 bucket sizes."""
+    return dedup.simhash_groups(t["documents"])
+
+
+def _simhash_sql_expr() -> str:
+    bits = []
+    for j in range(16):
+        bits.append(
+            f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, {_D_INT16.format(expr="w")} AS h FROM tok
+), sh AS (
+  SELECT doc_id, CAST({_simhash_sql_expr()} AS INTEGER) AS simhash
+  FROM th GROUP BY doc_id
+), sizes AS (SELECT simhash, COUNT(*) AS bucket_size FROM sh GROUP BY 1)
+SELECT doc_id, sh.simhash, sizes.bucket_size
+FROM sh JOIN sizes ON sh.simhash = sizes.simhash
+"""
+
+
+# --- X3: cosine top-k (brute force + LSH) ------------------------------------------
+def cosine_topk(t: Tables) -> DataFrame:
+    """X3 baseline: exact cosine top-10 neighbors of vec_id=0."""
+    return similarity.brute_force_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def ann_lsh_topk(t: Tables) -> DataFrame:
+    """X3 scale path: sign-random-projection bucket, exact rerank inside
+    the query's bucket."""
+    return similarity.lsh_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+def _proj_sql(weights: list[int]) -> str:
+    terms = [
+        f"CAST(embedding[{d + 1}] AS DOUBLE)"
+        if w > 0
+        else f"(-CAST(embedding[{d + 1}] AS DOUBLE))"
+        for d, w in enumerate(weights)
+    ]
+    return " + ".join(terms)
+
+
+def _bucket_sql() -> str:
+    planes = similarity.hyperplanes()
+    bits = [
+        f"(CASE WHEN {_proj_sql(w)} > 0 THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(bits) + " AS INTEGER)"
+
+
+ANN_LSH_SQL = f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
+), q AS (
+  SELECT embedding AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qv AS DOUBLE[])), 6) AS cos_sim
+FROM bucketed, q
+WHERE vec_id <> 0 AND bucket = qbucket
+ORDER BY cos_sim DESC, vec_id ASC
+LIMIT 10
+"""

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_tables
-from . import analytics, relational
+from . import analytics, eventstream, llmops, relational
 
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -199,6 +199,92 @@ REGISTRY: dict[str, Query] = {
         relational.RUNNING_TOTALS_SQL,
         ("orders",),
         "window frames: running sum + lag",
+    ),
+    # --- event/stream batch twin (SURVEY §2.6 S13) ---
+    "daily_event_counts": Query(
+        eventstream.daily_event_counts,
+        eventstream.DAILY_EVENT_COUNTS_SQL,
+        ("events",),
+        "S13 daily tumbling window (streaming batch twin)",
+    ),
+    "hourly_user_activity": Query(
+        eventstream.hourly_user_activity,
+        eventstream.HOURLY_USER_SQL,
+        ("events",),
+        "hourly window + exact distinct users",
+    ),
+    "sessionize": Query(
+        eventstream.sessionize,
+        eventstream.SESSIONIZE_SQL,
+        ("events",),
+        "sessionization via gap detection (stateful-op batch twin)",
+    ),
+    "json_props_stats": Query(
+        eventstream.json_props_stats,
+        eventstream.JSON_PROPS_SQL,
+        ("events",),
+        "semi-structured JSON extraction",
+    ),
+    "value_quantiles": Query(
+        eventstream.value_quantiles,
+        eventstream.VALUE_QUANTILES_SQL,
+        ("events",),
+        "X5 exact quantiles",
+    ),
+    # --- LLM training-data ops (SURVEY §2.8) ---
+    "text_quality": Query(
+        llmops.text_quality,
+        llmops.TEXT_QUALITY_SQL,
+        ("documents",),
+        "X4 token counts / quality scoring / fingerprints",
+    ),
+    "lang_id": Query(
+        llmops.lang_id,
+        llmops.LANG_ID_SQL,
+        ("documents",),
+        "X4b marker-based language ID",
+    ),
+    "exact_dedup": Query(
+        llmops.exact_dedup,
+        llmops.EXACT_DEDUP_SQL,
+        ("documents",),
+        "X1 exact dedup (keep-first groups)",
+    ),
+    "ngram_jaccard": Query(
+        llmops.ngram_jaccard,
+        llmops.NGRAM_JACCARD_SQL,
+        ("documents",),
+        "X2a n-gram Jaccard similarity join",
+    ),
+    "minhash_sigs": Query(
+        llmops.minhash_sigs,
+        llmops.MINHASH_SIGS_SQL,
+        ("documents",),
+        "X2b MinHash signatures (md5-permutations)",
+    ),
+    "minhash_pairs": Query(
+        llmops.minhash_pairs,
+        llmops.MINHASH_PAIRS_SQL,
+        ("documents",),
+        "X2b MinHash LSH banded candidate pairs",
+    ),
+    "simhash_buckets": Query(
+        llmops.simhash_buckets,
+        llmops.SIMHASH_SQL,
+        ("documents",),
+        "X2c SimHash + hamming-0 buckets",
+    ),
+    "cosine_topk": Query(
+        llmops.cosine_topk,
+        llmops.COSINE_TOPK_SQL,
+        ("embeddings",),
+        "X3 brute-force cosine top-k",
+    ),
+    "ann_lsh_topk": Query(
+        llmops.ann_lsh_topk,
+        llmops.ANN_LSH_SQL,
+        ("embeddings",),
+        "X3 LSH-bucketed approximate top-k",
     ),
 }
 
