@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_tables
-from . import analytics, eventstream, llmops, relational
+from . import analytics, arxiv_clean, eventstream, llmops, relational
 
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -285,6 +285,13 @@ REGISTRY: dict[str, Query] = {
         llmops.ANN_LSH_SQL,
         ("embeddings",),
         "X3 LSH-bucketed approximate top-k",
+    ),
+    # --- reference-parity cleaning suite on a shared literal fixture ---
+    "arxiv_clean_silver": Query(
+        arxiv_clean.arxiv_clean_query,
+        arxiv_clean.ARXIV_CLEAN_SQL,
+        ("region",),  # only to obtain the session; fixture is inline
+        "silver-1 cleaning suite (P1-P9 exact reference semantics)",
     ),
 }
 

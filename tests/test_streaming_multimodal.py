@@ -1,0 +1,99 @@
+"""Streaming batch-twin equivalence (S13) + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_course_project_2023_spark.operators import multimodal
+from data_engineering_course_project_2023_spark.streaming import loganalytics
+
+LOG_LINES = [
+    "[2024-01-01 10:00:00,123] {dag_a.task_1} INFO - started",
+    "[2024-01-01 11:30:00,456] {dag_a.task_1} ERROR - boom",
+    "[2024-01-01 23:59:59,999] {dag_b.task_2} INFO - ok",
+    "[2024-01-02 00:00:01,000] {dag_b.task_2} WARNING - late-ish",
+    "[2024-01-02 08:15:00,111] {dag_a.task_3} INFO - done",
+    "this line does not parse at all",
+]
+
+
+@pytest.fixture()
+def log_dir(tmp_path):
+    d = tmp_path / "logs"
+    d.mkdir()
+    (d / "airflow.log").write_text("\n".join(LOG_LINES))
+    return str(d)
+
+
+def test_parse_and_daily_counts_batch(spark, log_dir):
+    parsed = loganalytics.parse_log_lines(spark.read.text(log_dir))
+    rows = parsed.collect()
+    assert sum(r["ts"] is None for r in rows) == 1  # dead-letter row kept
+    agg = {
+        (r["day"], r["level"]): r["n_lines"]
+        for r in loganalytics.daily_level_counts(parsed).collect()
+    }
+    assert agg == {
+        ("2024-01-01", "INFO"): 2,
+        ("2024-01-01", "ERROR"): 1,
+        ("2024-01-02", "WARNING"): 1,
+        ("2024-01-02", "INFO"): 1,
+    }
+
+
+def test_stream_equals_batch(spark, log_dir):
+    """availableNow streaming run produces exactly the batch result —
+    the batch-twin discipline that lets t2 oracle the semantics."""
+    ckpt = tempfile.mkdtemp()
+    try:
+        q = loganalytics.stream_log_dir(
+            spark, log_dir, ckpt, out_dir="", trigger_available_now=True
+        )
+        q.awaitTermination(60)
+        stream_rows = {
+            (r["day"], r["level"]): r["n_lines"]
+            for r in spark.sql("SELECT * FROM log_daily_counts").collect()
+        }
+        batch_rows = {
+            (r["day"], r["level"]): r["n_lines"]
+            for r in loganalytics.daily_level_counts(
+                loganalytics.parse_log_lines(spark.read.text(log_dir))
+            ).collect()
+        }
+        assert stream_rows == batch_rows
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_multimodal_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "another doc")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+    assert [f.name for f in media.schema] == [
+        "media_id", "kind", "content", "mime", "n_bytes",
+    ]
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 2
+    f1 = next(r for r in feats if r["media_id"] == 1)
+    assert len(f1["features"]) == multimodal.FEATURE_DIM
+    assert f1["n_bytes"] == len(b"hello world")
+    # deterministic: same input → same features
+    feats2 = multimodal.extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    # strict mode surfaces the stub seam
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        multimodal.extract_features(media, strict=True).collect()
+
+
+def test_frame_sampling(spark):
+    docs = spark.createDataFrame([(1, "x" * 20)], "doc_id long, text string")
+    frames = multimodal.frame_sample(multimodal.documents_as_media(docs))
+    idx = [r["frame_idx"] for r in frames.collect()]
+    assert idx == list(range(0, 20 % 16 + 1, 2))
