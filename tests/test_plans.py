@@ -1,0 +1,48 @@
+"""Physical-plan assertions: the plan *shape* is part of the contract
+(SURVEY §4 — what Catalyst must be allowed to do for 100 TB viability).
+A regression that blocks pushdown or flips a dim join to sort-merge is a
+scale bug even while results stay correct."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from data_engineering_course_project_2023_spark.plans import arxiv_clean, registry
+
+from .conftest import SF_CORRECT
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    plan = plan_of(registry.run_query("star_revenue_by_region_year", spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan  # every dim must broadcast
+    assert plan.count("BroadcastHashJoin") >= 4
+    # scan must not read unused columns (column pruning through 4 joins)
+    assert "l_tax" not in plan and "o_orderpriority" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = plan_of(registry.run_query("pricing_summary", spark, SF_CORRECT))
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate inside the scan
+    # only needed columns in ReadSchema
+    assert "l_partkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_clean_is_shuffle_free(spark):
+    """Silver-1 cleaning must stay a pure map stage — zero exchanges."""
+    from . import fixtures
+
+    plan = plan_of(arxiv_clean.clean_publications(fixtures.arxiv_raw(spark)))
+    assert "Exchange" not in plan
+
+
+def test_enrichment_join_broadcasts_lookup(spark):
+    plan = plan_of(registry.run_query("enrichment_join", spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
