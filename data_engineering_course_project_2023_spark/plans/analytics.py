@@ -376,3 +376,37 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY 1, 2
 """
+
+
+# --- J4 at scale: salted variant of the pair-count aggregation -------------
+def copair_counts_salted(t: Tables, n_salts: int = 8) -> DataFrame:
+    """Skew-hardened spelling of :func:`copair_counts` — same result,
+    same oracle.
+
+    Hot pairs (two best-seller parts co-ordered constantly) concentrate
+    a plain groupBy's shuffle onto one reducer. Salting splits each pair
+    key across ``n_salts`` partial aggregates and re-aggregates the
+    partials — the classic two-stage skew fix, kept semantically
+    invisible: salt in, salt out. AQE's skew-join handles the join-side
+    skew; this handles the aggregation side, which AQE does not split.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+            # deterministic salt: spreads each hot key over n_salts buckets
+            (F.col("a.l_orderkey") % n_salts).alias("salt"),
+        )
+    )
+    partials = pairs.groupBy("part_a", "part_b", "salt").agg(
+        F.count(F.lit(1)).alias("partial_n")
+    )
+    return (
+        partials.groupBy("part_a", "part_b")
+        .agg(F.sum("partial_n").cast("long").alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

@@ -292,3 +292,30 @@ WHERE vec_id <> 0 AND bucket = qbucket
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
 """
+
+
+# --- multimodal: binary columns + mapInPandas, oracle-checked ---------------
+def multimodal_features(t: Tables) -> DataFrame:
+    """Media pipeline plumbing over documents-as-blobs: encode text to a
+    binary column, extract features via Arrow-batched mapInPandas
+    (fake decode — deterministic sha-derived), output primitives. The
+    oracle recomputes the same sha256-derived values in SQL, so the
+    whole Python batch path is exact-checked."""
+    from ..operators import multimodal
+
+    media = multimodal.documents_as_media(spread(t["documents"]))
+    return multimodal.extract_features(media).select(
+        "media_id", "n_bytes", "sha_hex", "width", "height"
+    )
+
+
+MULTIMODAL_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha_hex,
+       CAST(16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 64
+            AS INTEGER) AS width,
+       CAST(16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 64
+            AS INTEGER) AS height
+FROM documents
+"""

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_tables
-from . import analytics, arxiv_clean, eventstream, llmops, relational
+from . import analytics, approx, arxiv_clean, eventstream, llmops, relational
 
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -48,6 +48,12 @@ REGISTRY: dict[str, Query] = {
         analytics.COPAIR_SQL,
         ("lineitem",),
         "J4/A1 self-join canonical pair counts (collaboration graph)",
+    ),
+    "copair_counts_salted": Query(
+        analytics.copair_counts_salted,
+        analytics.COPAIR_SQL,  # identical semantics — same oracle
+        ("lineitem",),
+        "J4 skew-hardened two-stage (salted) pair counts",
     ),
     "top_parts_by_revenue": Query(
         analytics.top_parts_by_revenue,
@@ -285,6 +291,26 @@ REGISTRY: dict[str, Query] = {
         llmops.ANN_LSH_SQL,
         ("embeddings",),
         "X3 LSH-bucketed approximate top-k",
+    ),
+    # --- sketch variants: rows-only checks (engine-specific internals) ---
+    "approx_distinct_users": Query(
+        approx.approx_distinct_users,
+        None,
+        ("events",),
+        "X5 HLL++ approx distinct (scale path; exact twin is oracled)",
+    ),
+    "approx_value_quantiles": Query(
+        approx.approx_value_quantiles,
+        None,
+        ("events",),
+        "X5 percentile_approx sketch (scale path)",
+    ),
+    # --- multimodal plumbing through mapInPandas, oracle-checked ---
+    "multimodal_features": Query(
+        llmops.multimodal_features,
+        llmops.MULTIMODAL_SQL,
+        ("documents",),
+        "binary media columns + mapInPandas feature extraction",
     ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(

