@@ -134,3 +134,38 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    threshold: float = 0.40,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup with blocking: exact all-pairs *within*
+    a blocking key (label, shard, source...) — the standard way to make
+    pairwise dedup tractable: the join is keyed by the block, so the
+    shuffle is bounded and each block's quadratic cost is local.
+    Scores rounded to 6 dp (cross-engine 1-ulp tolerance)."""
+    e = spread(df).select(
+        F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col)
+    )
+    a = e.alias("a")
+    b = (
+        e.select(
+            F.col(id_col).alias("_idb"),
+            F.col("_blk"),
+            F.col(vec_col).alias("_vecb"),
+        )
+    ).alias("b")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col(id_col) < F.col("_idb"))
+        .select(
+            F.col(id_col).alias("vec_a"),
+            F.col("_idb").alias("vec_b"),
+            F.round(cosine(F.col(vec_col), F.col("_vecb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

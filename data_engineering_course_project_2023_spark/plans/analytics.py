@@ -410,3 +410,79 @@ def copair_counts_salted(t: Tables, n_salts: int = 8) -> DataFrame:
         .agg(F.sum("partial_n").cast("long").alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+# --- rollup: hierarchical margins (A7 companion) ---------------------------
+def rollup_year_status(t: Tables) -> DataFrame:
+    """ROLLUP (year → status) — hierarchical subtotals + grand total in
+    one pass; the grouping-set expansion partial-aggregates map-side
+    like CUBE."""
+    return (
+        t["orders"]
+        .rollup(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(money("o_totalprice")).cast("double").alias("total_value"),
+        )
+    )
+
+
+ROLLUP_YEAR_STATUS_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM orders GROUP BY ROLLUP (1, 2)
+"""
+
+
+# --- Q3 shape: shipping priority (filter + join + topk on computed agg) ----
+def shipping_priority(t: Tables) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → fact join → revenue per order →
+    top-10 by revenue with date tiebreak. Filters push into both scans;
+    the segment dim filter prunes before the broadcast."""
+    cutoff = "1997-06-01"
+    return (
+        t["lineitem"]
+        .filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t["orders"].filter(F.col("o_orderdate") < cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue()).cast("double").alias("order_revenue"))
+        .orderBy(F.desc("order_revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS order_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY 1, 2, 3
+ORDER BY order_revenue DESC, l_orderkey ASC
+LIMIT 10
+"""

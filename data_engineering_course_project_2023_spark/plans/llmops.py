@@ -319,3 +319,19 @@ SELECT doc_id AS media_id,
             AS INTEGER) AS height
 FROM documents
 """
+
+
+# --- X2d: embedding-cosine near-dup (blocked) --------------------------------
+def embedding_neardup(t: Tables) -> DataFrame:
+    """Blocked exact cosine pairs (label = blocking key) ≥ 0.40."""
+    return similarity.blocked_cosine_pairs(t["embeddings"], threshold=0.40)
+
+
+EMBEDDING_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.40
+"""

@@ -109,6 +109,18 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "Q1-shaped wide aggregation",
     ),
+    "rollup_year_status": Query(
+        analytics.rollup_year_status,
+        analytics.ROLLUP_YEAR_STATUS_SQL,
+        ("orders",),
+        "A7 companion: ROLLUP hierarchy margins",
+    ),
+    "shipping_priority": Query(
+        analytics.shipping_priority,
+        analytics.SHIPPING_PRIORITY_SQL,
+        ("lineitem", "orders", "customer"),
+        "Q3 shape: selective join + computed top-k",
+    ),
     # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
     "scan_offset_limit": Query(
         relational.scan_offset_limit,
@@ -311,6 +323,12 @@ REGISTRY: dict[str, Query] = {
         llmops.MULTIMODAL_SQL,
         ("documents",),
         "binary media columns + mapInPandas feature extraction",
+    ),
+    "embedding_neardup": Query(
+        llmops.embedding_neardup,
+        llmops.EMBEDDING_NEARDUP_SQL,
+        ("embeddings",),
+        "X2d embedding-cosine near-dup (label-blocked exact pairs)",
     ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(

@@ -97,3 +97,59 @@ def test_frame_sampling(spark):
     frames = multimodal.frame_sample(multimodal.documents_as_media(docs))
     idx = [r["frame_idx"] for r in frames.collect()]
     assert idx == list(range(0, 20 % 16 + 1, 2))
+
+
+def test_events_stream_twin_matches_oracle_transform(spark, tmp_path):
+    """The oracle-checked daily_counts_transform produces identical
+    results under readStream (availableNow) — so the t2-gated batch
+    semantics ARE the streaming semantics (S13 discipline)."""
+    import shutil
+
+    from data_engineering_course_project_2023_spark.plans import eventstream
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    # stage a stream-source dir (micros timestamps so readStream works)
+    src_dir = str(tmp_path / "events_src")
+    events.write.parquet(src_dir)
+    batch = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in eventstream.daily_counts_transform(events).collect()
+    }
+    stream_in = spark.readStream.schema(events.schema).parquet(src_dir)
+    agg = eventstream.daily_counts_transform(
+        stream_in.withWatermark("ts", "1 hour")
+    )
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_daily")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM events_daily").collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_save_star_gold_layer(spark, tmp_path):
+    """S9/S10: persist + rescan the gold layer (parquet spelling of
+    saveAsTable)."""
+    from data_engineering_course_project_2023_spark.plans import arxiv_star
+
+    from . import fixtures
+
+    star = arxiv_star.build_star(fixtures.enriched(spark))
+    base = str(tmp_path / "gold")
+    arxiv_star.save_star(star, base)
+    back = spark.read.parquet(f"{base}/publication_fact")
+    assert back.count() == 2
+    assert set(back.columns) == {
+        "id", "reference_count", "score", "doi", "start_date",
+    }
