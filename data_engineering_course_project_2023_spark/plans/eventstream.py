@@ -165,3 +165,43 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.75), 6) AS p75
 FROM events GROUP BY 1
 """
+
+
+def session_window_counts(t: Tables) -> DataFrame:
+    """Native session windows (gap-merged, 30 min) — Spark's built-in
+    stateful-session operator in its batch form, checked against the
+    same portable lag/cumsum oracle as :func:`sessionize`. The two
+    definitions agree except on exact-gap boundaries (measure-zero with
+    microsecond timestamps)."""
+    per_session = (
+        t["events"]
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("sess_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("sess_events").cast("long").alias("n_events"),
+    )
+
+
+SESSION_WINDOW_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY 1
+"""

@@ -237,6 +237,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "sessionization via gap detection (stateful-op batch twin)",
     ),
+    "session_window_counts": Query(
+        eventstream.session_window_counts,
+        eventstream.SESSION_WINDOW_SQL,
+        ("events",),
+        "native session_window (stateful session op, batch form)",
+    ),
     "json_props_stats": Query(
         eventstream.json_props_stats,
         eventstream.JSON_PROPS_SQL,
