@@ -335,3 +335,26 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.40
 """
+
+
+# --- X1b: keep-first dedup materialization -----------------------------------
+def dedup_keep_first(t: Tables) -> DataFrame:
+    """X1 as a row-filter (the form a training pipeline actually ships):
+    keep only each content-hash group's min-id row. Window row_number
+    over the hash — one shuffle, no join-back."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        spread(t["documents"])
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+DEDUP_KEEP_FIRST_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+"""

@@ -274,6 +274,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X1 exact dedup (keep-first groups)",
     ),
+    "dedup_keep_first": Query(
+        llmops.dedup_keep_first,
+        llmops.DEDUP_KEEP_FIRST_SQL,
+        ("documents",),
+        "X1b keep-first dedup as a row filter (window over content hash)",
+    ),
     "ngram_jaccard": Query(
         llmops.ngram_jaccard,
         llmops.NGRAM_JACCARD_SQL,

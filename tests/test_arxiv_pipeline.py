@@ -111,3 +111,62 @@ def test_enrichment_fallback_and_fanout(spark):
     got = {r["arxiv"]: r["paperId"] for r in out.collect()}
     # k1 via primary, k2 via fallback, k3 dropped (J6+J9)
     assert got == {"A1": "p1", "A2": "p2"}
+
+
+def test_full_pipeline_composition(spark, tmp_path):
+    """Stage 2→6 composition from a JSONL file on disk — the whole
+    reference chain in one lineage."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans import pipeline
+    from data_engineering_course_project_2023_spark.sources.writers import write_jsonl
+
+    raw = fixtures.arxiv_raw(spark)
+    path = str(tmp_path / "bronze")
+    write_jsonl(raw, path)
+
+    e = fixtures.enriched(spark)
+    crossref = e.select(
+        "doi", "publisher", F.col("type"), F.col("issue"),
+        F.lit(5).alias("score"), "license_start", "license_url",
+        "license_content_version", "license_delay", "journal_name",
+        F.col("article_number"), F.col("language"),
+        F.col("short_container_title"), F.col("container_title"),
+        F.col("is_referenced_by_count"), F.col("deposited"),
+        "ISSN_type", "references",
+    )
+    s2 = e.select(
+        F.concat(F.lit("p-"), "arxiv").alias("paperId"),
+        F.col("arxiv").alias("arxiv_id"), F.col("doi").alias("s2_doi"),
+        F.col("title").alias("s2_title"), F.lit("v").alias("venue"),
+        F.lit(2007).alias("year"), "referenceCount", "citationCount",
+        "influentialCitationCount", F.lit(True).alias("isOpenAccess"),
+        F.named_struct(
+            F.lit("name"), F.col("journal_name"),
+            F.lit("volume"), F.lit("1"), F.lit("pages"), F.lit("1"),
+        ).alias("journal"),
+        F.lit("2007-04-02").alias("publicationDate"),
+    )
+    s2a = e.select(
+        F.concat(F.lit("p-"), "arxiv").alias("paperId"),
+        F.explode("s2_authors_data").alias("a"),
+    ).select(
+        "paperId", F.col("a.name").alias("name"),
+        F.col("a.affiliations").alias("affiliations"),
+    )
+    empty_rel = spark.createDataFrame(
+        [], "paperId string, otherPaperId string"
+    )
+    result = pipeline.run_pipeline_from_jsonl(
+        spark, path,
+        {
+            "crossref": crossref, "s2_papers": s2, "s2_authors": s2a,
+            "s2_citations": empty_rel, "s2_references": empty_rel,
+        },
+    )
+    # bronze had 3 rows; 1 dropped by scan predicate → 2 silver rows
+    assert result.silver.count() == 2
+    # both silver rows enrich (arxiv ids match)
+    assert result.enriched.count() == 2
+    assert result.star["publication_fact"].count() == 2
+    assert result.collaboration.count() >= 1
