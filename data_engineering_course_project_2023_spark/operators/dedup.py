@@ -268,3 +268,50 @@ def simhash_groups(
     sh = per_doc.select("doc_id", acc.cast("int").alias("simhash"))
     sizes = sh.groupBy("simhash").agg(F.count(F.lit(1)).alias("bucket_size"))
     return sh.join(sizes, "simhash").select("doc_id", "simhash", "bucket_size")
+
+
+def minhash_ml_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+) -> DataFrame:
+    """X2 library path: Spark ML's MinHashLSH.approxSimilarityJoin over
+    a binary shingle vector (HashingTF on 3-gram shingles).
+
+    Comparison point for the hand-rolled md5 MinHash above: the ML
+    variant's hash family is JVM-internal (seeded random), so it is NOT
+    cross-engine oracle-checkable — the driver records a rows-only
+    check. Kept because approxSimilarityJoin is the battle-tested
+    at-scale implementation (it does the same band-join internally).
+    """
+    try:
+        from pyspark.ml.feature import HashingTF, MinHashLSH
+    except ImportError:  # pragma: no cover - pyspark.ml always ships
+        raise NotImplementedError("pyspark.ml unavailable")
+
+    sh = (
+        shingles(df, text_col, id_col)
+        .groupBy("doc_id")
+        .agg(F.collect_list("shingle").alias("sh"))
+    )
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=1.0 - threshold, distCol="jaccard_dist"
+    )
+    return (
+        pairs.select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jaccard_dist")).alias("jaccard_est"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

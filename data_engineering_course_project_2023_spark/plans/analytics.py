@@ -486,3 +486,73 @@ GROUP BY 1, 2, 3
 ORDER BY order_revenue DESC, l_orderkey ASC
 LIMIT 10
 """
+
+
+# --- Q4 shape: order-priority counts via EXISTS semi-join ------------------
+def order_priority_check(t: Tables) -> DataFrame:
+    """TPC-H Q4 shape: orders in a date range having at least one line
+    item — EXISTS spelled as left_semi (no fan-out, no dedup needed)."""
+    return (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(
+            t["lineitem"].select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY 1
+"""
+
+
+# --- Q18 shape: large-volume customers (HAVING over grouped subquery) ------
+def large_volume_customers(t: Tables) -> DataFrame:
+    """TPC-H Q18 shape: customers whose single order exceeds a quantity
+    threshold — grouped HAVING feeding a join back to the dims."""
+    big_orders = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(money("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big_orders.join(
+            t["orders"], F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
+    )
+
+
+LARGE_VOLUME_SQL = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, total_qty
+FROM big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""

@@ -358,3 +358,70 @@ SELECT doc_id, lang, source, n_chars
 FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
+
+
+# --- the composed curation pipeline (what a training-data job ships) --------
+def curate_documents(t: Tables) -> DataFrame:
+    """Full curation chain in one lineage: quality gates (token count,
+    stopword floor, alpha floor) → exact dedup keep-first → per-language
+    acceptance stats. Every stage is the oracle-checked operator above;
+    this query checks their *composition*."""
+    from pyspark.sql.window import Window
+
+    docs = spread(t["documents"])
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        textops.token_count("text").alias("n_tokens"),
+        textops.stopword_ratio("text").alias("stop_ratio"),
+        textops.alpha_ratio("text").alias("alpha_ratio"),
+    )
+    gated = scored.filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("stop_ratio") >= 0.01)
+        & (F.col("alpha_ratio") >= 0.9)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+_CUR_STOPS = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+
+CURATE_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(list_filter(string_split(trim(text), ' '),
+                                          x -> x <> ''),
+                              x -> lower(x) IN ({_CUR_STOPS}))) AS DOUBLE)
+           / CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+                  AS DOUBLE) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM documents
+), gated AS (
+  SELECT * FROM scored
+  WHERE n_tokens >= 20 AND stop_ratio >= 0.01 AND alpha_ratio >= 0.9
+), deduped AS (
+  SELECT * FROM gated
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM deduped GROUP BY 1
+"""
+
+
+# --- X2 library path: Spark ML MinHashLSH (rows-only; JVM hash family) ------
+def minhash_ml(t: Tables) -> DataFrame:
+    """approxSimilarityJoin at jaccard >= 0.5 over 3-gram shingles."""
+    return dedup.minhash_ml_pairs(t["documents"], threshold=0.5)

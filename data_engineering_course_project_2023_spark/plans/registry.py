@@ -121,6 +121,18 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "orders", "customer"),
         "Q3 shape: selective join + computed top-k",
     ),
+    "order_priority_check": Query(
+        analytics.order_priority_check,
+        analytics.ORDER_PRIORITY_SQL,
+        ("orders", "lineitem"),
+        "Q4 shape: EXISTS via left_semi + date-range pushdown",
+    ),
+    "large_volume_customers": Query(
+        analytics.large_volume_customers,
+        analytics.LARGE_VOLUME_SQL,
+        ("lineitem", "orders", "customer"),
+        "Q18 shape: grouped HAVING feeding dim joins",
+    ),
     # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
     "scan_offset_limit": Query(
         relational.scan_offset_limit,
@@ -280,6 +292,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X1b keep-first dedup as a row filter (window over content hash)",
     ),
+    "curate_documents": Query(
+        llmops.curate_documents,
+        llmops.CURATE_SQL,
+        ("documents",),
+        "composed curation chain: quality gates -> dedup -> lang stats",
+    ),
     "ngram_jaccard": Query(
         llmops.ngram_jaccard,
         llmops.NGRAM_JACCARD_SQL,
@@ -328,6 +346,12 @@ REGISTRY: dict[str, Query] = {
         None,
         ("events",),
         "X5 percentile_approx sketch (scale path)",
+    ),
+    "minhash_ml": Query(
+        llmops.minhash_ml,
+        None,
+        ("documents",),
+        "X2 library path: pyspark.ml MinHashLSH approxSimilarityJoin",
     ),
     # --- multimodal plumbing through mapInPandas, oracle-checked ---
     "multimodal_features": Query(
