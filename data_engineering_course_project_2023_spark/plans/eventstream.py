@@ -205,3 +205,88 @@ SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
        COUNT(*) AS n_events
 FROM numbered GROUP BY 1
 """
+
+
+def asof_purchase_click(t: Tables) -> DataFrame:
+    """As-of join (custom operator — SURVEY §2.8 north-star): each
+    purchase event picks up the user's most recent click at-or-before
+    it. Window spelling in operators/temporal.py; one shuffle on
+    user_id, no join explosion."""
+    from ..operators.temporal import asof_join
+
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id"), "value"
+    )
+    out = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        value_cols=["click_id", "value"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.col("asof_click_id").alias("last_click_id"),
+        F.col("asof_value").alias("last_click_value"),
+    )
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value FROM events
+  WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id,
+       c.click_id AS last_click_id,
+       c.value AS last_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def range_join_events(t: Tables) -> DataFrame:
+    """Bucketized range join (custom operator): (purchase, click) pairs
+    from the same user within 10 minutes of each other. Equi-join on
+    (user, time-bin) with a 3-bin probe — bounded shuffle, never the
+    BroadcastNestedLoopJoin a raw inequality join would plan."""
+    from ..operators.temporal import bucketized_range_join
+
+    ev = t["events"]
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+    )
+    joined = bucketized_range_join(
+        purchases,
+        clicks.withColumnRenamed("c_user", "user_id"),
+        on="user_id", left_ts="p_ts", right_ts="c_ts",
+        max_gap_seconds=600,
+    )
+    return joined.select(
+        "purchase_id", "click_id", "user_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long").alias("gap_seconds"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH purchases AS (
+  SELECT event_id AS purchase_id, user_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+)
+SELECT purchase_id, click_id, p.user_id,
+       CAST(floor(epoch(p_ts)) - floor(epoch(c_ts)) AS BIGINT) AS gap_seconds
+FROM purchases p JOIN clicks c USING (user_id)
+WHERE abs(CAST(floor(epoch(p_ts)) AS BIGINT)
+          - CAST(floor(epoch(c_ts)) AS BIGINT)) <= 600
+"""

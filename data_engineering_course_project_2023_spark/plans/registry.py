@@ -255,6 +255,18 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "native session_window (stateful session op, batch form)",
     ),
+    "asof_purchase_click": Query(
+        eventstream.asof_purchase_click,
+        eventstream.ASOF_SQL,
+        ("events",),
+        "custom op: as-of join (window spelling, no explosion)",
+    ),
+    "range_join_events": Query(
+        eventstream.range_join_events,
+        eventstream.RANGE_JOIN_SQL,
+        ("events",),
+        "custom op: bucketized range join (3-bin probe equi-join)",
+    ),
     "json_props_stats": Query(
         eventstream.json_props_stats,
         eventstream.JSON_PROPS_SQL,

@@ -1,0 +1,91 @@
+"""Edge semantics for the custom temporal join operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from data_engineering_course_project_2023_spark.operators.temporal import (
+    asof_join,
+    bucketized_range_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "L1"),  # match r@09:59
+            (1, _ts("2024-01-01 11:00:00"), "L2"),  # exact-tie match r@11:00
+            (2, _ts("2024-01-01 10:00:00"), "L3"),  # no prior right → null
+        ],
+        "k int, ts timestamp, lid string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:59:00"), 100),
+            (1, _ts("2024-01-01 11:00:00"), 200),  # ties resolve to right
+            (2, _ts("2024-01-01 10:00:01"), 300),  # 1s AFTER left → excluded
+        ],
+        "k int, ts timestamp, v int",
+    )
+    out = {
+        r["lid"]: r["asof_v"]
+        for r in asof_join(left, right, "k", "ts", "ts", ["v"]).collect()
+    }
+    assert out == {"L1": 100, "L2": 200, "L3": None}
+
+
+def test_range_join_boundary_inclusive(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 10:00:00"), 10)], "k int, lts timestamp, lid int"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:10:00"), 20),  # exactly +600s → kept
+            (1, _ts("2024-01-01 09:50:00"), 21),  # exactly -600s → kept
+            (1, _ts("2024-01-01 10:10:01"), 22),  # +601s → dropped
+            (2, _ts("2024-01-01 10:00:00"), 23),  # other key → dropped
+        ],
+        "k int, rts timestamp, rid int",
+    )
+    got = sorted(
+        r["rid"]
+        for r in bucketized_range_join(
+            left, right, "k", "lts", "rts", max_gap_seconds=600
+        ).collect()
+    )
+    assert got == [20, 21]
+
+
+def test_range_join_matches_naive(spark):
+    """Bucketized result == naive inequality join on random-ish data."""
+    left = spark.range(200).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 97).alias("lts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(300).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(1700000000 + F.col("id") * 61).alias("rts"),
+        F.col("id").alias("rid"),
+    )
+    fast = {
+        (r["lid"], r["rid"])
+        for r in bucketized_range_join(
+            left, right, "k", "lts", "rts", 500
+        ).collect()
+    }
+    naive = {
+        (r["lid"], r["rid"])
+        for r in left.join(right, "k")
+        .filter(
+            F.abs(F.unix_timestamp("lts") - F.unix_timestamp("rts")) <= 500
+        )
+        .collect()
+    }
+    assert fast == naive and len(fast) > 0
