@@ -556,3 +556,80 @@ FROM big
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+
+# --- Q17 shape: correlated scalar subquery → join rewrite -------------------
+def small_quantity_revenue(t: Tables) -> DataFrame:
+    """TPC-H Q17 shape: revenue from line items whose quantity is below
+    half their part's average quantity. The correlated scalar subquery
+    is spelled as an aggregate + self-side join — exactly the rewrite
+    Catalyst's decorrelation produces, stated explicitly so the plan is
+    one agg + one broadcast join over a single fact scan pair."""
+    avg_qty = (
+        t["lineitem"]
+        .groupBy("l_partkey")
+        .agg(F.avg(money("l_quantity")).cast("double").alias("avg_qty"))
+    )
+    return (
+        t["lineitem"]
+        .join(F.broadcast(avg_qty), "l_partkey")
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.sum(money("l_extendedprice")).cast("double").alias("small_qty_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+SMALL_QUANTITY_SQL = """
+WITH avg_qty AS (
+  SELECT l_partkey,
+         CAST(AVG(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS small_qty_revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN avg_qty a ON l.l_partkey = a.l_partkey
+WHERE l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+# --- set operations: intersect / except ------------------------------------
+def nation_set_ops(t: Tables) -> DataFrame:
+    """INTERSECT / EXCEPT over nation key sets: nations having both
+    BUILDING and MACHINERY customers, and nations with customers but no
+    suppliers. Both distinct-based set ops partial-aggregate; output
+    tagged union keeps the oracle one query."""
+    cust = t["customer"]
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_nationkey").alias("nk")
+    )
+    both = building.intersect(machinery).select(
+        "nk", F.lit("building_and_machinery").alias("tag")
+    )
+    cust_nations = cust.select(F.col("c_nationkey").alias("nk"))
+    supp_nations = t["supplier"].select(F.col("s_nationkey").alias("nk"))
+    # subtract = EXCEPT DISTINCT (exceptAll would keep multiset dups)
+    no_supp = cust_nations.subtract(supp_nations).select(
+        "nk", F.lit("customers_no_suppliers").alias("tag")
+    )
+    return both.unionByName(no_supp)
+
+
+NATION_SET_OPS_SQL = """
+SELECT nk, 'building_and_machinery' AS tag FROM (
+  SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT c_nationkey AS nk FROM customer WHERE c_mktsegment = 'MACHINERY'
+)
+UNION ALL
+SELECT nk, 'customers_no_suppliers' AS tag FROM (
+  SELECT DISTINCT c_nationkey AS nk FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier
+)
+"""

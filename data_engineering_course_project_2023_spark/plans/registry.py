@@ -133,6 +133,18 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "orders", "customer"),
         "Q18 shape: grouped HAVING feeding dim joins",
     ),
+    "small_quantity_revenue": Query(
+        analytics.small_quantity_revenue,
+        analytics.SMALL_QUANTITY_SQL,
+        ("lineitem",),
+        "Q17 shape: decorrelated scalar subquery (agg + broadcast join)",
+    ),
+    "nation_set_ops": Query(
+        analytics.nation_set_ops,
+        analytics.NATION_SET_OPS_SQL,
+        ("customer", "supplier"),
+        "INTERSECT / EXCEPT set operations",
+    ),
     # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
     "scan_offset_limit": Query(
         relational.scan_offset_limit,
