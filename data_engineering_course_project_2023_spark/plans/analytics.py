@@ -633,3 +633,143 @@ SELECT nk, 'customers_no_suppliers' AS tag FROM (
   SELECT DISTINCT s_nationkey FROM supplier
 )
 """
+
+
+# --- window feature engineering: ntile / lead / first_value ----------------
+def customer_order_features(t: Tables) -> DataFrame:
+    """Training-feature shape: per-customer order timeline features —
+    first order date, next-order gap (lead), spend quartile (ntile).
+    One shuffle on the window key; everything else is frame math."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wq = Window.orderBy(F.desc("total_spend"), F.asc("o_custkey"))
+    per_order = t["orders"].select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format(
+            F.first_value("o_orderdate").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            "yyyy-MM-dd",
+        ).alias("first_order_date"),
+        (
+            F.datediff(
+                F.lead("o_orderdate").over(w), F.col("o_orderdate")
+            )
+        ).alias("days_to_next_order"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+    )
+    spend = per_order.groupBy("o_custkey").agg(
+        F.min("first_order_date").alias("first_order_date"),
+        F.max("days_to_next_order").alias("max_gap_days"),
+        F.sum("p").cast("double").alias("total_spend"),
+    )
+    return spend.select(
+        "o_custkey",
+        "first_order_date",
+        "max_gap_days",
+        "total_spend",
+        F.ntile(4).over(wq).alias("spend_quartile"),
+    )
+
+
+CUSTOMER_FEATURES_SQL = """
+WITH per_order AS (
+  SELECT o_custkey, o_orderkey,
+         strftime(FIRST_VALUE(o_orderdate) OVER w, '%Y-%m-%d')
+           AS first_order_date,
+         datediff('day', o_orderdate, LEAD(o_orderdate) OVER w)
+           AS days_to_next_order,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS p
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), spend AS (
+  SELECT o_custkey,
+         MIN(first_order_date) AS first_order_date,
+         CAST(MAX(days_to_next_order) AS INTEGER) AS max_gap_days,
+         CAST(SUM(p) AS DOUBLE) AS total_spend
+  FROM per_order GROUP BY 1
+)
+SELECT o_custkey, first_order_date, max_gap_days, total_spend,
+       CAST(NTILE(4) OVER (ORDER BY total_spend DESC, o_custkey ASC)
+            AS INTEGER) AS spend_quartile
+FROM spend
+"""
+
+
+# --- iterative algorithm: connected components of the co-order graph -------
+def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
+    """Connected components over the part co-order graph (edges =
+    copair_counts pairs): iterative min-label propagation, the
+    DataFrame spelling of GraphFrames/Pregel CC.
+
+    The driver-side loop is legitimate here — iteration count is
+    O(component diameter), data never leaves the cluster; each round is
+    one join + one aggregate, with the label frame persisted and the
+    previous iteration unpersisted. Converges when no label changes.
+    Oracle: a DuckDB recursive CTE computing min-reachable-label — so
+    even the iterative path is exact-checked.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    # localCheckpoint (not persist) each round: without lineage
+    # truncation the logical plan doubles per iteration and planning
+    # itself OOMs long before the data does — the canonical iterative-
+    # algorithm discipline (GraphFrames checkpoints the same way).
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    # convergence via the label sum: min-label propagation only ever
+    # DECREASES labels, so sum(lbl) is strictly monotone until fixpoint —
+    # a single cheap agg replaces a join-based changed-row count.
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("node").alias("l_partkey"), F.col("lbl").alias("component"))
+
+
+COPAIR_COMPONENTS_SQL = """
+WITH RECURSIVE
+items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+nodes AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+walk(node, lbl) AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, w.lbl
+  FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT node AS l_partkey, MIN(lbl) AS component
+FROM walk GROUP BY 1
+"""

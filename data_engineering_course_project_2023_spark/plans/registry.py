@@ -242,6 +242,18 @@ REGISTRY: dict[str, Query] = {
         ("orders",),
         "window frames: running sum + lag",
     ),
+    "customer_order_features": Query(
+        analytics.customer_order_features,
+        analytics.CUSTOMER_FEATURES_SQL,
+        ("orders",),
+        "window features: first_value / lead / ntile",
+    ),
+    "copair_components": Query(
+        analytics.copair_components,
+        analytics.COPAIR_COMPONENTS_SQL,
+        ("lineitem",),
+        "iterative connected components (min-label propagation) vs recursive-CTE oracle",
+    ),
     # --- event/stream batch twin (SURVEY §2.6 S13) ---
     "daily_event_counts": Query(
         eventstream.daily_event_counts,
