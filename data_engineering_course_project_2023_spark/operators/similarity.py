@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql.window import Window
+
 from ..functions.expr import spread
 
 EMBED_DIM = 64
@@ -168,4 +170,120 @@ def blocked_cosine_pairs(
             F.round(cosine(F.col(vec_col), F.col("_vecb")), 6).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means for IVF coarse quantization:
+    init = the k lowest-id vectors, fixed iteration count.
+
+    Each round: assign (crossJoin the k-row broadcast centroid table —
+    the scalar-attach pattern, O(N·k)) → recompute means (one groupBy).
+    localCheckpoint truncates lineage per round (same discipline as the
+    connected-components loop). Returns (centroid_id, centroid) rows.
+    """
+    dim_probe = df.select(F.size(vec_col).alias("d")).first()["d"]
+    cents = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.row_number().over(Window.orderBy(id_col)).alias("centroid_id"),
+            F.col(vec_col).cast("array<double>").alias("centroid"),
+        )
+        .localCheckpoint()
+    )
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    for _ in range(n_iter):
+        assigned = (
+            vecs.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "dist",
+                F.aggregate(
+                    F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy("dist", "centroid_id")
+                ),
+            )
+            .filter(F.col("rn") == 1)
+        )
+        sums = assigned.groupBy("centroid_id").agg(
+            F.array(*[
+                F.avg(F.element_at("v", i + 1)) for i in range(dim_probe)
+            ]).alias("centroid")
+        )
+        cents = sums.localCheckpoint()
+    return cents
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: assign corpus to centroids once, probe the query's
+    ``n_probe`` nearest cells, exact cosine rerank inside them. The
+    at-scale layout: the assignment is written partitioned by
+    centroid_id so a probe reads only matching partitions.
+    """
+    cents = kmeans_centroids(df, k=n_clusters, id_col=id_col, vec_col=vec_col)
+    vecs = spread(df).select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    dist = F.aggregate(
+        F.zip_with("v", "centroid", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cents))
+        .withColumn("dist", dist)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("dist", "centroid_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "centroid_id")
+        .localCheckpoint()
+    )
+    qrow = assigned.filter(F.col(id_col) == query_vec_id)
+    probe_cells = (
+        qrow.select(F.col("v").alias("qv"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "qdist",
+            F.aggregate(
+                F.zip_with("qv", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("qdist", "centroid_id")
+        .limit(n_probe)
+        .select("centroid_id", "qv")
+    )
+    return (
+        assigned.join(F.broadcast(probe_cells), "centroid_id")
+        .filter(F.col(id_col) != query_vec_id)
+        .select(
+            id_col,
+            F.round(cosine(F.col("v"), F.col("qv")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
     )

@@ -425,3 +425,12 @@ FROM deduped GROUP BY 1
 def minhash_ml(t: Tables) -> DataFrame:
     """approxSimilarityJoin at jaccard >= 0.5 over 3-gram shingles."""
     return dedup.minhash_ml_pairs(t["documents"], threshold=0.5)
+
+
+# --- X3c: IVF (k-means) approximate search — rows-only -----------------------
+def ivf_topk_query(t: Tables) -> DataFrame:
+    """IVF coarse-quantizer search: deterministic k-means (fixed init +
+    iterations), probe 2 cells, exact rerank. Iterative float math makes
+    a cross-engine oracle impractical — driver records rows-only; recall
+    vs the oracled brute-force twin is asserted in pytest."""
+    return similarity.ivf_topk(t["embeddings"], query_vec_id=0, k=10)

@@ -389,6 +389,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X2 library path: pyspark.ml MinHashLSH approxSimilarityJoin",
     ),
+    "ivf_topk": Query(
+        llmops.ivf_topk_query,
+        None,
+        ("embeddings",),
+        "X3c IVF (deterministic k-means) probe search — rows-only",
+    ),
     # --- multimodal plumbing through mapInPandas, oracle-checked ---
     "multimodal_features": Query(
         llmops.multimodal_features,

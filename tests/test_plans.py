@@ -46,3 +46,30 @@ def test_clean_is_shuffle_free(spark):
 def test_enrichment_join_broadcasts_lookup(spark):
     plan = plan_of(registry.run_query("enrichment_join", spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_no_query_plans_nested_loop_or_cartesian(spark):
+    """Global plan hygiene: no registry query may plan a
+    BroadcastNestedLoopJoin or CartesianProduct — at 100 TB either is a
+    query that never finishes. (The range join exists precisely to avoid
+    this; this sweep catches regressions anywhere.)"""
+    # cosine_topk / ivf_topk crossJoin a tiny broadcast frame (1 query
+    # row / k centroids) — broadcast NLJ over O(1) rows is the standard
+    # scalar-attach pattern, O(N·k), fine at any scale. copair_components
+    # builds its plan per iteration (checkpointed) — covered by its own
+    # oracle test.
+    allowed = {"cosine_topk", "ivf_topk", "copair_components"}
+    offenders = {}
+    for name in registry.REGISTRY:
+        if name in allowed:
+            continue
+        df = registry.run_query(name, spark, SF_CORRECT)
+        plan = plan_of(df)
+        bad = [
+            kw
+            for kw in ("BroadcastNestedLoopJoin", "CartesianProduct")
+            if kw in plan
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders

@@ -153,3 +153,47 @@ def test_save_star_gold_layer(spark, tmp_path):
     assert set(back.columns) == {
         "id", "reference_count", "score", "doi", "start_date",
     }
+
+
+def test_stateful_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState running totals == batch groupBy on the
+    same input (update-mode: take each user's LAST emitted row)."""
+    import shutil
+
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.streaming import stateful
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev_src")
+    # two files → at least two micro-batch-able splits
+    events.repartition(2).write.parquet(src)
+
+    batch = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in stateful.running_user_totals_batch(events).collect()
+    }
+    stream_in = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ckpt = str(tmp_path / "ck")
+    q = (
+        stateful.running_user_totals_stream(stream_in)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("user_totals")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode emits one row per user per micro-batch; final state =
+    # the max-n_events row per user
+    got = {}
+    for r in spark.sql("SELECT * FROM user_totals").collect():
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            got[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert got == batch
+    shutil.rmtree(ckpt, ignore_errors=True)
