@@ -773,3 +773,34 @@ walk(node, lbl) AS (
 SELECT node AS l_partkey, MIN(lbl) AS component
 FROM walk GROUP BY 1
 """
+
+
+# --- SQL-API surface: same engine, spark.sql entry point -------------------
+def sql_revenue_by_status(t: Tables) -> DataFrame:
+    """The SQL front door (SURVEY §3.3: the reference ships query TEXT;
+    here the engine's SQL surface runs it): registered temp views +
+    spark.sql. Same Catalyst plan as the DataFrame spelling — this query
+    exists to pin that the SQL API is a first-class entry point."""
+    spark = t["orders"].sparkSession
+    t["orders"].createOrReplaceTempView("v_orders")
+    t["lineitem"].createOrReplaceTempView("v_lineitem")
+    return spark.sql("""
+        SELECT o.o_orderstatus AS status,
+               COUNT(DISTINCT o.o_orderkey) AS n_orders,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l.l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS revenue
+        FROM v_orders o JOIN v_lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o.o_orderstatus
+    """)
+
+
+SQL_REVENUE_BY_STATUS_SQL = """
+SELECT o_orderstatus AS status,
+       COUNT(DISTINCT o_orderkey) AS n_orders,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+"""

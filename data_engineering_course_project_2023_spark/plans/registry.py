@@ -145,6 +145,12 @@ REGISTRY: dict[str, Query] = {
         ("customer", "supplier"),
         "INTERSECT / EXCEPT set operations",
     ),
+    "sql_revenue_by_status": Query(
+        analytics.sql_revenue_by_status,
+        analytics.SQL_REVENUE_BY_STATUS_SQL,
+        ("orders", "lineitem"),
+        "SQL front door: temp views + spark.sql (same Catalyst plan)",
+    ),
     # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
     "scan_offset_limit": Query(
         relational.scan_offset_limit,
