@@ -62,9 +62,15 @@ def surrogate_key(*cols: str) -> Column:
 
 def clean_text(c: Column | str) -> Column:
     """P8: strip newlines, collapse whitespace runs, trim
-    (ref: src/utils/databases.py:66-74)."""
+    (ref: src/utils/databases.py:66-74).
+
+    (?U) makes Java's \\s match Unicode whitespace (U+2000, NBSP, …) —
+    matching the reference's Python ``re`` semantics, where \\s is
+    Unicode by default. Collapsing first turns any edge whitespace into
+    ASCII spaces, so the plain trim finishes the job. (Found by the
+    hypothesis property test.)"""
     col = F.col(c) if isinstance(c, str) else c
-    return F.trim(F.regexp_replace(col, r"\s+", " "))
+    return F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
 
 
 def null_default(c: Column | str, default: str = "Unknown") -> Column:
