@@ -434,3 +434,66 @@ def ivf_topk_query(t: Tables) -> DataFrame:
     a cross-engine oracle impractical — driver records rows-only; recall
     vs the oracled brute-force twin is asserted in pytest."""
     return similarity.ivf_topk(t["embeddings"], query_vec_id=0, k=10)
+
+
+# --- reproducible sampling & splits (training-data staples) -----------------
+def hash_sample_orders(t: Tables) -> DataFrame:
+    """Deterministic 10% sample by key hash — the reproducible-sampling
+    pattern for pipelines (df.sample(seed=) depends on partitioning;
+    hash-mod does not, and re-runs/backfills select the same rows).
+    Map-side filter → pushes work to the scan."""
+    bucket = F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10) % 100
+    return (
+        t["orders"]
+        .filter(bucket < 10)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .alias("sampled_value"),
+        )
+    )
+
+
+HASH_SAMPLE_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sampled_value
+FROM orders
+WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 100 < 10
+GROUP BY 1
+"""
+
+
+def train_test_split(t: Tables) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by content-key
+    hash — stable across runs, re-shards, and engine versions (md5, not
+    engine-internal hash). Output: split × lang counts."""
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10) % 10
+    split = (
+        F.when(bucket < 8, "train").when(bucket < 9, "val").otherwise("test")
+    )
+    return (
+        t["documents"]
+        .select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10 < 8 THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 10 < 9 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         lang
+  FROM documents
+)
+SELECT split, lang, COUNT(*) AS n_docs FROM assigned GROUP BY 1, 2
+"""

@@ -151,6 +151,12 @@ REGISTRY: dict[str, Query] = {
         ("orders", "lineitem"),
         "SQL front door: temp views + spark.sql (same Catalyst plan)",
     ),
+    "pivot_year_priority": Query(
+        analytics.pivot_year_priority,
+        analytics.PIVOT_YEAR_PRIORITY_SQL,
+        ("orders",),
+        "A7 wide spelling: fixed-value pivot",
+    ),
     # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
     "scan_offset_limit": Query(
         relational.scan_offset_limit,
@@ -339,6 +345,18 @@ REGISTRY: dict[str, Query] = {
         llmops.CURATE_SQL,
         ("documents",),
         "composed curation chain: quality gates -> dedup -> lang stats",
+    ),
+    "hash_sample_orders": Query(
+        llmops.hash_sample_orders,
+        llmops.HASH_SAMPLE_SQL,
+        ("orders",),
+        "deterministic hash-mod sampling (reproducible across re-runs)",
+    ),
+    "train_test_split": Query(
+        llmops.train_test_split,
+        llmops.TRAIN_TEST_SPLIT_SQL,
+        ("documents",),
+        "deterministic 80/10/10 split assignment by content-key hash",
     ),
     "ngram_jaccard": Query(
         llmops.ngram_jaccard,
