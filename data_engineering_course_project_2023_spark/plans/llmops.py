@@ -497,3 +497,36 @@ WITH assigned AS (
 )
 SELECT split, lang, COUNT(*) AS n_docs FROM assigned GROUP BY 1, 2
 """
+
+
+# --- declarative data-quality checks -----------------------------------------
+def dq_documents(t: Tables) -> DataFrame:
+    """All document intake gates in ONE scan (operators/quality.py):
+    violation counts per rule."""
+    from ..operators.quality import document_checks, run_checks
+
+    return run_checks(t["documents"], document_checks())
+
+
+DQ_DOCUMENTS_SQL = """
+WITH totals AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN COALESCE(length(text) < 5, TRUE) THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN COALESCE(NOT lang IN ('en','de','fr','es','zh'), TRUE)
+             THEN 1 ELSE 0 END) AS v3,
+         SUM(CASE WHEN COALESCE(n_chars <> length(text), TRUE)
+             THEN 1 ELSE 0 END) AS v4,
+         SUM(CASE WHEN COALESCE(trim(source) = '', TRUE)
+             THEN 1 ELSE 0 END) AS v5
+  FROM documents
+)
+SELECT u."check", n AS n_evaluated, CAST(u.v AS BIGINT) AS n_violations,
+       CAST(u.v AS DOUBLE) / CAST(n AS DOUBLE) AS violation_rate
+FROM totals,
+LATERAL (
+  VALUES ('doc_id_not_null', v1), ('text_min_length', v2),
+         ('lang_in_domain', v3), ('n_chars_consistent', v4),
+         ('source_not_blank', v5)
+) AS u("check", v)
+"""

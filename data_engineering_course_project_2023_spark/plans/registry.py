@@ -346,6 +346,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "composed curation chain: quality gates -> dedup -> lang stats",
     ),
+    "dq_documents": Query(
+        llmops.dq_documents,
+        llmops.DQ_DOCUMENTS_SQL,
+        ("documents",),
+        "declarative data-quality gates, all rules in one scan",
+    ),
     "hash_sample_orders": Query(
         llmops.hash_sample_orders,
         llmops.HASH_SAMPLE_SQL,

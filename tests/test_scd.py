@@ -60,3 +60,31 @@ def test_scd2_idempotent(spark):
     once = scd2_apply(_dim(spark), updates, "aff_key", ["affiliation"], F.lit(T1))
     twice = scd2_apply(once, updates, "aff_key", ["affiliation"], F.lit(T1))
     assert sorted(map(str, once.collect())) == sorted(map(str, twice.collect()))
+
+
+def test_dq_checks_single_pass(spark):
+    """run_checks: correct violation counts, nulls count as violations,
+    and the whole suite is ONE aggregation (no per-check scans)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.operators.quality import run_checks
+
+    df = spark.createDataFrame(
+        [(1, "ok text here"), (2, "tiny"), (None, None)],
+        "id long, text string",
+    )
+    out = {
+        r["check"]: (r["n_violations"], r["n_evaluated"])
+        for r in run_checks(
+            df,
+            {
+                "id_not_null": F.col("id").isNull(),
+                "text_min_len": F.length("text") < 5,
+            },
+        ).collect()
+    }
+    # null text → length(null)<5 is null → counts as violation
+    assert out == {"id_not_null": (1, 3), "text_min_len": (2, 3)}
