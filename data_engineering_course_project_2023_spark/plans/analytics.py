@@ -844,3 +844,241 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
        {_PIVOT_COLS}
 FROM orders GROUP BY 1
 """
+
+
+# --- Q21 shape: multi-EXISTS / NOT-EXISTS anti-join chain -------------------
+def late_sole_suppliers(t: Tables) -> DataFrame:
+    """TPC-H Q21 shape (adapted: the testdata lineitem carries shipdate
+    only, so "late" = shipped >60 days after the order date): suppliers
+    who were the ONLY late supplier on a multi-supplier order.
+
+    EXISTS (another supplier touched the order) is a left_semi join;
+    NOT EXISTS (another supplier was also late) is a left_anti join —
+    both equi on l_orderkey with the <> residual, so Catalyst keeps
+    them hash joins, never a nested loop. The `late` frame is built
+    once and reused for the probe and the anti side; at scale all
+    three shuffles share the l_orderkey partitioning."""
+    late = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(t["orders"].select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    others = t["lineitem"].select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    return (
+        late
+        .join(others,
+              (F.col("l_orderkey") == F.col("ok2"))
+              & (F.col("l_suppkey") != F.col("sk2")),
+              "left_semi")
+        .join(late_others,
+              (F.col("l_orderkey") == F.col("ok3"))
+              & (F.col("l_suppkey") != F.col("sk3")),
+              "left_anti")
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+LATE_SOLE_SUPPLIERS_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY 1
+"""
+
+
+# --- Q22 shape: global scalar subquery + anti-join --------------------------
+def idle_rich_customers(t: Tables) -> DataFrame:
+    """TPC-H Q22 shape: per nation, customers whose balance is above the
+    global positive-balance average and who placed no orders in 1997.
+
+    The global average is a one-row agg broadcast via cross join; the
+    comparison is multiplied out (bal * n > total) so both engines
+    decide it in exact DECIMAL arithmetic — no float threshold flips.
+    NOT EXISTS is a left_anti on the 1997 order keys."""
+    stats = (
+        t["customer"]
+        .filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(money("c_acctbal")).alias("bal_total"),
+            F.count(F.lit(1)).alias("bal_n"),
+        )
+    )
+    orders_97 = (
+        t["orders"]
+        .filter(F.year("o_orderdate") == 1997)
+        .select("o_custkey")
+    )
+    return (
+        t["customer"]
+        # one-row scalar broadcast: BroadcastNestedLoopJoin with a
+        # single-row build side — the plan Spark itself produces for a
+        # scalar subquery; sanctioned in the plan-hygiene sweep
+        .crossJoin(F.broadcast(stats))
+        .filter(money("c_acctbal") * F.col("bal_n") > F.col("bal_total"))
+        .join(orders_97, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum(money("c_acctbal")).cast("double").alias("total_bal"),
+        )
+    )
+
+
+IDLE_RICH_SQL = """
+WITH stats AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal_total,
+         COUNT(*) AS bal_n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey,
+       COUNT(*) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * bal_n > bal_total
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND year(o_orderdate) = 1997)
+GROUP BY 1
+"""
+
+
+# --- Q2 shape: correlated MIN subquery → join-back --------------------------
+def cheapest_supplier_per_nation(t: Tables) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in the testdata, so the
+    correlated MIN runs over supplier balances): for each nation, the
+    supplier(s) holding the minimum account balance. The correlated
+    scalar subquery is spelled as groupBy-min + equality join-back —
+    the decorrelation Catalyst would produce. The per-nation min frame
+    is nation-count sized → broadcast; the equality compare happens in
+    DECIMAL so both engines pick identical rows."""
+    min_bal = (
+        t["supplier"]
+        .groupBy(F.col("s_nationkey").alias("mn_nationkey"))
+        .agg(F.min(money("s_acctbal")).alias("min_bal"))
+    )
+    return (
+        t["supplier"]
+        .join(F.broadcast(min_bal),
+              (F.col("s_nationkey") == F.col("mn_nationkey"))
+              & (money("s_acctbal") == F.col("min_bal")))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "s_suppkey", "s_name",
+                money("s_acctbal").cast("double").alias("acctbal"))
+    )
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH min_bal AS (
+  SELECT s_nationkey AS mn_nationkey,
+         MIN(CAST(s_acctbal AS DECIMAL(18,2))) AS min_bal
+  FROM supplier GROUP BY 1
+)
+SELECT n_name, s_suppkey, s_name,
+       CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+FROM supplier
+JOIN min_bal ON s_nationkey = mn_nationkey
+            AND CAST(s_acctbal AS DECIMAL(18,2)) = min_bal
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
+# --- Q11 shape: HAVING against a global scalar aggregate --------------------
+def nation_revenue_share(t: Tables) -> DataFrame:
+    """TPC-H Q11 shape: supplier nations contributing more than 1/25th
+    of global revenue. The global total is a one-row agg cross-joined
+    in (broadcast); the HAVING threshold is multiplied out
+    (rev * 25 > total) to stay in exact DECIMAL on both engines."""
+    enriched = (
+        t["lineitem"]
+        .select("l_suppkey", revenue().alias("rev"))
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    total = enriched.agg(F.sum("rev").alias("total_rev"))
+    return (
+        enriched
+        .groupBy("s_nationkey")
+        .agg(F.sum("rev").alias("nation_rev"))
+        # one-row scalar broadcast (see idle_rich_customers)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("nation_rev") * 25 > F.col("total_rev"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name", F.col("nation_rev").cast("double").alias("nation_revenue"))
+    )
+
+
+NATION_REVENUE_SHARE_SQL = """
+WITH enriched AS (
+  SELECT s_nationkey,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+),
+per_nation AS (
+  SELECT s_nationkey, SUM(rev) AS nation_rev FROM enriched GROUP BY 1
+),
+total AS (SELECT SUM(rev) AS total_rev FROM enriched)
+SELECT n_name, CAST(nation_rev AS DOUBLE) AS nation_revenue
+FROM per_nation
+JOIN nation ON s_nationkey = n_nationkey
+CROSS JOIN total
+WHERE nation_rev * 25 > total_rev
+"""
+
+
+# --- Q13 shape: left-outer count distribution -------------------------------
+def order_count_distribution(t: Tables) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of finished-order counts per
+    customer, zero included — customer LEFT JOIN orders, count the
+    non-null side, then aggregate the counts themselves. Two shuffles
+    (custkey, then c_count); the second input is customer-count sized."""
+    return (
+        t["customer"].select("c_custkey")
+        .join(
+            t["orders"]
+            .filter(F.col("o_orderstatus") == "F")
+            .select("o_custkey", "o_orderkey"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+ORDER_COUNT_DIST_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderstatus = 'F'
+  GROUP BY 1
+)
+GROUP BY 1
+"""

@@ -157,6 +157,36 @@ REGISTRY: dict[str, Query] = {
         ("orders",),
         "A7 wide spelling: fixed-value pivot",
     ),
+    "late_sole_suppliers": Query(
+        analytics.late_sole_suppliers,
+        analytics.LATE_SOLE_SUPPLIERS_SQL,
+        ("lineitem", "orders", "supplier"),
+        "Q21 shape: EXISTS + NOT-EXISTS anti-join chain",
+    ),
+    "idle_rich_customers": Query(
+        analytics.idle_rich_customers,
+        analytics.IDLE_RICH_SQL,
+        ("customer", "orders"),
+        "Q22 shape: global scalar subquery + anti-join",
+    ),
+    "cheapest_supplier_per_nation": Query(
+        analytics.cheapest_supplier_per_nation,
+        analytics.CHEAPEST_SUPPLIER_SQL,
+        ("supplier", "nation"),
+        "Q2 shape: correlated MIN subquery join-back",
+    ),
+    "nation_revenue_share": Query(
+        analytics.nation_revenue_share,
+        analytics.NATION_REVENUE_SHARE_SQL,
+        ("lineitem", "supplier", "nation"),
+        "Q11 shape: HAVING vs global scalar aggregate",
+    ),
+    "order_count_distribution": Query(
+        analytics.order_count_distribution,
+        analytics.ORDER_COUNT_DIST_SQL,
+        ("customer", "orders"),
+        "Q13 shape: left-outer count distribution",
+    ),
     # --- scan / projection / nested / join families (SURVEY §2.1-2.4) ---
     "scan_offset_limit": Query(
         relational.scan_offset_limit,

@@ -57,8 +57,16 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
     # row / k centroids) — broadcast NLJ over O(1) rows is the standard
     # scalar-attach pattern, O(N·k), fine at any scale. copair_components
     # builds its plan per iteration (checkpointed) — covered by its own
-    # oracle test.
-    allowed = {"cosine_topk", "ivf_topk", "copair_components"}
+    # oracle test. idle_rich_customers / nation_revenue_share broadcast
+    # a ONE-ROW global aggregate (the scalar-subquery pattern — the same
+    # plan Spark produces for an uncorrelated scalar subquery): O(N·1).
+    allowed = {
+        "cosine_topk",
+        "ivf_topk",
+        "copair_components",
+        "idle_rich_customers",
+        "nation_revenue_share",
+    }
     offenders = {}
     for name in registry.REGISTRY:
         if name in allowed:
