@@ -530,3 +530,84 @@ LATERAL (
          ('source_not_blank', v5)
 ) AS u("check", v)
 """
+
+
+# --- token-budget sequence packing ------------------------------------------
+def pack_documents(t: Tables) -> DataFrame:
+    """Training-pipeline sequence packing: assign every document to a
+    fixed-capacity pack (2048 tokens) by cumulative token count, so a
+    downstream loader can concatenate each pack into one training
+    sequence. A document's pack is decided by its STARTING offset
+    (cumsum minus own length), so boundary-spanning docs land in the
+    pack where they begin.
+
+    Packing is inherently sequential, so it runs independently inside
+    8 hash buckets (doc_id % 8): each bucket's cumsum is a
+    partition-local window sort, never a global one — bucket count
+    scales with the cluster, and 2048 is a power of two so the
+    float division is exact in both engines."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        spread(t["documents"])
+        .select(
+            "doc_id",
+            F.pmod(F.col("doc_id"), F.lit(8)).alias("bucket"),
+            textops.token_count("text").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "pack_no",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
+            ),
+        )
+        .select("doc_id", "bucket", "n_tokens", "pack_no")
+    )
+
+
+PACK_DOCUMENTS_SQL = """
+WITH toks AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT doc_id, bucket, n_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+                   - n_tokens) / 2048.0) AS BIGINT) AS pack_no
+FROM toks
+"""
+
+
+# --- exact heavy-hitter tokens ----------------------------------------------
+def heavy_hitter_tokens(t: Tables) -> DataFrame:
+    """Exact heavy hitters over the corpus token stream: tokens covering
+    more than 1/200th of all tokens (vocabulary pruning / stopword
+    discovery). Two aggregations over one exploded scan; the global
+    total is a one-row scalar broadcast, and the threshold is
+    multiplied out (n * 200 > total) to stay in exact integers."""
+    toks = (
+        spread(t["documents"])
+        .select(F.explode(textops.tokens("text")).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = toks.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        counts
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * 200 > F.col("total"))
+        .select("tok", "n")
+    )
+
+
+HEAVY_HITTER_SQL = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+total AS (SELECT COUNT(*) AS total FROM toks)
+SELECT tok, n FROM counts CROSS JOIN total WHERE n * 200 > total
+"""

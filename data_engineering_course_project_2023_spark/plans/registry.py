@@ -382,6 +382,18 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "declarative data-quality gates, all rules in one scan",
     ),
+    "pack_documents": Query(
+        llmops.pack_documents,
+        llmops.PACK_DOCUMENTS_SQL,
+        ("documents",),
+        "token-budget sequence packing (bucketed cumsum window)",
+    ),
+    "heavy_hitter_tokens": Query(
+        llmops.heavy_hitter_tokens,
+        llmops.HEAVY_HITTER_SQL,
+        ("documents",),
+        "exact heavy-hitter tokens vs global scalar threshold",
+    ),
     "hash_sample_orders": Query(
         llmops.hash_sample_orders,
         llmops.HASH_SAMPLE_SQL,

@@ -66,6 +66,7 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "copair_components",
         "idle_rich_customers",
         "nation_revenue_share",
+        "heavy_hitter_tokens",
     }
     offenders = {}
     for name in registry.REGISTRY:
