@@ -125,3 +125,31 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         fingerprint_hex(text_col).alias("fp_hex"),
         fingerprint_int64(text_col).alias("fp_int"),
     )
+
+
+# PII redaction patterns, applied in this order (most-specific first so
+# the phone pattern can't swallow an SSN or IP before they're tagged).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("IPV4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b"),
+    ("PHONE", r"\+?\d[\d\s().-]{7,}\d"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Regex PII redaction (emails, SSNs, IPv4s, phone-ish digit runs)
+    — the scrubbing pass a training pipeline runs before tokenization.
+    Each pattern is counted on the progressively-redacted text (no
+    double counting), then replaced with its [TAG]. Pure codegen'd
+    regexp_count/regexp_replace chain — no UDF, scales linearly."""
+    redacted = F.col(text_col)
+    n_total = F.lit(0)
+    for tag, pat in PII_PATTERNS:
+        n_total = n_total + F.regexp_count(redacted, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, f"[{tag}]")
+    return df.withColumn(out_col, redacted).withColumn(
+        "n_redactions", n_total.cast("int")
+    )

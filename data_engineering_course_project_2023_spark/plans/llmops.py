@@ -611,3 +611,46 @@ counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
 total AS (SELECT COUNT(*) AS total FROM toks)
 SELECT tok, n FROM counts CROSS JOIN total WHERE n * 200 > total
 """
+
+
+# --- benchmark decontamination ----------------------------------------------
+def decontaminate_docs(t: Tables) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    8-gram with the held-out eval slice (source 'src0' stands in for
+    the benchmark set), reporting how many distinct 8-grams leak.
+
+    The eval side is benchmark-sized (tiny next to a training corpus),
+    so its distinct shingle set is broadcast; the training corpus is
+    streamed through one shingle explode + broadcast hash join — no
+    shuffle of the big side at any scale."""
+    docs = t["documents"]
+    eval_sh = (
+        dedup.shingles(docs.filter(F.col("source") == "src0"), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    train_sh = dedup.shingles(docs.filter(F.col("source") != "src0"), n=8)
+    return (
+        train_sh
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+DECONTAMINATE_SQL = """
+WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS w
+              FROM documents),
+idx AS (SELECT doc_id, source, w, unnest(range(1, len(w) - 6)) AS i
+        FROM toks WHERE len(w) >= 8),
+sh AS (SELECT DISTINCT doc_id, source,
+              w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+              || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6]
+              || ' ' || w[i+7] AS shingle
+       FROM idx),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+train_sh AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0')
+SELECT doc_id, COUNT(*) AS n_shared_shingles
+FROM train_sh JOIN eval_sh USING (shingle)
+GROUP BY 1
+"""

@@ -394,6 +394,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "exact heavy-hitter tokens vs global scalar threshold",
     ),
+    "decontaminate_docs": Query(
+        llmops.decontaminate_docs,
+        llmops.DECONTAMINATE_SQL,
+        ("documents",),
+        "benchmark decontamination: 8-gram leak vs broadcast eval set",
+    ),
     "hash_sample_orders": Query(
         llmops.hash_sample_orders,
         llmops.HASH_SAMPLE_SQL,
