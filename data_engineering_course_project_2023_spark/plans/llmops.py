@@ -654,3 +654,60 @@ SELECT doc_id, COUNT(*) AS n_shared_shingles
 FROM train_sh JOIN eval_sh USING (shingle)
 GROUP BY 1
 """
+
+
+# --- training-mixture resampling --------------------------------------------
+# Per-language mixture weights: >1 oversamples (integer copies plus a
+# hash-decided fractional copy), <1 downsamples. Deterministic by
+# content key — identical output across runs, re-shards, engines.
+MIXTURE_RATES = {"en": 0.5, "de": 2.0, "fr": 1.5, "es": 1.0, "zh": 0.25}
+
+
+def mixture_resample_docs(t: Tables) -> DataFrame:
+    """Training-data mixture resampling: emit floor(rate) copies of each
+    doc plus one more when its hash fraction falls under the fractional
+    remainder — the standard epoch-weighting trick (e.g. 1.5 epochs of
+    French). Map-side only: no shuffle, no UDF; the explode fans out
+    inside the scan stage. The hash fraction is an int/int division so
+    the double compares identically in both engines."""
+    rate = F.lit(None).cast("double")
+    for lang, r in MIXTURE_RATES.items():
+        rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1000000
+    ) / F.lit(1000000.0)
+    n_copies = (
+        F.floor(rate)
+        + F.when(frac < rate - F.floor(rate), F.lit(1)).otherwise(F.lit(0))
+    ).cast("int")
+    # sequence(1, 0) would count DOWN — guard the zero-copy case
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        spread(t["documents"])
+        .select("doc_id", "lang", F.explode(copies).alias("copy_no"))
+    )
+
+
+MIXTURE_RESAMPLE_SQL = """
+WITH r AS (
+  SELECT doc_id, lang,
+         CAST(CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 2.0
+                        WHEN 'fr' THEN 1.5 WHEN 'es' THEN 1.0
+                        ELSE 0.25 END AS DOUBLE) AS rate,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000000) / 1000000.0 AS frac
+  FROM documents
+), n AS (
+  SELECT doc_id, lang,
+         CAST(FLOOR(rate)
+              + CASE WHEN frac < rate - FLOOR(rate) THEN 1 ELSE 0 END
+              AS INTEGER) AS n_copies
+  FROM r
+)
+SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INTEGER)
+         AS copy_no
+FROM n WHERE n_copies >= 1
+"""

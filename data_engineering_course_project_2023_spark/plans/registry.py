@@ -400,6 +400,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "benchmark decontamination: 8-gram leak vs broadcast eval set",
     ),
+    "mixture_resample_docs": Query(
+        llmops.mixture_resample_docs,
+        llmops.MIXTURE_RESAMPLE_SQL,
+        ("documents",),
+        "training-mixture resampling: deterministic epoch weighting",
+    ),
     "hash_sample_orders": Query(
         llmops.hash_sample_orders,
         llmops.HASH_SAMPLE_SQL,

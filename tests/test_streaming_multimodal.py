@@ -197,3 +197,107 @@ def test_stateful_stream_equals_batch(spark, tmp_path):
             got[r["user_id"]] = (r["n_events"], r["total_value"])
     assert got == batch
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bus_envelope_stream_twin(spark, tmp_path):
+    """Message-bus seam (streaming/bus.py): JSONL topic files →
+    Kafka-shaped envelopes → decode_json_values → the SAME oracle-gated
+    daily transform == the batch result. Switching this to the real
+    Kafka backend changes only the envelope constructor."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_engineering_course_project_2023_spark.plans import eventstream
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.streaming import bus
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    topic_root = str(tmp_path / "topics")
+    # serialize ts as a plain string so the JSON roundtrip is exact
+    (
+        events.select(
+            F.to_json(
+                F.struct(
+                    "event_id",
+                    F.col("ts").cast("string").alias("ts"),
+                    "user_id",
+                    "event_type",
+                    "value",
+                )
+            ).alias("value")
+        ).write.text(f"{topic_root}/events")
+    )
+
+    batch = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in eventstream.daily_counts_transform(events).collect()
+    }
+
+    value_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    decoded = bus.decode_json_values(
+        bus.file_topic_envelopes(spark, topic_root, "events"), value_schema
+    ).withColumn("ts", F.to_timestamp("ts"))
+    assert decoded.isStreaming
+
+    agg = eventstream.daily_counts_transform(
+        decoded.withWatermark("ts", "1 hour")
+    )
+    ckpt = str(tmp_path / "bus_ckpt")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("bus_daily")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM bus_daily").collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bus_decode_dead_letters_bad_json(spark, tmp_path):
+    """Unparseable bus messages keep their envelope with a null payload
+    (dead-letter routing) — never silently dropped."""
+    from pyspark.sql import types as T
+
+    from data_engineering_course_project_2023_spark.streaming import bus
+
+    topic_root = str(tmp_path / "topics")
+    d = tmp_path / "topics" / "raw"
+    d.mkdir(parents=True)
+    (d / "part-0.txt").write_text('{"a": 1}\nnot json at all\n{"a": 3}\n')
+
+    schema = T.StructType([T.StructField("a", T.LongType())])
+    decoded = bus.decode_json_values(
+        bus.file_topic_envelopes(spark, topic_root, "raw"), schema
+    )
+    ckpt = str(tmp_path / "dl_ckpt")
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bus_raw")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM bus_raw").collect()
+    assert len(rows) == 3
+    good = sorted(r["a"] for r in rows if not r["is_dead"])
+    dead = [r for r in rows if r["is_dead"]]
+    assert good == [1, 3] and len(dead) == 1
