@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_tables
-from . import analytics, approx, arxiv_clean, eventstream, llmops, relational
+from . import analytics, approx, arxiv_clean, classic, eventstream, llmops, relational
 
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -491,6 +491,61 @@ REGISTRY: dict[str, Query] = {
         llmops.EMBEDDING_NEARDUP_SQL,
         ("embeddings",),
         "X2d embedding-cosine near-dup (label-blocked exact pairs)",
+    ),
+    # --- remaining classic decision-support shapes (plans/classic.py) ---
+    "discount_forecast": Query(
+        classic.discount_forecast,
+        classic.DISCOUNT_FORECAST_SQL,
+        ("lineitem",),
+        "Q6 selective single-pass forecast (full predicate pushdown)",
+    ),
+    "market_share": Query(
+        classic.market_share,
+        classic.MARKET_SHARE_SQL,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region"),
+        "Q8 conditional-share aggregation per year",
+    ),
+    "nation_profit": Query(
+        classic.nation_profit,
+        classic.NATION_PROFIT_SQL,
+        ("lineitem", "part", "supplier", "nation"),
+        "Q9 product-line profit by nation × ship year",
+    ),
+    "returned_item_losses": Query(
+        classic.returned_item_losses,
+        classic.RETURNED_ITEM_SQL,
+        ("lineitem", "orders", "customer", "nation"),
+        "Q10 top-20 returned-revenue customers with dimension context",
+    ),
+    "promo_revenue_pct": Query(
+        classic.promo_revenue_pct,
+        classic.PROMO_REVENUE_SQL,
+        ("lineitem", "part"),
+        "Q14 promo revenue share",
+    ),
+    "top_quarter_supplier": Query(
+        classic.top_quarter_supplier,
+        classic.TOP_QUARTER_SUPPLIER_SQL,
+        ("lineitem", "supplier"),
+        "Q15 scalar-max join-back (top supplier)",
+    ),
+    "part_supplier_breadth": Query(
+        classic.part_supplier_breadth,
+        classic.PART_SUPPLIER_BREADTH_SQL,
+        ("lineitem", "part"),
+        "Q16 distinct-supplier breadth per part descriptor",
+    ),
+    "brand_bulk_revenue": Query(
+        classic.brand_bulk_revenue,
+        classic.BRAND_BULK_SQL,
+        ("lineitem", "part"),
+        "Q19 disjunctive predicate revenue",
+    ),
+    "bulk_red_suppliers": Query(
+        classic.bulk_red_suppliers,
+        classic.BULK_RED_SUPPLIERS_SQL,
+        ("lineitem", "part", "supplier", "nation"),
+        "Q20 nested semi-join qualification",
     ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
