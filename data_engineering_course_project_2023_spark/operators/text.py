@@ -111,6 +111,56 @@ def fingerprint_int64(c: Column | str) -> Column:
     return F.conv(F.substring(fingerprint_hex(c), 1, 15), 16, 10).cast("long")
 
 
+ROLL_BASE = 1000003  # polynomial base (prime, > any 28-bit token hash gap)
+ROLL_MOD = 2147483647  # 2^31 - 1: keeps acc*base + tok within BIGINT under ANSI
+
+
+def rolling_fingerprint(c: Column | str) -> Column:
+    """Order-sensitive polynomial rolling hash over whitespace tokens:
+    fp = fold(tokens, 0, (acc, t) -> (acc * BASE + h28(t)) mod M) with
+    h28 = first 7 md5 hex digits. Unlike ``fingerprint_hex`` (whole-doc
+    md5), this is incremental — the same fold extends to streamed chunks
+    or windowed shingles — and stays in exact BIGINT arithmetic, so it
+    never overflows under ANSI mode and agrees bit-for-bit with the
+    DuckDB ``list_reduce`` oracle."""
+    tok_h = lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("long")
+    return F.aggregate(
+        tokens(c),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(ROLL_BASE) + tok_h(x)) % F.lit(ROLL_MOD),
+    )
+
+
+def trigrams(c: Column | str) -> Column:
+    """Word 3-grams as space-joined strings; [] for docs under 3 tokens
+    (guarded — sequence(1, n<1) would count DOWN)."""
+    toks = tokens(c)
+    n = F.size(toks)
+    make = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    return F.when(n >= 3, make).otherwise(F.array().cast("array<string>"))
+
+
+def dup_trigram_ratio(c: Column | str) -> Column:
+    """Gopher-style repetition signal: fraction of word trigrams that
+    are repeats of an earlier trigram in the same document. int/int
+    division → bit-deterministic double."""
+    tri = trigrams(c)
+    n_tri = F.size(tri)
+    n_uniq = F.size(F.array_distinct(tri))
+    return F.when(
+        n_tri > 0,
+        (n_tri - n_uniq).cast("double") / n_tri.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Full per-document stats frame: one narrow scan, all expressions."""
     return spread(df).select(

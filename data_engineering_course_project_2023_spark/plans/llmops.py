@@ -711,3 +711,81 @@ SELECT doc_id, lang, CAST(unnest(range(1, n_copies + 1)) AS INTEGER)
          AS copy_no
 FROM n WHERE n_copies >= 1
 """
+
+
+# --- X4c: rolling-hash document fingerprints -----------------------------
+def doc_fingerprints(t: Tables) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprint per document (the
+    incremental complement to the whole-doc md5 in ``text_quality``),
+    plus a 64-way shard id — the partition key a 100 TB dedup/join would
+    bucket on. Pure Column expressions at scan speed; the DuckDB twin
+    folds the identical polynomial with list_reduce."""
+    fp = textops.rolling_fingerprint("text")
+    return (
+        spread(t["documents"])
+        .select(
+            "doc_id",
+            textops.token_count("text").cast("bigint").alias("n_tokens"),
+            fp.alias("fp"),
+            (fp % 64).alias("shard"),
+        )
+    )
+
+
+DOC_FINGERPRINTS_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), hashed AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(toks,
+               x -> CAST(('0x' || substr(md5(x), 1, 7)) AS BIGINT))),
+           (a, b) -> (a * 1000003 + b) % 2147483647) AS fp
+  FROM base
+)
+SELECT doc_id, n_tokens, fp, fp % 64 AS shard
+FROM hashed
+"""
+
+
+# --- X4d: within-document repetition (dup-trigram ratio) -----------------
+def doc_repetition(t: Tables) -> DataFrame:
+    """Repetition quality signal per document: total vs distinct word
+    trigrams and the duplicate fraction (the Gopher/C4-family gate for
+    boilerplate and looped text). All array expressions — no explode, no
+    shuffle; at scale this is a pure map over the scan."""
+    tri = textops.trigrams("text")
+    return (
+        spread(t["documents"])
+        .select(
+            "doc_id",
+            F.size(tri).cast("bigint").alias("n_trigrams"),
+            F.size(F.array_distinct(tri)).cast("bigint").alias("n_distinct"),
+            textops.dup_trigram_ratio("text").alias("dup_ratio"),
+        )
+    )
+
+
+DOC_REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), tri AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tgs
+  FROM base
+)
+SELECT doc_id,
+       len(tgs) AS n_trigrams,
+       len(list_distinct(tgs)) AS n_distinct,
+       CASE WHEN len(tgs) > 0
+            THEN CAST(len(tgs) - len(list_distinct(tgs)) AS DOUBLE)
+                 / CAST(len(tgs) AS DOUBLE)
+            ELSE 0.0 END AS dup_ratio
+FROM tri
+"""

@@ -492,6 +492,18 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X2d embedding-cosine near-dup (label-blocked exact pairs)",
     ),
+    "doc_fingerprints": Query(
+        llmops.doc_fingerprints,
+        llmops.DOC_FINGERPRINTS_SQL,
+        ("documents",),
+        "X4c order-sensitive rolling-hash fingerprint + shard key",
+    ),
+    "doc_repetition": Query(
+        llmops.doc_repetition,
+        llmops.DOC_REPETITION_SQL,
+        ("documents",),
+        "X4d dup-trigram repetition quality signal",
+    ),
     # --- remaining classic decision-support shapes (plans/classic.py) ---
     "discount_forecast": Query(
         classic.discount_forecast,

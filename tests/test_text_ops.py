@@ -41,3 +41,60 @@ def test_redact_pii_multiple_hits_one_doc(spark):
     row = redact_pii(df).collect()[0]
     assert row["redacted"] == "[EMAIL] or [EMAIL], host [IPV4]"
     assert row["n_redactions"] == 3
+
+
+def test_rolling_fingerprint_order_sensitive_and_empty_safe(spark):
+    from data_engineering_course_project_2023_spark.operators.text import (
+        rolling_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "world hello"),  # same tokens, different order
+            (3, "hello world"),  # exact copy of doc 1
+            (4, ""),
+            (5, "   "),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["fp"]
+        for r in df.select("doc_id", rolling_fingerprint("text").alias("fp")).collect()
+    }
+    assert out[1] == out[3]  # identical text → identical fingerprint
+    assert out[1] != out[2]  # order matters (unlike a bag-of-words hash)
+    assert out[4] == 0 and out[5] == 0  # empty fold = seed
+    assert all(0 <= v < 2147483647 for v in out.values())
+
+
+def test_dup_trigram_ratio_bounds(spark):
+    from data_engineering_course_project_2023_spark.operators.text import (
+        dup_trigram_ratio,
+        trigrams,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # heavy repetition
+            (2, "one two three four five"),  # all distinct
+            (3, "too short"),  # < 3 tokens → no trigrams
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.size(trigrams("text")).alias("n_tri"),
+            dup_trigram_ratio("text").alias("ratio"),
+        ).collect()
+    }
+    # 9 tokens → 7 trigrams, only 3 distinct ("a b c","b c a","c a b")
+    assert rows[1]["n_tri"] == 7
+    assert abs(rows[1]["ratio"] - 4 / 7) < 1e-12
+    assert rows[2]["ratio"] == 0.0
+    assert rows[3]["n_tri"] == 0 and rows[3]["ratio"] == 0.0
+    assert rows[4]["n_tri"] == 0 and rows[4]["ratio"] == 0.0
