@@ -290,3 +290,88 @@ FROM purchases p JOIN clicks c USING (user_id)
 WHERE abs(CAST(floor(epoch(p_ts)) AS BIGINT)
           - CAST(floor(epoch(c_ts)) AS BIGINT)) <= 600
 """
+
+
+# --- sequential conversion funnel ----------------------------------------
+def conversion_funnel(t: Tables) -> DataFrame:
+    """Strict-order funnel view → click → purchase per user: each stage
+    keeps the EARLIEST event strictly after the user's previous-stage
+    timestamp and within a 24 h conversion window, so out-of-order or
+    stale histories don't convert.
+
+    Spelled as a join chain that reuses one partitioning: every stage
+    joins and aggregates on user_id, so a cluster shuffles the events
+    once and every subsequent stage is co-partitioned (AQE coalesces the
+    already-tiny stage frames to broadcast). Stage frames shrink
+    monotonically — the expensive side is always the first scan, which
+    arrives pruned to (user_id, event_type, ts)."""
+    ev = t["events"].select("user_id", "event_type", "ts")
+
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    n_view = first_view.agg(F.count(F.lit(1)).alias("n_view"))
+    n_click = first_click.agg(F.count(F.lit(1)).alias("n_click"))
+    n_purchase = first_purchase.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        n_view.crossJoin(F.broadcast(n_click))
+        .crossJoin(F.broadcast(n_purchase))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            # int/int division → bit-deterministic doubles cross-engine
+            (F.col("n_click").cast("double") / F.col("n_view").cast("double"))
+            .alias("view_to_click"),
+            (F.col("n_purchase").cast("double")
+             / F.col("n_click").cast("double")).alias("click_to_purchase"),
+        )
+    )
+
+
+CONVERSION_FUNNEL_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), fc AS (
+  SELECT e.user_id, MIN(ts) AS t_click
+  FROM events e JOIN fv USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+    AND ts <= t_view + INTERVAL '24 hours' GROUP BY 1
+), fp AS (
+  SELECT e.user_id, MIN(ts) AS t_purchase
+  FROM events e JOIN fc USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+    AND ts <= t_click + INTERVAL '24 hours' GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM fv) AS n_view,
+       (SELECT COUNT(*) FROM fc) AS n_click,
+       (SELECT COUNT(*) FROM fp) AS n_purchase,
+       CAST((SELECT COUNT(*) FROM fc) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM fv) AS DOUBLE) AS view_to_click,
+       CAST((SELECT COUNT(*) FROM fp) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM fc) AS DOUBLE) AS click_to_purchase
+"""

@@ -492,6 +492,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X2d embedding-cosine near-dup (label-blocked exact pairs)",
     ),
+    "conversion_funnel": Query(
+        eventstream.conversion_funnel,
+        eventstream.CONVERSION_FUNNEL_SQL,
+        ("events",),
+        "strict-order view→click→purchase funnel with conversion rates",
+    ),
     "doc_fingerprints": Query(
         llmops.doc_fingerprints,
         llmops.DOC_FINGERPRINTS_SQL,
