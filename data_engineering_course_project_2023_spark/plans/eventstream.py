@@ -333,22 +333,31 @@ def conversion_funnel(t: Tables) -> DataFrame:
         .agg(F.min("ts").alias("t_purchase"))
     )
 
-    n_view = first_view.agg(F.count(F.lit(1)).alias("n_view"))
-    n_click = first_click.agg(F.count(F.lit(1)).alias("n_click"))
-    n_purchase = first_purchase.agg(F.count(F.lit(1)).alias("n_purchase"))
-    return (
-        n_view.crossJoin(F.broadcast(n_click))
-        .crossJoin(F.broadcast(n_purchase))
-        .select(
-            "n_view",
-            "n_click",
-            "n_purchase",
-            # int/int division → bit-deterministic doubles cross-engine
-            (F.col("n_click").cast("double") / F.col("n_view").cast("double"))
-            .alias("view_to_click"),
-            (F.col("n_purchase").cast("double")
-             / F.col("n_click").cast("double")).alias("click_to_purchase"),
-        )
+    # One tagged union + a single-row conditional aggregate: no scalar
+    # crossJoins (which would plan broadcast NLJs — harmless over one
+    # row, but the sweep in test_plans.py bans the operator outright).
+    def tag(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(F.lit(stage).alias("stage"))
+
+    stages = (
+        tag(first_view, "view")
+        .unionByName(tag(first_click, "click"))
+        .unionByName(tag(first_purchase, "purchase"))
+    )
+    counted = stages.agg(
+        F.count(F.when(F.col("stage") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("stage") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("stage") == "purchase", 1)).alias("n_purchase"),
+    )
+    return counted.select(
+        "n_view",
+        "n_click",
+        "n_purchase",
+        # int/int division → bit-deterministic doubles cross-engine
+        (F.col("n_click").cast("double") / F.col("n_view").cast("double"))
+        .alias("view_to_click"),
+        (F.col("n_purchase").cast("double")
+         / F.col("n_click").cast("double")).alias("click_to_purchase"),
     )
 
 
