@@ -789,3 +789,71 @@ SELECT doc_id,
             ELSE 0.0 END AS dup_ratio
 FROM tri
 """
+
+
+# --- X3d: int8 embedding quantization ------------------------------------
+def embedding_quantize(t: Tables) -> DataFrame:
+    """Scalar int8 quantization of the embedding column: per-dimension
+    global [min, max] → codes in [-128, 127]. The 4× compression that
+    makes billion-vector ANN fit in executor memory; IVF/LSH probe over
+    codes, exact rerank over the float column.
+
+    Two aggregation passes, both cheap at scale: the stats frame is
+    dimension-cardinality (tiny → broadcast back onto the exploded
+    elements as an equi-join on pos, never a cross join); reassembly
+    groups by vec_id with an order-pinned collect. All code math is
+    floor over identical doubles (float→double widening is exact), so
+    the integer codes match DuckDB bit-for-bit — no rounding-mode trap
+    (round() HALF_UP vs half-even WOULD flip codes; floor cannot)."""
+    ex = (
+        spread(t["embeddings"])
+        .select("vec_id", F.posexplode("embedding").alias("pos", "xf"))
+        .select("vec_id", "pos", F.col("xf").cast("double").alias("x"))
+    )
+    stats = ex.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    code = (
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("x") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn")) * 256
+                ).cast("int"),
+                F.lit(255),
+            )
+        )
+        - 128
+    )
+    return (
+        ex.join(F.broadcast(stats), "pos")
+        .select("vec_id", "pos", code.alias("code"))
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "code"))),
+                lambda s: s.code,
+            ).alias("codes")
+        )
+        .select("vec_id", F.size("codes").alias("n_dims"), "codes")
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH ex AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i + 1] AS DOUBLE) AS x
+  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+), stats AS (
+  SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM ex GROUP BY 1
+), coded AS (
+  SELECT vec_id, pos,
+         (CASE WHEN mx = mn THEN 0
+               ELSE LEAST(CAST(FLOOR((x - mn) / (mx - mn) * 256) AS INTEGER),
+                          255) END) - 128 AS code
+  FROM ex JOIN stats USING (pos)
+)
+SELECT vec_id,
+       CAST(COUNT(*) AS INTEGER) AS n_dims,
+       list(code ORDER BY pos) AS codes
+FROM coded
+GROUP BY vec_id
+"""

@@ -492,6 +492,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X2d embedding-cosine near-dup (label-blocked exact pairs)",
     ),
+    "embedding_quantize": Query(
+        llmops.embedding_quantize,
+        llmops.EMBEDDING_QUANTIZE_SQL,
+        ("embeddings",),
+        "X3d int8 scalar quantization (per-dim min/max codes)",
+    ),
     "conversion_funnel": Query(
         eventstream.conversion_funnel,
         eventstream.CONVERSION_FUNNEL_SQL,
