@@ -857,3 +857,64 @@ SELECT vec_id,
 FROM coded
 GROUP BY vec_id
 """
+
+
+# --- X2e: chunk-level exact-substring dedup ------------------------------
+CHUNK_TOKENS = 32
+
+
+def chunk_dedup_spans(t: Tables) -> DataFrame:
+    """Cross-document duplicated spans at 32-token-chunk granularity —
+    the shuffle-friendly stand-in for suffix-array exact-substring dedup
+    (a chunk shared verbatim by two corpora IS a ≥32-token repeated
+    substring; boundary-straddling repeats need a second stride, same
+    plan shape). Chunks build as array slices (no explode until chunk
+    level, so fan-out is n_tokens/32 not n_tokens), hash with md5, and
+    one groupBy on the hash finds every cross-doc repeat. At 100 TB the
+    group key is a 128-bit hash — uniform, no skew — and the output is
+    only the duplicated tail of the distribution."""
+    toks = textops.tokens("text")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    chunks = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        spread(t["documents"])
+        .select("doc_id", F.explode(chunks).alias("chunk_txt"))
+        .select("doc_id", F.md5("chunk_txt").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+CHUNK_DEDUP_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id, md5(c) AS chunk_hash
+  FROM base,
+       unnest(list_transform(
+         range(0, CAST(ceil(len(toks) / 32) AS INTEGER)),
+         i -> array_to_string(toks[i*32+1 : (i+1)*32], ' '))) AS t(c)
+)
+SELECT chunk_hash,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM ch
+GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""

@@ -492,6 +492,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X2d embedding-cosine near-dup (label-blocked exact pairs)",
     ),
+    "chunk_dedup_spans": Query(
+        llmops.chunk_dedup_spans,
+        llmops.CHUNK_DEDUP_SQL,
+        ("documents",),
+        "X2e chunk-granular exact-substring dedup (32-token spans)",
+    ),
     "embedding_quantize": Query(
         llmops.embedding_quantize,
         llmops.EMBEDDING_QUANTIZE_SQL,
