@@ -98,3 +98,29 @@ def test_dup_trigram_ratio_bounds(spark):
     assert rows[2]["ratio"] == 0.0
     assert rows[3]["n_tri"] == 0 and rows[3]["ratio"] == 0.0
     assert rows[4]["n_tri"] == 0 and rows[4]["ratio"] == 0.0
+
+
+def test_chunk_dedup_detects_verbatim_block_only(spark):
+    """A 32-token block copied verbatim into another doc is flagged;
+    a shared run shorter than one chunk is not (chunk granularity is
+    the documented contract — finer repeats need a second stride)."""
+    from data_engineering_course_project_2023_spark.plans.llmops import (
+        chunk_dedup_spans,
+    )
+
+    block = " ".join(f"tok{i}" for i in range(32))
+    short = " ".join(f"sh{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, block + " " + " ".join(f"a{i}" for i in range(32))),
+            (2, block + " " + " ".join(f"b{i}" for i in range(32))),
+            (3, short + " " + " ".join(f"c{i}" for i in range(24))),
+            (4, short + " " + " ".join(f"d{i}" for i in range(24))),
+        ],
+        "doc_id long, text string",
+    )
+    out = chunk_dedup_spans({"documents": docs}).collect()
+    # exactly one duplicated chunk: the aligned 32-token block in docs 1+2
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_docs"] == 2 and row["n_copies"] == 2 and row["first_doc"] == 1
