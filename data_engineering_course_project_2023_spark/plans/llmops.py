@@ -254,8 +254,9 @@ LIMIT 10
 
 
 def ann_lsh_topk(t: Tables) -> DataFrame:
-    """X3 scale path: sign-random-projection bucket, exact rerank inside
-    the query's bucket."""
+    """X3 scale path: sign-random-projection buckets with multi-probe
+    (exact bucket + hamming-1 neighbors), exact rerank inside the probed
+    set. Recall 0.8 vs brute force on the fixture (pinned in pytest)."""
     return similarity.lsh_topk(t["embeddings"], query_vec_id=0, k=10)
 
 
@@ -278,17 +279,22 @@ def _bucket_sql() -> str:
     return "CAST(" + " + ".join(bits) + " AS INTEGER)"
 
 
+_PROBE_MASKS_SQL = ", ".join(f"({m})" for m in similarity.PROBE_MASKS)
+
 ANN_LSH_SQL = f"""
 WITH bucketed AS (
   SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM embeddings
 ), q AS (
   SELECT embedding AS qv, bucket AS qbucket FROM bucketed WHERE vec_id = 0
+), probes AS (
+  SELECT qv, xor(qbucket, m.mask) AS bucket
+  FROM q, (VALUES {_PROBE_MASKS_SQL}) m(mask)
 )
 SELECT vec_id,
        ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                     CAST(qv AS DOUBLE[])), 6) AS cos_sim
-FROM bucketed, q
-WHERE vec_id <> 0 AND bucket = qbucket
+FROM bucketed JOIN probes USING (bucket)
+WHERE vec_id <> 0
 ORDER BY cos_sim DESC, vec_id ASC
 LIMIT 10
 """

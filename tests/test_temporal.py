@@ -117,3 +117,24 @@ def test_ivf_recall_vs_brute_force(spark):
         for r in similarity.ivf_topk(emb, query_vec_id=0, k=10).collect()
     ]
     assert ivf == ivf2
+
+
+def test_ann_multiprobe_recall_vs_brute_force(spark):
+    """Multi-probe LSH (exact bucket + hamming-1 neighbors, 4 of 8
+    buckets) must recover >=0.7 of the exact top-10 — the r1
+    single-bucket probe sat at 0.2 on this near-random fixture."""
+    from data_engineering_course_project_2023_spark.operators import similarity
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    ann = [
+        r["vec_id"]
+        for r in similarity.lsh_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    assert len(ann) == 10
+    recall = len(set(exact) & set(ann)) / 10
+    assert recall >= 0.7, f"recall {recall}"
