@@ -68,7 +68,12 @@ def clean_text(c: Column | str) -> Column:
     matching the reference's Python ``re`` semantics, where \\s is
     Unicode by default. Collapsing first turns any edge whitespace into
     ASCII spaces, so the plain trim finishes the job. (Found by the
-    hypothesis property test.)"""
+    hypothesis property test.)
+
+    DuckDB oracles use the RE2 class [\\s\\p{Z}\\x{85}\\x{0B}]+, which
+    covers the same White_Space set ((?U)\\s) — RE2's bare \\s is
+    ASCII-only, which would silently disagree on NBSP/U+2000-class
+    input (pinned by the unicode parity test)."""
     col = F.col(c) if isinstance(c, str) else c
     return F.trim(F.regexp_replace(col, r"(?U)\s+", " "))
 

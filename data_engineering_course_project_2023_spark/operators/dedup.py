@@ -102,6 +102,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = 1000,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """X2a: exact n-gram Jaccard similarity join via inverted index.
 
@@ -109,6 +110,16 @@ def ngram_jaccard_pairs(
     exclusion; jaccard = |A∩B| / (|A|+|B|-|A∩B|) — int/int division,
     engine-deterministic. ``max_df`` drops ubiquitous shingles (skew +
     noise control at scale, like CountVectorizer's maxDF).
+
+    The shingle frame feeds sizes + BOTH self-join sides. With
+    ``stage_dir`` set (the 100 TB path) it is written once to parquet
+    and re-read, so every consumer scans the durable stage and no
+    executor storage is pinned. Without it, the two self-join sides
+    share one shuffle via ReusedExchange and tokenization reruns only
+    for the small ``sizes`` aggregate — the r1 ``persist()`` here
+    leaked cached partitions for the session lifetime (never
+    unpersisted, re-cached per invocation) and would be a memory cliff
+    at scale; staging is the explicit alternative, not a cache.
     """
     sh = shingles(df, text_col, id_col, n)
     if max_df is not None:
@@ -117,10 +128,9 @@ def ngram_jaccard_pairs(
             sh.join(F.broadcast(df_counts.filter(F.col("df") > max_df)),
                     "shingle", "left_anti")
         )
-    # the shingle frame feeds sizes + BOTH self-join sides: persist it so
-    # tokenization/md5 runs once (at cluster scale: a checkpoint/bucketed
-    # staging table plays this role)
-    sh = sh.persist()
+    if stage_dir is not None:
+        sh.write.mode("overwrite").parquet(stage_dir)
+        sh = df.sparkSession.read.parquet(stage_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -253,7 +253,7 @@ SELECT sha256(id || '|' || doi) AS id,
        COALESCE(array_to_string(COALESCE(author_names, []), '; '), '') AS authors_csv,
        CAST(len(COALESCE(author_names, [])) AS INTEGER) AS n_authors,
        title,
-       trim(regexp_replace(comments, '\s+', ' ', 'g')) AS comments,
+       trim(regexp_replace(comments, '[\s\p{{Z}}\x{{85}}\x{{0B}}]+', ' ', 'g')) AS comments,
        COALESCE(journal_ref, 'Unknown') AS journal_ref,
        COALESCE(doi, 'Unknown') AS doi,
        array_to_string(cat_tokens, ' ') AS categories,

@@ -170,9 +170,11 @@ FROM events GROUP BY 1
 def session_window_counts(t: Tables) -> DataFrame:
     """Native session windows (gap-merged, 30 min) — Spark's built-in
     stateful-session operator in its batch form, checked against the
-    same portable lag/cumsum oracle as :func:`sessionize`. The two
-    definitions agree except on exact-gap boundaries (measure-zero with
-    microsecond timestamps)."""
+    same portable lag/cumsum oracle as :func:`sessionize`. Exact-gap
+    boundary: Spark's session_window MERGES an event landing exactly at
+    prev + 30 min (verified empirically; window end = last event +
+    gap, closed), which is precisely the oracle's ``diff > 1800`` rule
+    — a fixture row at the exact boundary pins this in pytest."""
     per_session = (
         t["events"]
         .groupBy(

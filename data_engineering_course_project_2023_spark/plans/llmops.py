@@ -675,8 +675,13 @@ def mixture_resample_docs(t: Tables) -> DataFrame:
     remainder — the standard epoch-weighting trick (e.g. 1.5 epochs of
     French). Map-side only: no shuffle, no UDF; the explode fans out
     inside the scan stage. The hash fraction is an int/int division so
-    the double compares identically in both engines."""
-    rate = F.lit(None).cast("double")
+    the double compares identically in both engines.
+
+    Langs outside MIXTURE_RATES (and NULL lang) get the explicit default
+    rate 0.25 — mirroring the oracle's CASE ... ELSE 0.25; the r1 chain
+    left them NULL, silently dropping such docs while the oracle copied
+    them (latent divergence masked by the all-mapped fixture)."""
+    rate = F.lit(0.25)
     for lang, r in MIXTURE_RATES.items():
         rate = F.when(F.col("lang") == lang, F.lit(float(r))).otherwise(rate)
     frac = (

@@ -208,8 +208,8 @@ WITH messy AS (
   FROM documents
 )
 SELECT doc_id,
-       trim(regexp_replace(m, '\s+', ' ', 'g')) AS clean,
-       CAST(length(trim(regexp_replace(m, '\s+', ' ', 'g'))) AS INTEGER)
+       trim(regexp_replace(m, '[\s\p{Z}\x{85}\x{0B}]+', ' ', 'g')) AS clean,
+       CAST(length(trim(regexp_replace(m, '[\s\p{Z}\x{85}\x{0B}]+', ' ', 'g'))) AS INTEGER)
          AS clean_len
 FROM messy
 """

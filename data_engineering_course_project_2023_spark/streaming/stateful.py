@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,8 +57,11 @@ def _update_user_state(
         n, total = 0, 0.0
     for pdf in pdfs:
         n += len(pdf)
-        # sum cents as ints: deterministic regardless of batch order
-        total += int(pdf["value"].mul(100).round().sum())
+        # sum cents as ints: deterministic regardless of batch order.
+        # Round HALF_UP away from zero like the batch twin's F.round —
+        # pandas .round() is half-even, which flips exact-.5 cents.
+        cents = pdf["value"].mul(100)
+        total += int(np.copysign(np.floor(cents.abs() + 0.5), cents).sum())
     state.update((n, float(total)))
     yield pd.DataFrame(
         {

@@ -138,3 +138,44 @@ def test_ann_multiprobe_recall_vs_brute_force(spark):
     assert len(ann) == 10
     recall = len(set(exact) & set(ann)) / 10
     assert recall >= 0.7, f"recall {recall}"
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin the exact-gap semantics: an event landing exactly at
+    prev + 30 min MERGES into the session under Spark's native
+    session_window — the same rule as the lag/cumsum oracle's
+    ``diff > 1800`` (strictly-greater starts a new session). A genuine
+    boundary row here makes any future engine/oracle drift fail loudly
+    instead of depending on fixture luck."""
+    import duckdb
+
+    from data_engineering_course_project_2023_spark.plans import eventstream
+
+    rows = [
+        # user 1: 0s, exactly +1800s, then +1799s more → ONE session of 3
+        (1, 1, _ts("2024-01-01 00:00:00")),
+        (2, 1, _ts("2024-01-01 00:30:00")),
+        (3, 1, _ts("2024-01-01 00:59:59")),
+        # user 2: gap of 1801s → TWO sessions
+        (4, 2, _ts("2024-01-01 00:00:00")),
+        (5, 2, _ts("2024-01-01 00:30:01")),
+    ]
+    sdf = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in eventstream.session_window_counts({"events": sdf}).collect()
+    }
+    assert got == {(1, 1, 3), (2, 2, 2)}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({e}, {u}, TIMESTAMP '{t}')" for e, u, t in rows
+        )
+        + ") v(event_id, user_id, ts)"
+    )
+    oracle = {
+        tuple(r) for r in con.execute(eventstream.SESSION_WINDOW_SQL).fetchall()
+    }
+    assert oracle == got

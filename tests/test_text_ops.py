@@ -124,3 +124,98 @@ def test_chunk_dedup_detects_verbatim_block_only(spark):
     assert len(out) == 1
     row = out[0]
     assert row["n_docs"] == 2 and row["n_copies"] == 2 and row["first_doc"] == 1
+
+
+def test_clean_text_unicode_whitespace_matches_oracle(spark):
+    """Spark's (?U)\\s+ collapse and the DuckDB oracle class
+    [\\s\\p{Z}\\x{85}\\x{0B}]+ must agree on every White_Space
+    codepoint — RE2's bare \\s is ASCII-only, so an un-widened oracle
+    would silently diverge on NBSP / U+2000-class input (ADVICE r1)."""
+    import duckdb
+
+    from data_engineering_course_project_2023_spark.functions.expr import clean_text
+
+    ws_cps = [0x09, 0x0A, 0x0B, 0x0C, 0x0D, 0x20, 0x85, 0xA0, 0x1680,
+              0x2000, 0x2005, 0x200A, 0x2028, 0x2029, 0x202F, 0x205F, 0x3000]
+    rows = [(cp, f"a{chr(cp)}b{chr(cp)}{chr(cp)}c") for cp in ws_cps]
+    sdf = spark.createDataFrame(rows, "cp int, text string")
+    got = {
+        r["cp"]: r["clean"]
+        for r in sdf.select("cp", clean_text("text").alias("clean")).collect()
+    }
+    con = duckdb.connect()
+    oracle = {
+        cp: con.execute(
+            r"SELECT trim(regexp_replace(?, '[\s\p{Z}\x{85}\x{0B}]+', ' ', 'g'))",
+            [text],
+        ).fetchone()[0]
+        for cp, text in rows
+    }
+    assert got == oracle
+    assert set(got.values()) == {"a b c"}
+
+
+def test_ngram_jaccard_staged_matches_default(spark, tmp_path):
+    """The parquet staging path (the 100 TB substitute for the r1
+    session-lifetime persist) must return identical pairs, and its plan
+    must actually scan the staged files rather than re-deriving the
+    shingle frame."""
+    from data_engineering_course_project_2023_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    stage = str(tmp_path / "shingle_stage")
+    default = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    staged_df = ngram_jaccard_pairs(docs, threshold=0.5, stage_dir=stage)
+    staged = {
+        (r["doc_a"], r["doc_b"], r["jaccard"]) for r in staged_df.collect()
+    }
+    assert staged == default and len(staged) == 1
+    jvm = spark._jvm
+    plan = staged_df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "shingle_stage" in plan  # consumers read the durable stage
+
+
+def test_mixture_resample_unmapped_lang_default(spark):
+    """Langs outside MIXTURE_RATES — and NULL lang — resample at the
+    explicit 0.25 default on BOTH engines (the r1 Spark chain left the
+    rate NULL and silently dropped such docs while the oracle copied
+    them; the fixture's all-mapped langs masked it)."""
+    import duckdb
+
+    from data_engineering_course_project_2023_spark.plans import llmops
+
+    rows = [(i, lang) for i, lang in enumerate(["xx", None, "en", "de"] * 25)]
+    sdf = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = sorted(
+        (r["doc_id"], r["lang"], r["copy_no"])
+        for r in llmops.mixture_resample_docs({"documents": sdf}).collect()
+    )
+    # unmapped/NULL langs must contribute SOME copies (~25% of 50 docs)
+    unmapped = [g for g in got if g[1] in ("xx", None)]
+    assert 0 < len(unmapped) < 50
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "({}, {})".format(i, "NULL" if lang is None else f"'{lang}'")
+            for i, lang in rows
+        )
+        + ") v(doc_id, lang)"
+    )
+    oracle = sorted(tuple(r) for r in con.execute(llmops.MIXTURE_RESAMPLE_SQL).fetchall())
+    assert got == oracle
