@@ -587,6 +587,41 @@ REGISTRY: dict[str, Query] = {
 }
 
 
+# --- driver-cap ordering -----------------------------------------------------
+# The r1 driver CORRECTNESS snapshot recorded exactly the first 50
+# registry entries (insertion order) and stopped — the 40 past that
+# point got no row. Hedge against the cap: every query that ALREADY
+# holds a green r1 row moves to the back, so the front of the registry
+# is exactly the set still awaiting a driver verdict (llmops block,
+# classic Q6-Q20 analogs, arxiv_clean_silver) plus anything newly added
+# this round. r1 ∪ r2 rows then cover the whole registry even if the
+# cap is real. The mapping is documented in NOTES.md.
+_R1_DRIVER_VERIFIED = [
+    "star_revenue_by_region_year", "copair_counts", "copair_counts_salted",
+    "top_parts_by_revenue", "orders_per_year", "prolific_customers",
+    "segment_top_customers", "popular_segments", "year_priority_cube",
+    "customer_spend_percentile", "nation_trade_pairs", "pricing_summary",
+    "rollup_year_status", "shipping_priority", "order_priority_check",
+    "large_volume_customers", "small_quantity_revenue", "nation_set_ops",
+    "sql_revenue_by_status", "pivot_year_priority", "late_sole_suppliers",
+    "idle_rich_customers", "cheapest_supplier_per_nation",
+    "nation_revenue_share", "order_count_distribution", "scan_offset_limit",
+    "null_drop_any", "split_names", "remap_tokens", "date_reformat",
+    "normalize_text", "null_defaulting", "conditional_id", "table_counts",
+    "explode_tokens", "distinct_entities", "collect_renest",
+    "enrichment_join", "fallback_join", "semi_anti_customers",
+    "running_order_totals", "customer_order_features", "copair_components",
+    "daily_event_counts", "hourly_user_activity", "sessionize",
+    "session_window_counts", "asof_purchase_click", "range_join_events",
+    "json_props_stats",
+]
+assert set(_R1_DRIVER_VERIFIED) <= set(REGISTRY)
+REGISTRY = {
+    **{n: q for n, q in REGISTRY.items() if n not in set(_R1_DRIVER_VERIFIED)},
+    **{n: REGISTRY[n] for n in _R1_DRIVER_VERIFIED},
+}
+
+
 def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     q = REGISTRY[name]
     # DuckDB treats parquet TIMESTAMP as wall-clock; pin the Spark session
