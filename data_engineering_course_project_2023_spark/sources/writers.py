@@ -41,3 +41,40 @@ def write_parquet_parts(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_jdbc(
+    df: DataFrame,
+    table: str,
+    url: str,
+    mode: str = "append",
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+) -> None:
+    """S9 live warehouse sink: per-table JDBC append, the DataFrame
+    spelling of the reference's psycopg2 templated-INSERT loader
+    (ref: src/airflow/dags/populate_DWH.py:25-51 — one INSERT per table,
+    append semantics, fixed column order).
+
+    Scale knobs exposed because they ARE the sink's scale story:
+    ``batchsize`` rows per JDBC batch-INSERT round trip, and
+    ``num_partitions`` caps concurrent connections (each partition
+    opens one) — a 1000-executor write would otherwise open a
+    connection per task and fall over the database, so the coalesce
+    happens here, not at the call site.
+
+    No live database ships in this container, so the seam is
+    interface-tested (options land on the writer; a bogus URL raises
+    from the JVM driver lookup, proving the path is wired).
+    """
+    writer = df.coalesce(num_partitions) if num_partitions else df
+    (
+        writer.write.mode(mode)
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("batchsize", str(batchsize))
+        .options(**(properties or {}))
+        .save()
+    )

@@ -86,3 +86,29 @@ def test_driver_schemas_match_files(spark):
         got = {(f.name, f.dataType.simpleString()) for f in actual}
         want = {(f.name, f.dataType.simpleString()) for f in expected}
         assert got == want, f"{name}: {got ^ want}"
+
+
+def test_write_jdbc_roundtrip_embedded_derby(spark):
+    """S9 live JDBC sink: real write + read-back through Spark's bundled
+    embedded Derby (same-JVM in local mode, standing in for the
+    reference's Postgres DWH). Append semantics: two writes of the same
+    frame double the rows — exactly populate_DWH's per-table INSERT
+    behavior."""
+    from data_engineering_course_project_2023_spark.sources.writers import write_jdbc
+
+    url = "jdbc:derby:memory:graftdwh;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "EUROPE"), (2, "ASIA"), (3, "AFRICA")], "r_regionkey int, r_name string"
+    )
+    write_jdbc(df, "dim_region", url, mode="overwrite",
+               num_partitions=1, properties=props)
+    back = spark.read.format("jdbc").options(
+        url=url, dbtable="dim_region", **props
+    ).load()
+    assert {(r["r_regionkey"], r["r_name"]) for r in back.collect()} == {
+        (1, "EUROPE"), (2, "ASIA"), (3, "AFRICA")
+    }
+    # append mode is the populate_DWH contract
+    write_jdbc(df, "dim_region", url, properties=props)
+    assert back.count() == 6
