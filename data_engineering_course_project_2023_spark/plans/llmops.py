@@ -929,3 +929,165 @@ FROM ch
 GROUP BY 1
 HAVING COUNT(DISTINCT doc_id) >= 2
 """
+
+
+# --- X2f: paragraph-granular dedup ----------------------------------------
+def _paragraphs(text_col: str = "text"):
+    """Trimmed, whitespace-normalized, non-empty paragraphs: blocks
+    separated by one-or-more newlines. Normalization uses the same
+    (?U)\\s class as clean_text so the hash is layout-insensitive
+    within a paragraph but order/content-sensitive across them."""
+    raw = F.split(F.col(text_col), r"\n+")
+    norm = F.transform(raw, lambda p: F.trim(F.regexp_replace(p, r"(?U)\s+", " ")))
+    return F.filter(norm, lambda p: p != "")
+
+
+def paragraph_dedup(t: Tables) -> DataFrame:
+    """Cross-document duplicated PARAGRAPHS — the natural-boundary
+    refinement of the fixed 32-token ``chunk_dedup_spans`` (north-star
+    granularity for web/doc corpora where boilerplate repeats at
+    paragraph level: headers, licenses, nav text). Explode to one row
+    per paragraph, hash the normalized text map-side, and a single
+    groupBy on the 128-bit hash finds every cross-doc repeat — same
+    uniform-key, no-skew shuffle shape as the chunk variant, so the
+    plan survives 100 TB unchanged."""
+    return (
+        spread(t["documents"])
+        .select("doc_id", F.explode(_paragraphs()).alias("para"))
+        .select("doc_id", F.md5("para").alias("para_hash"))
+        .groupBy("para_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# DuckDB's \s is ASCII-only; the class below mirrors Java's (?U)\s
+# (see functions/expr.clean_text and the unicode parity test).
+_WS_CLASS = r"[\s\p{Z}\x{85}\x{0B}]+"
+
+PARAGRAPH_DEDUP_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         trim(regexp_replace(x, '{_WS_CLASS}', ' ', 'g')) AS para
+  FROM documents, unnest(string_split_regex(text, '\\n+')) AS t(x)
+), h AS (
+  SELECT doc_id, md5(para) AS para_hash FROM p WHERE para <> ''
+)
+SELECT para_hash, COUNT(*) AS n_copies,
+       COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+FROM h GROUP BY 1
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def paragraph_profile(t: Tables) -> DataFrame:
+    """Per-document paragraph profile: paragraph count, distinct count,
+    and the within-doc duplicate-paragraph ratio (a repetition quality
+    signal at paragraph granularity, complementing dup_trigram_ratio).
+    One explode + one groupBy back onto doc_id."""
+    per_para = (
+        spread(t["documents"])
+        .select("doc_id", F.explode(_paragraphs()).alias("para"))
+        .select("doc_id", F.md5("para").alias("para_hash"))
+    )
+    n = F.count(F.lit(1))
+    nd = F.countDistinct("para_hash")
+    return per_para.groupBy("doc_id").agg(
+        n.cast("int").alias("n_paras"),
+        nd.cast("int").alias("n_distinct_paras"),
+        ((n - nd).cast("double") / n.cast("double")).alias("dup_para_ratio"),
+    )
+
+
+PARAGRAPH_PROFILE_SQL = f"""
+WITH p AS (
+  SELECT doc_id,
+         trim(regexp_replace(x, '{_WS_CLASS}', ' ', 'g')) AS para
+  FROM documents, unnest(string_split_regex(text, '\\n+')) AS t(x)
+), h AS (
+  SELECT doc_id, md5(para) AS para_hash FROM p WHERE para <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INTEGER) AS n_paras,
+       CAST(COUNT(DISTINCT para_hash) AS INTEGER) AS n_distinct_paras,
+       CAST(COUNT(*) - COUNT(DISTINCT para_hash) AS DOUBLE) / COUNT(*)
+         AS dup_para_ratio
+FROM h GROUP BY 1
+"""
+
+
+# --- exact-substring decontamination --------------------------------------
+def decontaminate_exact_substring(t: Tables) -> DataFrame:
+    """Exact-substring decontamination: flag training docs that contain
+    a VERBATIM run of eval text, the stricter complement of the 8-gram
+    overlap count in ``decontaminate_docs``.
+
+    Asymmetric chunking keeps it scalable: the small eval side (src0)
+    explodes to stride-1 32-token windows (O(m) rows — eval sets are
+    tiny by construction) and is broadcast; the 100 TB training side
+    only materializes ALIGNED 32-token chunks (O(n/32) rows) and never
+    shuffles. Any verbatim copy of >= 63 tokens (2k-1) must contain a
+    fully-aligned training chunk, which then equi-joins an eval window
+    hash exactly. Same guarantee shape as suffix-array dedup's
+    minimum-match-length, at a fraction of the cost."""
+    docs = spread(t["documents"])
+    toks = textops.tokens("text")
+    k = CHUNK_TOKENS
+    win = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    eval_wins = (
+        docs.filter(F.col("source") == "src0")
+        .select(F.explode(win).alias("w"))
+        .select(F.md5("w").alias("chunk_hash"))
+        .distinct()
+    )
+    n_chunks = F.floor(F.size(toks) / F.lit(k)).cast("int")
+    aligned = F.when(
+        n_chunks >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    train = (
+        docs.filter(F.col("source") != "src0")
+        .select("doc_id", F.explode(aligned).alias("c"))
+        .select("doc_id", F.md5("c").alias("chunk_hash"))
+    )
+    return (
+        train.join(F.broadcast(eval_wins), "chunk_hash")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_verbatim_chunks"))
+    )
+
+
+DECONTAMINATE_EXACT_SQL = """
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), ev AS (
+  SELECT DISTINCT
+         md5(array_to_string(toks[i+1 : i+32], ' ')) AS chunk_hash
+  FROM base, unnest(range(0, len(toks) - 31)) AS t(i)
+  WHERE source = 'src0' AND len(toks) >= 32
+), tr AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[i*32+1 : (i+1)*32], ' ')) AS chunk_hash
+  FROM base,
+       unnest(range(0, CAST(floor(len(toks) / 32) AS INTEGER))) AS t(i)
+  WHERE source <> 'src0'
+)
+SELECT doc_id, COUNT(*) AS n_verbatim_chunks
+FROM tr JOIN ev USING (chunk_hash)
+GROUP BY 1
+"""

@@ -577,6 +577,25 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "part", "supplier", "nation"),
         "Q20 nested semi-join qualification",
     ),
+    # --- round-2 additions: paragraph granularity + exact-substring ---
+    "paragraph_dedup": Query(
+        llmops.paragraph_dedup,
+        llmops.PARAGRAPH_DEDUP_SQL,
+        ("documents",),
+        "X2f cross-doc duplicated paragraphs (natural-boundary chunk dedup)",
+    ),
+    "paragraph_profile": Query(
+        llmops.paragraph_profile,
+        llmops.PARAGRAPH_PROFILE_SQL,
+        ("documents",),
+        "X4e per-doc paragraph counts + dup-paragraph ratio",
+    ),
+    "decontaminate_exact": Query(
+        llmops.decontaminate_exact_substring,
+        llmops.DECONTAMINATE_EXACT_SQL,
+        ("documents",),
+        "exact-substring decontamination (aligned-chunk vs stride-1 eval windows)",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,

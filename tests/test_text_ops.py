@@ -219,3 +219,67 @@ def test_mixture_resample_unmapped_lang_default(spark):
     )
     oracle = sorted(tuple(r) for r in con.execute(llmops.MIXTURE_RESAMPLE_SQL).fetchall())
     assert got == oracle
+
+
+def test_paragraph_dedup_and_profile_semantics(spark):
+    """Paragraph boundaries (newline runs) drive the dedup: a paragraph
+    shared verbatim across docs is flagged regardless of surrounding
+    text; internal whitespace/layout differences inside a paragraph do
+    not defeat the hash; the driver corpus is single-line so these
+    semantics live here."""
+    from data_engineering_course_project_2023_spark.plans.llmops import (
+        paragraph_dedup,
+        paragraph_profile,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    docs = spark.createDataFrame(
+        [
+            (1, "unique intro one\n\n" + boiler + "\nunique tail one"),
+            # same boilerplate but with doubled internal spaces + tabs
+            (2, "other intro\n" + boiler.replace(" ", "  ") + "\n\nmore"),
+            (3, "totally unrelated text with no repeats at all"),
+            # within-doc repetition only → not cross-doc
+            (4, "same para\n\nsame para"),
+        ],
+        "doc_id long, text string",
+    )
+    dups = paragraph_dedup({"documents": docs}).collect()
+    assert len(dups) == 1
+    assert (dups[0]["n_docs"], dups[0]["n_copies"], dups[0]["first_doc"]) == (2, 2, 1)
+
+    prof = {r["doc_id"]: r for r in paragraph_profile({"documents": docs}).collect()}
+    assert prof[1]["n_paras"] == 3 and prof[1]["dup_para_ratio"] == 0.0
+    assert prof[4]["n_paras"] == 2 and prof[4]["n_distinct_paras"] == 1
+    assert prof[4]["dup_para_ratio"] == 0.5
+
+
+def test_decontaminate_exact_substring_guarantee(spark):
+    """A training doc embedding a verbatim >=63-token run of eval text
+    is flagged (the 2k-1 aligned-chunk guarantee); a 31-token verbatim
+    run is below the operator's minimum match length and is not."""
+    from data_engineering_course_project_2023_spark.plans.llmops import (
+        decontaminate_exact_substring,
+    )
+
+    eval_tokens = [f"ev{i}" for i in range(80)]
+    eval_text = " ".join(eval_tokens)
+    # embed a 64-token eval run at an UNALIGNED offset inside train noise
+    leak = " ".join(eval_tokens[5:69])
+    short_leak = " ".join(eval_tokens[5:36])  # 31 tokens: under the bound
+    pad = lambda p, n: " ".join(f"{p}{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            (0, "src0", eval_text),
+            (1, "src1", pad("a", 7) + " " + leak + " " + pad("z", 10)),
+            (2, "src1", pad("b", 7) + " " + short_leak + " " + pad("y", 40)),
+            (3, "src2", pad("c", 70)),
+        ],
+        "doc_id long, source string, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_verbatim_chunks"]
+        for r in decontaminate_exact_substring({"documents": docs}).collect()
+    }
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits and 3 not in hits
