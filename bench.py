@@ -42,17 +42,24 @@ def main() -> None:
             # Catalyst/codegen warm-up with execution (measured 9.3 s
             # cold vs 0.7 s warm on the literal-fixture cleaning suite).
             # The second run is what a steady-state cluster would see.
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 3)
 
     out = {
         "metric": "total_query_time",
-        "value": round(sum(timings.values()), 4),
+        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
     }
-    print(json.dumps(out))
+    # The r1 driver capture truncated the stdout line (70/90 timings
+    # visible, unparseable). Two mitigations: emit the line COMPACT
+    # (no spaces, 3-decimal timings), and mirror the full document to
+    # BENCH_LOCAL.json so the numbers survive any stdout capture cap.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -322,3 +322,165 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- product quantization (X3e): compressed codes + ADC search ------------
+PQ_M = 8   # subspaces (64 dims → 8-dim subvectors)
+PQ_K = 16  # centroids per subspace → 4-bit codes, 64 floats → 8 nibbles
+
+
+def _pq_assign_expr(cents: list[list[list[float]]], d_sub: int) -> Column:
+    """codes array<int>: per subspace, argmin over that subspace's
+    centroid table applied to the matching slice of ``v``. One parsed
+    expr string (same py4j-cost rationale as :func:`_argmin_expr`);
+    ties break to the lowest code via struct ordering."""
+    parts = []
+    for j, sub in enumerate(cents):
+        mat = ", ".join(
+            "struct({} AS cid, array({}) AS c)".format(
+                cid, ",".join(repr(float(x)) + "D" for x in c)
+            )
+            for cid, c in enumerate(sub)
+        )
+        parts.append(
+            f"""array_min(transform(array({mat}), s -> struct(
+                aggregate(zip_with(slice(v, {j * d_sub + 1}, {d_sub}), s.c,
+                          (a, b) -> (a-b)*(a-b)), 0.0D,
+                          (acc, x) -> acc + x) AS d,
+                s.cid AS cid))).cid"""
+        )
+    return F.expr("array(" + ", ".join(parts) + ")")
+
+
+def _pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic PQ codebook: independent k-means per subspace,
+    trained JOINTLY — one Spark job per round covers all m subspaces
+    (assign codes map-side, then posexplode → groupBy(sub, code,
+    pos-within-sub) mean recompute, partial-aggregated). Init = the k
+    lowest-id vectors' subvectors. Codes whose cell empties keep their
+    previous centroid so code ids stay dense positional."""
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    assert dim % m == 0, f"dim {dim} not divisible by m {m}"
+    d_sub = dim // m
+    init = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .collect()
+    )
+    cents = [
+        [list(r["v"][j * d_sub:(j + 1) * d_sub]) for r in init]
+        for j in range(m)
+    ]
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).localCheckpoint()
+    for _ in range(n_iter):
+        rows = (
+            vecs.withColumn("codes", _pq_assign_expr(cents, d_sub))
+            .select("codes", F.posexplode("v").alias("pos", "val"))
+            .withColumn("sub", (F.col("pos") / d_sub).cast("int"))
+            .withColumn("code", F.element_at("codes", F.col("sub") + 1))
+            .groupBy("sub", "code", (F.col("pos") % d_sub).alias("p"))
+            .agg(F.avg("val").alias("mval"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((int(r["sub"]), int(r["code"])), {})[int(r["p"])] = float(r["mval"])
+        for (j, c), vals in means.items():
+            cents[j][c] = [vals[p] for p in range(d_sub)]
+    return cents
+
+
+def pq_codes(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3e compression path: each vector → m small codes (4-bit at the
+    defaults): 64 float32 → 8 nibbles, a 64× size cut. The codes column
+    is what a 100 TB pipeline persists; assignment is a zero-shuffle
+    map over driver-held codebooks."""
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    cents = _pq_train(df, m, k, n_iter, id_col, vec_col)
+    vecs = spread(df).select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    return vecs.withColumn("codes", _pq_assign_expr(cents, dim // m)).select(
+        id_col, "codes"
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    shortlist: int = 100,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3e search: ADC (asymmetric distance computation) over PQ codes
+    + exact rerank. The query's per-subspace distance table (m×k
+    doubles) is computed driver-side and folded into the scoring
+    expression — scoring a vector is m table lookups, no float math on
+    the corpus vectors at all. The ADC shortlist then gets an exact
+    cosine rerank (the FAISS IVFADC+refine layout). Both passes are
+    map-side + TakeOrdered: the corpus never shuffles."""
+    cents = _pq_train(df, m, k, n_iter, id_col, vec_col)
+    dim = len(cents[0][0]) * m
+    d_sub = dim // m
+    qv = list(
+        df.filter(F.col(id_col) == query_vec_id)
+        .select(F.col(vec_col).cast("array<double>").alias("v"))
+        .first()["v"]
+    )
+    table = [
+        [
+            sum(
+                (qv[j * d_sub + p] - cents[j][c][p]) ** 2
+                for p in range(d_sub)
+            )
+            for c in range(k)
+        ]
+        for j in range(m)
+    ]
+    tbl_sql = ", ".join(
+        "array({})".format(",".join(repr(float(x)) + "D" for x in row))
+        for row in table
+    )
+    codes = _pq_assign_expr(cents, d_sub)
+    adc = F.expr(
+        f"""aggregate(zip_with(array({tbl_sql}), codes,
+                      (t, c) -> element_at(t, c + 1)),
+                      0.0D, (acc, x) -> acc + x)"""
+    )
+    vecs = spread(df).select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+    short_ids = [
+        r[id_col]
+        for r in vecs.filter(F.col(id_col) != query_vec_id)
+        .withColumn("codes", codes)
+        .select(id_col, adc.alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc(id_col))
+        .limit(shortlist)
+        .collect()
+    ]
+    qarr = F.expr("array({})".format(",".join(repr(float(x)) + "D" for x in qv)))
+    return (
+        vecs.filter(F.col(id_col).isin(short_ids))
+        .select(
+            id_col,
+            F.round(cosine(F.col("v"), qarr), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(topk)
+    )

@@ -434,6 +434,20 @@ def minhash_ml(t: Tables) -> DataFrame:
 
 
 # --- X3c: IVF (k-means) approximate search — rows-only -----------------------
+def pq_codes_query(t: Tables) -> DataFrame:
+    """X3e: PQ compression codes (8 subspaces × 4-bit) per vector.
+    Codebook is data-dependent k-means → not static-SQL-expressible;
+    driver records rows-only, code-range + determinism pinned in
+    pytest."""
+    return similarity.pq_codes(t["embeddings"])
+
+
+def pq_topk_query(t: Tables) -> DataFrame:
+    """X3e: ADC search over PQ codes + exact rerank — rows-only (same
+    rationale); recall vs brute force pinned in pytest."""
+    return similarity.pq_topk(t["embeddings"], query_vec_id=0, topk=10)
+
+
 def ivf_topk_query(t: Tables) -> DataFrame:
     """IVF coarse-quantizer search: deterministic k-means (fixed init +
     iterations), probe 2 cells, exact rerank. Iterative float math makes

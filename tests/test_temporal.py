@@ -179,3 +179,33 @@ def test_session_window_exact_gap_boundary(spark):
         tuple(r) for r in con.execute(eventstream.SESSION_WINDOW_SQL).fetchall()
     }
     assert oracle == got
+
+
+def test_pq_codes_and_adc_recall(spark):
+    """PQ: codes are m=8 values in [0,16) per vector (64 floats → 8
+    nibbles); ADC+rerank recovers >=0.7 of the exact top-10; re-running
+    gives identical output (deterministic codebook)."""
+    from data_engineering_course_project_2023_spark.operators import similarity
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    codes = similarity.pq_codes(emb).collect()
+    assert len(codes) == emb.count()
+    assert all(
+        len(r["codes"]) == similarity.PQ_M
+        and all(0 <= c < similarity.PQ_K for c in r["codes"])
+        for r in codes
+    )
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    pq = [
+        r["vec_id"] for r in similarity.pq_topk(emb, query_vec_id=0, topk=10).collect()
+    ]
+    assert len(pq) == 10
+    assert len(set(exact) & set(pq)) / 10 >= 0.7
+    pq2 = [
+        r["vec_id"] for r in similarity.pq_topk(emb, query_vec_id=0, topk=10).collect()
+    ]
+    assert pq == pq2
