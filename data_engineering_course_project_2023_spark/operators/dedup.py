@@ -325,3 +325,74 @@ def minhash_ml_pairs(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Min-label-propagation connected components over generic
+    ``nodes('node')`` / ``edges('src','dst')`` frames — the DataFrame
+    spelling of Pregel CC (edges symmetrized internally; pass each
+    undirected edge once).
+
+    Same iterative discipline as the co-order component query
+    (``plans/analytics.py:copair_components``): localCheckpoint each
+    round so the logical plan doesn't double per iteration, and a
+    monotone label-sum probe for convergence (min-propagation only ever
+    decreases labels, so one cheap agg replaces a changed-row join).
+    Returns (node, lbl) with lbl = min node id reachable.
+    """
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    for _ in range(max_iter):
+        msgs = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "lbl"
+        )
+        labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lbl")).first()[0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2: near-duplicate CLUSTER RESOLUTION — the step a real dedup
+    pipeline runs after candidate generation: LSH band pairs form an
+    undirected graph; each connected component is one duplicate cluster;
+    the min doc id is the cluster's canonical representative (the row a
+    keep-one-per-cluster filter would retain).
+
+    Composition of two oracled pieces (minhash_lsh_pairs + connected
+    components), so the whole thing stays exact-checkable via a DuckDB
+    recursive CTE over the same band-pair SQL. Per-round cost is one
+    keyed join + one agg over the pair graph — which is *tiny* relative
+    to the corpus (only docs sharing a band appear) — so the iterative
+    part never touches full-corpus data.
+
+    Output: (doc_id, cluster_id, is_canonical) for every document;
+    singletons are their own cluster.
+    """
+    pairs = minhash_lsh_pairs(df, text_col, id_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = spread(df).select(F.col(id_col).alias("node"))
+    labels = connected_components(nodes, edges)
+    return labels.select(
+        F.col("node").alias(id_col),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("node") == F.col("lbl")).alias("is_canonical"),
+    )

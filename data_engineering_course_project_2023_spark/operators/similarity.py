@@ -484,3 +484,76 @@ def pq_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(topk)
     )
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3: blocked k-nearest-neighbor graph — for every vector, its k
+    most-cosine-similar neighbors *within its blocking key* (label /
+    shard / cluster id). The kNN graph is the substrate for
+    semantic-dedup clustering and graph-based diversity sampling.
+
+    Same scale shape as :func:`blocked_cosine_pairs`: the join is keyed
+    by the block so the shuffle is bounded and each block's quadratic
+    cost stays local; top-k is a per-vector window over the block join
+    output, ordered by the ROUNDED score (+ neighbor id tiebreak) so
+    engine and oracle rank identically.
+    """
+    from pyspark.sql.window import Window
+
+    e = spread(df).select(
+        F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col)
+    )
+    b = e.select(
+        F.col(id_col).alias("_idb"),
+        F.col("_blk"),
+        F.col(vec_col).alias("_vecb"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        e.join(b, "_blk")
+        .filter(F.col(id_col) != F.col("_idb"))
+        .select(
+            F.col(id_col),
+            F.col("_idb").alias("neighbor_id"),
+            F.round(cosine(F.col(vec_col), F.col("_vecb")), 6).alias("cos_sim"),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "neighbor_id", "cos_sim")
+    )
+
+
+def semdedup_keep(
+    df: DataFrame,
+    threshold: float = 0.40,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X2/X3: semantic dedup keep-filter (SemDeDup-style) — drop every
+    vector whose cosine similarity to a LOWER-id vector in the same
+    block reaches the threshold; survivors are the semantically-unique
+    corpus a training pipeline ships. The a<b orientation makes the
+    keep decision deterministic (first-seen wins, like the exact-dedup
+    keep-first rule) without materializing clusters.
+
+    Pair generation is the blocked keyed join; the drop is one
+    left-anti join against the distinct b-side — no window over the
+    full corpus.
+    """
+    dups = (
+        blocked_cosine_pairs(df, block_col, threshold, id_col, vec_col)
+        .select(F.col("vec_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        spread(df)
+        .join(dups, id_col, "left_anti")
+        .select(id_col, block_col)
+    )

@@ -1105,3 +1105,138 @@ SELECT doc_id, COUNT(*) AS n_verbatim_chunks
 FROM tr JOIN ev USING (chunk_hash)
 GROUP BY 1
 """
+
+
+# --- X2g: near-dup cluster resolution (LSH pairs → connected components) ----
+def neardup_clusters_query(t: Tables) -> DataFrame:
+    """X2: duplicate-cluster resolution over the MinHash band-pair graph
+    — min-reachable-id per component = cluster id; min member =
+    canonical keep row. Oracle: recursive CTE over the same band-pair
+    SQL, so the composed iterative path stays exact-checked."""
+    return dedup.neardup_clusters(t["documents"])
+
+
+NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, {_mh_cols()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+walk(node, lbl) AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS node, w.lbl
+  FROM walk w JOIN edges e ON w.node = e.src
+)
+SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+       (node = MIN(lbl)) AS is_canonical
+FROM walk GROUP BY 1
+"""
+
+
+# --- X4b: TF-IDF top terms (keyword extraction) ------------------------------
+def tfidf_top_terms(t: Tables) -> DataFrame:
+    """X4: per-document top-3 TF-IDF terms (keyword extraction /
+    topic signals for curation). tf from one exploded scan; document
+    frequency re-aggregated from the SAME (doc, term) frame (no second
+    scan); N attached as a one-row scalar broadcast. Ranking uses the
+    ROUNDED score + term tiebreak so engine and oracle agree exactly."""
+    from pyspark.sql.window import Window
+
+    docs = spread(t["documents"])
+    toks = docs.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+TFIDF_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         ROUND(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6)
+           AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, term) <= 3
+"""
+
+
+# --- X3f: blocked kNN graph ---------------------------------------------------
+def knn_graph_query(t: Tables) -> DataFrame:
+    """X3: 3-nearest-neighbor graph within label blocks."""
+    return similarity.knn_graph(t["embeddings"], k=3)
+
+
+KNN_GRAPH_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+p AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, neighbor_id, cos_sim FROM p
+QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                           ORDER BY cos_sim DESC, neighbor_id) <= 3
+"""
+
+
+# --- X2h: semantic dedup keep-filter -----------------------------------------
+def semdedup_keep_query(t: Tables) -> DataFrame:
+    """X2: SemDeDup-style keep-filter — drop vectors ≥0.40 cosine to a
+    lower-id same-block vector; first-seen wins."""
+    return similarity.semdedup_keep(t["embeddings"], threshold=0.40)
+
+
+SEMDEDUP_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.40
+)
+SELECT emb.vec_id, emb.label
+FROM embeddings emb ANTI JOIN dup ON emb.vec_id = dup.vec_id
+"""

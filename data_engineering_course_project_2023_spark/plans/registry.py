@@ -608,6 +608,30 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X3e ADC search over PQ codes + exact rerank — rows-only",
     ),
+    "neardup_clusters": Query(
+        llmops.neardup_clusters_query,
+        llmops.NEARDUP_CLUSTERS_SQL,
+        ("documents",),
+        "X2 cluster resolution: LSH band pairs → connected components → canonical rep",
+    ),
+    "tfidf_top_terms": Query(
+        llmops.tfidf_top_terms,
+        llmops.TFIDF_SQL,
+        ("documents",),
+        "X4 per-doc top-3 TF-IDF terms (keyword extraction)",
+    ),
+    "knn_graph": Query(
+        llmops.knn_graph_query,
+        llmops.KNN_GRAPH_SQL,
+        ("embeddings",),
+        "X3 blocked 3-NN graph over embeddings",
+    ),
+    "semdedup_keep": Query(
+        llmops.semdedup_keep_query,
+        llmops.SEMDEDUP_SQL,
+        ("embeddings",),
+        "X2 SemDeDup-style keep-filter (drop ≥0.40 cosine to lower-id same-block)",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,

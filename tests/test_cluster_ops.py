@@ -1,0 +1,114 @@
+"""Semantics of the round-2 cluster/graph operators on constructed
+fixtures: near-dup cluster resolution (transitivity), the SemDeDup
+keep-filter (first-seen-wins), blocked kNN (k + tiebreak), and TF-IDF
+ranking. The sf0.01 oracle-parity sweep covers the same queries
+end-to-end; these pin the *rules* on inputs built to exercise them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_engineering_course_project_2023_spark.operators import dedup, similarity
+
+
+def test_neardup_clusters_transitive(spark):
+    # a~b and b~c share most shingles; a and c are farther apart — the
+    # cluster must still merge all three (connected components, not
+    # pairwise threshold), with min id as canonical representative.
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, base + " tail_a common common2"),
+            (2, base + " tail_a tail_b common2"),
+            (3, base + " tail_b tail_c common3"),
+            (10, "entirely different words here nothing shared at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup.neardup_clusters(docs).collect()
+    }
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[10] == (10, True)
+
+
+def test_connected_components_chain(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["lbl"]
+        for r in dedup.connected_components(nodes, edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_semdedup_first_seen_wins(spark):
+    # v2 duplicates v1 (kept: v1 is lower id); v3 duplicates v2 but not
+    # v1 — still dropped (its lower-id near-neighbor v2 exists, even
+    # though v2 itself is dropped): the a<b orientation is per-pair,
+    # not per-survivor — the documented greedy-by-id rule.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.01, 0.0, 0.0], 0),
+        (3, [0.0, 1.0, 0.0, 0.0], 0),
+        (4, [1.0, 0.0, 0.0, 0.0], 1),  # same vector, other block: kept
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    kept = {
+        r["vec_id"]
+        for r in similarity.semdedup_keep(df, threshold=0.9).collect()
+    }
+    assert kept == {1, 3, 4}
+
+
+def test_knn_graph_k_and_blocking(spark):
+    rows = [
+        (1, [1.0, 0.0], 0),
+        (2, [0.9, 0.1], 0),
+        (3, [0.0, 1.0], 0),
+        (4, [1.0, 0.0], 1),  # other block: never a neighbor of 1-3
+        (5, [1.0, 0.1], 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = similarity.knn_graph(df, k=2).collect()
+    by_vec = {}
+    for r in out:
+        by_vec.setdefault(r["vec_id"], []).append(r["neighbor_id"])
+    # block 0 has 3 members → each gets exactly 2 neighbors, in-block
+    assert sorted(by_vec[1]) == [2, 3]
+    assert by_vec[1][0] == 2  # most similar first
+    # block 1 has 2 members → only 1 possible neighbor despite k=2
+    assert by_vec[4] == [5] and by_vec[5] == [4]
+
+
+def test_tfidf_ranks_rare_terms(spark):
+    from data_engineering_course_project_2023_spark.plans.llmops import (
+        tfidf_top_terms,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "shared shared rare1 rare1 rare1"),
+            (2, "shared unique2"),
+            (3, "shared filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms({"documents": docs}).collect()
+    top = {}
+    for r in out:
+        top.setdefault(r["doc_id"], []).append((r["term"], r["tfidf"]))
+    # 'shared' appears in every doc → idf = ln(1) = 0 everywhere
+    assert all(s == 0.0 for d in top.values() for t, s in d if t == "shared")
+    # doc 1's top term is the tf=3 doc-unique one
+    assert top[1][0][0] == "rare1"
+    assert top[2][0][0] == "unique2"

@@ -67,6 +67,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "idle_rich_customers",
         "nation_revenue_share",
         "heavy_hitter_tokens",
+        # one-row n_docs scalar broadcast (same pattern as the above)
+        "tfidf_top_terms",
+        # iterative: plan built per checkpointed round; pair graph only
+        "neardup_clusters",
     }
     offenders = {}
     for name in registry.REGISTRY:
