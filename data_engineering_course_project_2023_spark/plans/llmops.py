@@ -1240,3 +1240,130 @@ dup AS (
 SELECT emb.vec_id, emb.label
 FROM embeddings emb ANTI JOIN dup ON emb.vec_id = dup.vec_id
 """
+
+
+# --- X4g: RAG chunking --------------------------------------------------------
+CHUNK_TOKENS = 32
+CHUNK_STRIDE = 24
+
+
+def chunk_for_rag(t: Tables) -> DataFrame:
+    """X4: overlapping token-window chunking for retrieval indexing —
+    each document becomes ceil(n/stride) chunks of up to CHUNK_TOKENS
+    whitespace tokens, starts every CHUNK_STRIDE tokens (8-token
+    overlap). Pure map-side expression work (split → sequence →
+    posexplode → slice): zero shuffles, so at 100 TB this is an
+    embarrassingly parallel scan whose output feeds the embedding
+    stage. `sequence` end is guarded with greatest(n-1, 0) — Spark 4
+    sequences count DOWN for negative ranges."""
+    docs = spread(t["documents"])
+    toked = docs.select("doc_id", textops.tokens("text").alias("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("toks") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    exploded = toked.select(
+        "doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start")
+    )
+    chunk = F.slice("toks", F.col("start") + 1, CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
+CHUNK_FOR_RAG_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+), st AS (
+  SELECT doc_id, w,
+         unnest(range(0, greatest(len(w), 1), {CHUNK_STRIDE})) AS start
+  FROM toks
+)
+SELECT doc_id,
+       CAST(start // {CHUNK_STRIDE} AS INTEGER) AS chunk_idx,
+       COALESCE(array_to_string(
+         list_slice(w, start + 1, start + {CHUNK_TOKENS}), ' '), '')
+         AS chunk_text,
+       CAST(len(list_slice(w, start + 1, start + {CHUNK_TOKENS}))
+            AS INTEGER) AS n_chunk_tokens
+FROM st
+"""
+
+
+# --- X4h: Gopher-style quality rules ------------------------------------------
+def gopher_quality(t: Tables) -> DataFrame:
+    """X4: rule-based document filter in the style of the Gopher/
+    MassiveText quality heuristics (word-count bounds, mean word
+    length bounds, stopword floor, distinct-word floor), adapted to
+    this corpus's scale. Every ratio is an int/int division (exact
+    cross-engine doubles) computed from array expressions — a single
+    zero-shuffle codegen'd scan; at 100 TB this runs entirely map-side
+    with no state."""
+    docs = t["documents"]
+    toks = textops.tokens("text")
+    n_words = F.size(toks)
+    # total token chars via join-with-empty — avoids a reduce and is
+    # exact on both engines
+    sum_len = F.length(F.array_join(toks, ""))
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*textops.STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    base = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (sum_len.cast("double") / n_words.cast("double")).alias("mean_word_len"),
+        (n_stop.cast("double") / n_words.cast("double")).alias("stop_ratio"),
+        (n_uniq.cast("double") / n_words.cast("double")).alias("unique_ratio"),
+    )
+    flags = base.select(
+        "*",
+        ((F.col("n_words") >= 20) & (F.col("n_words") <= 100000)).alias("flag_n_words"),
+        ((F.col("mean_word_len") >= 2.0) & (F.col("mean_word_len") <= 10.0)).alias(
+            "flag_mean_len"
+        ),
+        (F.col("stop_ratio") >= 0.02).alias("flag_stop"),
+        (F.col("unique_ratio") >= 0.30).alias("flag_unique"),
+    )
+    return flags.select(
+        "*",
+        (
+            F.col("flag_n_words")
+            & F.col("flag_mean_len")
+            & F.col("flag_stop")
+            & F.col("flag_unique")
+        ).alias("keep"),
+    )
+
+
+GOPHER_QUALITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(w) AS INTEGER) AS n_words,
+         CAST(length(COALESCE(array_to_string(w, ''), '')) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         CAST(len(list_filter(w, x -> lower(x) IN ({_STOPS}))) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS stop_ratio,
+         CAST(len(list_distinct(w)) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS unique_ratio
+  FROM toks
+), f AS (
+  SELECT *,
+         (n_words >= 20 AND n_words <= 100000) AS flag_n_words,
+         (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS flag_mean_len,
+         (stop_ratio >= 0.02) AS flag_stop,
+         (unique_ratio >= 0.30) AS flag_unique
+  FROM m
+)
+SELECT *,
+       (flag_n_words AND flag_mean_len AND flag_stop AND flag_unique) AS keep
+FROM f
+"""

@@ -632,6 +632,18 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X2 SemDeDup-style keep-filter (drop ≥0.40 cosine to lower-id same-block)",
     ),
+    "chunk_for_rag": Query(
+        llmops.chunk_for_rag,
+        llmops.CHUNK_FOR_RAG_SQL,
+        ("documents",),
+        "X4 overlapping token-window chunking (RAG indexing; zero-shuffle)",
+    ),
+    "gopher_quality": Query(
+        llmops.gopher_quality,
+        llmops.GOPHER_QUALITY_SQL,
+        ("documents",),
+        "X4 Gopher-style rule-based quality filter (map-side only)",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,
@@ -671,8 +683,20 @@ _R1_DRIVER_VERIFIED = [
     "json_props_stats",
 ]
 assert set(_R1_DRIVER_VERIFIED) <= set(REGISTRY)
+# Within the still-awaiting front section, oracled queries outrank
+# rows-only ones (oracle=None gets only a weak row-count check from the
+# driver, so losing its row to the cap costs the least).
 REGISTRY = {
-    **{n: q for n, q in REGISTRY.items() if n not in set(_R1_DRIVER_VERIFIED)},
+    **{
+        n: q
+        for n, q in REGISTRY.items()
+        if n not in set(_R1_DRIVER_VERIFIED) and q.oracle is not None
+    },
+    **{
+        n: q
+        for n, q in REGISTRY.items()
+        if n not in set(_R1_DRIVER_VERIFIED) and q.oracle is None
+    },
     **{n: REGISTRY[n] for n in _R1_DRIVER_VERIFIED},
 }
 

@@ -283,3 +283,58 @@ def test_decontaminate_exact_substring_guarantee(spark):
     }
     assert 1 in hits and hits[1] >= 1
     assert 2 not in hits and 3 not in hits
+
+
+def test_chunk_for_rag_windows(spark):
+    """Chunk boundaries: a 40-token doc at (size=32, stride=24) yields
+    starts {0, 24} — a full 32-token chunk then a 16-token tail with an
+    8-token overlap; a short doc is one chunk; empty text still emits a
+    single empty chunk (chunk-per-doc floor keeps downstream joins
+    total)."""
+    from data_engineering_course_project_2023_spark.plans.llmops import chunk_for_rag
+
+    words40 = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, words40), (2, "only three tokens"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["chunk_idx"]): r
+        for r in chunk_for_rag({"documents": docs}).collect()
+    }
+    assert sorted(rows) == [(1, 0), (1, 1), (2, 0), (3, 0)]
+    assert rows[(1, 0)]["n_chunk_tokens"] == 32
+    assert rows[(1, 0)]["chunk_text"].split(" ")[0] == "w0"
+    # second window starts at token 24 → 8-token overlap, 16-token tail
+    tail = rows[(1, 1)]["chunk_text"].split(" ")
+    assert tail[0] == "w24" and len(tail) == 16
+    assert rows[(1, 1)]["n_chunk_tokens"] == 16
+    assert rows[(2, 0)]["chunk_text"] == "only three tokens"
+    assert rows[(3, 0)]["chunk_text"] == "" and rows[(3, 0)]["n_chunk_tokens"] == 0
+
+
+def test_gopher_quality_rules(spark):
+    """Each rule trips independently: too-short doc, degenerate mean
+    word length, zero stopwords, all-repeated words; a normal doc keeps
+    all flags."""
+    from data_engineering_course_project_2023_spark.plans.llmops import gopher_quality
+
+    good = "the quick brown fox jumps over a lazy dog and then " + " ".join(
+        f"word{i}" for i in range(15)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),  # keeps
+            (2, "the a of short"),  # < 20 words
+            (3, "the " + " ".join(["x"] * 30)),  # mean word len < 2
+            (4, " ".join(f"tok{i}" for i in range(25))),  # no stopwords
+            (5, "the " + " ".join(["same"] * 40)),  # unique_ratio < 0.30
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality({"documents": docs}).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["keep"] is False and got[2]["flag_n_words"] is False
+    assert got[3]["keep"] is False and got[3]["flag_mean_len"] is False
+    assert got[4]["keep"] is False and got[4]["flag_stop"] is False
+    assert got[5]["keep"] is False and got[5]["flag_unique"] is False
