@@ -386,3 +386,29 @@ SELECT (SELECT COUNT(*) FROM fv) AS n_view,
        CAST((SELECT COUNT(*) FROM fp) AS DOUBLE)
          / CAST((SELECT COUNT(*) FROM fc) AS DOUBLE) AS click_to_purchase
 """
+
+
+def attribution_join(t: Tables) -> DataFrame:
+    """Directional click→purchase attribution: every purchase joined to
+    each same-user click in the preceding 10 minutes. Batch twin of the
+    stream-stream join in ``streaming/joins.py`` (the equi key keeps it
+    a hash/sort-merge join — the range bounds ride along as a post-join
+    filter, never a nested loop)."""
+    from ..streaming.joins import attribution_join_batch
+
+    return attribution_join_batch(t["events"])
+
+
+ATTRIBUTION_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT purchase_id, click_id, p_user AS user_id,
+       CAST(floor(epoch(p_ts)) - floor(epoch(c_ts)) AS BIGINT) AS gap_seconds
+FROM clicks c JOIN purchases p ON c_user = p_user
+WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 600 SECONDS
+"""

@@ -644,6 +644,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 Gopher-style rule-based quality filter (map-side only)",
     ),
+    "attribution_join": Query(
+        eventstream.attribution_join,
+        eventstream.ATTRIBUTION_SQL,
+        ("events",),
+        "§2.6 click→purchase attribution (batch twin of the stream-stream join)",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,

@@ -1,0 +1,108 @@
+"""Stream-stream joins and replay-safe dedup (SURVEY §2.6 extension).
+
+The reference's streaming surface stops at windowed log aggregation
+(ref: src/elk/logstash.conf — stateless per-event enrichment); the two
+operators here cover the stateful shapes a production event bus needs
+beyond that:
+
+- ``attribution_join_stream``: click→purchase attribution as a
+  stream-stream inner join with event-time range bounds on BOTH sides.
+  The watermarks + the time-range predicate let Spark expire join state
+  (a click older than watermark + gap can never match a future
+  purchase), so state is bounded at any scale — the unbounded-state
+  hazard of naive stream joins is exactly why the range condition is
+  mandatory here, not an optimization.
+- ``dedup_events_stream``: at-least-once sources replay events;
+  ``dropDuplicatesWithinWatermark`` keeps one row per event_id while
+  watermark expiry bounds the dedup state — the streaming twin of the
+  batch X1 exact-dedup path.
+
+Both have batch twins in this module; tests assert stream == batch
+through a checkpointed ``availableNow`` run, matching the discipline of
+the other streaming twins (loganalytics/stateful/funnel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ATTRIBUTION_GAP_SECONDS = 600
+
+
+def _split_clicks_purchases(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    return clicks, purchases
+
+
+def _attribution_condition():
+    return (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("c_ts") + F.expr(f"INTERVAL {ATTRIBUTION_GAP_SECONDS} SECONDS")
+        )
+    )
+
+
+def _attribution_select(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+    )
+
+
+def attribution_join_stream(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: purchases attributed to every click by
+    the same user within the preceding ATTRIBUTION_GAP_SECONDS. Both
+    sides carry a watermark and the join condition bounds p_ts relative
+    to c_ts, so click state expires at watermark + gap and purchase
+    state at watermark — bounded state regardless of stream length."""
+    clicks, purchases = _split_clicks_purchases(events_stream)
+    return _attribution_select(
+        clicks.withWatermark("c_ts", watermark).join(
+            purchases.withWatermark("p_ts", watermark),
+            _attribution_condition(),
+        )
+    )
+
+
+def attribution_join_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: identical predicate over the finished table."""
+    clicks, purchases = _split_clicks_purchases(events)
+    return _attribution_select(clicks.join(purchases, _attribution_condition()))
+
+
+def dedup_events_stream(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Keep the first arrival per event_id; duplicates arriving within
+    the watermark horizon are suppressed, and per-key state is dropped
+    once the watermark passes it (bounded memory under replay storms)."""
+    return events_stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def dedup_events_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: one row per event_id (ties broken arbitrarily — the
+    stream keeps the first ARRIVAL, which on a replayed identical row
+    is value-identical)."""
+    return events.dropDuplicates(["event_id"])

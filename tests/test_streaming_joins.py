@@ -1,0 +1,106 @@
+"""Stream-stream join and watermarked-dedup twins: the streaming
+operators must converge to their batch twins through checkpointed
+``availableNow`` runs, including across a restart."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from data_engineering_course_project_2023_spark.streaming import joins
+
+_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def _write(spark, path, rows):
+    spark.createDataFrame(rows, _SCHEMA).coalesce(1).write.mode("append").parquet(
+        path
+    )
+
+
+def _run(stream_df, ckpt, out):
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+
+def test_attribution_stream_equals_batch(spark, tmp_path):
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    t = datetime(2024, 1, 1, 10, 0)
+
+    def at(minute):
+        return t.replace(minute=minute)
+
+    rows = [
+        (1, at(0), 7, "click", 0.0),
+        (2, at(5), 7, "purchase", 9.99),   # 300 s after click 1 → match
+        (3, at(20), 7, "purchase", 5.00),  # 1200 s after click 1 → no match
+        (4, at(1), 8, "click", 0.0),
+        (5, at(2), 8, "click", 0.0),
+        (6, at(9), 8, "purchase", 1.25),   # within gap of BOTH clicks
+        (7, at(3), 9, "purchase", 2.50),   # user 9 never clicked
+    ]
+    _write(spark, src, rows)
+
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    _run(joins.attribution_join_stream(stream), ckpt, out)
+
+    got = sorted(
+        (r["purchase_id"], r["click_id"], r["user_id"], r["gap_seconds"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"], r["user_id"], r["gap_seconds"])
+        for r in joins.attribution_join_batch(
+            spark.createDataFrame(rows, _SCHEMA)
+        ).collect()
+    )
+    assert got == want
+    assert (6, 4, 8, 480) in got and (6, 5, 8, 420) in got
+    assert all(p != 3 and p != 7 for p, *_ in got)
+
+
+def test_dedup_stream_suppresses_replays_across_restart(spark, tmp_path):
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    t = datetime(2024, 1, 1, 10, 0)
+
+    # batch 1: event 1 replayed twice, event 2 once
+    _write(
+        spark,
+        src,
+        [
+            (1, t, 7, "click", 1.0),
+            (1, t, 7, "click", 1.0),
+            (2, t.replace(minute=1), 8, "view", 2.0),
+        ],
+    )
+    stream = spark.readStream.schema(_SCHEMA).parquet(src)
+    _run(joins.dedup_events_stream(stream), ckpt, out)
+
+    # batch 2 after restart: event 2 replayed (state still within the
+    # watermark horizon → suppressed) plus a fresh event 3
+    _write(
+        spark,
+        src,
+        [
+            (2, t.replace(minute=1), 8, "view", 2.0),
+            (3, t.replace(minute=2), 9, "purchase", 3.0),
+        ],
+    )
+    stream2 = spark.readStream.schema(_SCHEMA).parquet(src)
+    _run(joins.dedup_events_stream(stream2), ckpt, out)
+
+    got = sorted(r["event_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+    batch = joins.dedup_events_batch(
+        spark.read.parquet(src)
+    ).select("event_id")
+    assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
