@@ -122,15 +122,18 @@ def ngram_jaccard_pairs(
     at scale; staging is the explicit alternative, not a cache.
     """
     sh = shingles(df, text_col, id_col, n)
+    if stage_dir is not None:
+        # stage BEFORE the df-count pass: the explode/tokenize work runs
+        # exactly once; df_counts, the anti-join probe, sizes and both
+        # self-join sides all scan the cheap 2-column parquet stage
+        sh.write.mode("overwrite").parquet(stage_dir)
+        sh = df.sparkSession.read.parquet(stage_dir)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
             sh.join(F.broadcast(df_counts.filter(F.col("df") > max_df)),
                     "shingle", "left_anti")
         )
-    if stage_dir is not None:
-        sh.write.mode("overwrite").parquet(stage_dir)
-        sh = df.sparkSession.read.parquet(stage_dir)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

