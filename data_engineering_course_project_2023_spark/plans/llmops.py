@@ -1381,3 +1381,73 @@ SELECT *,
        (flag_n_words AND flag_mean_len AND flag_stop AND flag_unique) AS keep
 FROM f
 """
+
+
+# --- X4i: vocabulary fit + id-encoding ----------------------------------------
+VOCAB_SIZE = 24
+
+
+def vocab_encode(t: Tables) -> DataFrame:
+    """X4: tokenizer-style vocab fit + transform — build the top-V
+    term vocabulary (freq desc, term asc tiebreak; ids 1..V, 0 = OOV)
+    and encode every document as its token-id array in token order.
+    The vocab is dimension-sized (even at 100 TB a vocabulary is
+    ~100k rows), so the global rank runs on the tiny term-frequency
+    aggregate and the encode join broadcasts the vocab — the corpus
+    shuffles once, on doc_id, to re-assemble the arrays."""
+    from pyspark.sql.window import Window
+
+    docs = spread(t["documents"])
+    toks = docs.select(
+        "doc_id", F.posexplode(textops.tokens("text")).alias("pos", "term")
+    )
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    vocab = (
+        freq.withColumn("id", F.row_number().over(w))
+        .filter(F.col("id") <= VOCAB_SIZE)
+        .select("term", F.col("id").cast("int").alias("id"))
+    )
+    enc = (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .withColumn("id", F.coalesce(F.col("id"), F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "id"))),
+                lambda s: s["id"],
+            ).alias("token_ids"),
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(F.when(F.col("id") == 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+        )
+    )
+    return enc
+
+
+VOCAB_ENCODE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+), tt AS (
+  SELECT doc_id, unnest(range(1, len(w) + 1)) AS pos, w AS w FROM base
+), toks AS (
+  SELECT doc_id, pos, w[pos] AS term FROM tt
+), freq AS (
+  SELECT term, COUNT(*) AS freq FROM toks GROUP BY 1
+), vocab AS (
+  SELECT term, CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS INTEGER)
+           AS id
+  FROM freq
+  QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, term) <= {VOCAB_SIZE}
+)
+SELECT doc_id,
+       list(COALESCE(v.id, 0) ORDER BY pos) AS token_ids,
+       CAST(COUNT(*) AS INTEGER) AS n_tokens,
+       CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_oov
+FROM toks LEFT JOIN vocab v USING (term)
+GROUP BY doc_id
+"""

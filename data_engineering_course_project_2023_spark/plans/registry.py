@@ -650,6 +650,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "§2.6 click→purchase attribution (batch twin of the stream-stream join)",
     ),
+    "vocab_encode": Query(
+        llmops.vocab_encode,
+        llmops.VOCAB_ENCODE_SQL,
+        ("documents",),
+        "X4 vocab fit (top-V by freq) + token-id encoding (0 = OOV)",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,

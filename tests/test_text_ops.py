@@ -338,3 +338,28 @@ def test_gopher_quality_rules(spark):
     assert got[3]["keep"] is False and got[3]["flag_mean_len"] is False
     assert got[4]["keep"] is False and got[4]["flag_stop"] is False
     assert got[5]["keep"] is False and got[5]["flag_unique"] is False
+
+
+def test_vocab_encode_ids_and_oov(spark):
+    """Vocab ids rank by (freq desc, term asc); OOV encodes as 0; the
+    id array preserves token order."""
+    import data_engineering_course_project_2023_spark.plans.llmops as llmops
+
+    orig = llmops.VOCAB_SIZE
+    llmops.VOCAB_SIZE = 2
+    try:
+        docs = spark.createDataFrame(
+            [
+                (1, "b b a a c"),   # freq: a=2+1, b=2+1 → tie → a first
+                (2, "a b rare"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in llmops.vocab_encode({"documents": docs}).collect()}
+    finally:
+        llmops.VOCAB_SIZE = orig
+    # a and b both appear 3× → tie broken by term: a=1, b=2; c/rare OOV
+    assert got[1]["token_ids"] == [2, 2, 1, 1, 0]
+    assert got[1]["n_tokens"] == 5 and got[1]["n_oov"] == 1
+    assert got[2]["token_ids"] == [1, 2, 0]
+    assert got[2]["n_oov"] == 1
