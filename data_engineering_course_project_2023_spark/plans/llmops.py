@@ -1451,3 +1451,55 @@ SELECT doc_id,
 FROM toks LEFT JOIN vocab v USING (term)
 GROUP BY doc_id
 """
+
+
+# --- X4j: per-stratum quality percentile filter -------------------------------
+def quality_top_half(t: Tables) -> DataFrame:
+    """X4: keep each language's top-half documents by quality score —
+    the stratified version of percentile curation (a global cut would
+    let a high-resource language crowd out the rest of the mixture).
+    percent_rank = (rank-1)/(n-1) is int/int, bit-identical across
+    engines; ties keep doc_id as the deterministic tiebreak. One
+    shuffle on lang (the window), then a filter — no join."""
+    from pyspark.sql.window import Window
+
+    docs = t["documents"]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        textops.quality_score("text").alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.asc("quality"), F.asc("doc_id"))
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select("doc_id", "lang", "quality", "pr")
+    )
+
+
+QUALITY_TOP_HALF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, lang, text,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(toks, x -> lower(x) IN ({_STOPS}))) AS DOUBLE)
+           / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+         CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / CAST(length(text) AS DOUBLE) AS alpha_ratio
+  FROM base
+), scored AS (
+  SELECT doc_id, lang,
+         (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+           + stop_ratio + alpha_ratio AS quality
+  FROM m
+)
+SELECT doc_id, lang, quality,
+       PERCENT_RANK() OVER (PARTITION BY lang
+                            ORDER BY quality ASC, doc_id ASC) AS pr
+FROM scored
+QUALIFY PERCENT_RANK() OVER (PARTITION BY lang
+                             ORDER BY quality ASC, doc_id ASC) >= 0.5
+"""

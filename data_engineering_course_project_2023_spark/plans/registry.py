@@ -656,6 +656,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 vocab fit (top-V by freq) + token-id encoding (0 = OOV)",
     ),
+    "quality_top_half": Query(
+        llmops.quality_top_half,
+        llmops.QUALITY_TOP_HALF_SQL,
+        ("documents",),
+        "X4 per-language top-half quality percentile filter",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,
