@@ -1082,3 +1082,106 @@ FROM (
 )
 GROUP BY 1
 """
+
+
+# --- A10: fixed-point PageRank over the trade graph ---------------------------
+PR_SCALE = 10**12
+PR_ITERS = 3
+_SUPP_OFFSET = 10**9
+
+
+def pagerank_trade(t: Tables) -> DataFrame:
+    """A10: PageRank over the customer→supplier trade graph (edge =
+    customer ordered from supplier at least once), 3 fixed rounds,
+    damping 0.85.
+
+    Rank mass is held in integer micro-units (pr * 1e12) and every
+    update is integer arithmetic — ``pr DIV deg`` contributions, exact
+    BIGINT sums, ``(85*s) DIV 100`` damping — so the result is
+    bit-identical under ANY partitioning and the iterative algorithm is
+    exact-checked against an unrolled DuckDB twin (float PageRank sums
+    would be partition-order dependent and uncheckable). Suppliers are
+    sinks; their mass exits (standard simplified PageRank). Per-round
+    localCheckpoint truncates lineage; the node-count probe is a
+    dimension-sized driver action like the CC convergence probe."""
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    n = nodes.count()
+    init = PR_SCALE // n
+    base = (15 * init) // 100
+    pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(
+            pr, edges_deg["src"] == pr["node"]
+        ).select("dst", F.expr("pr DIV deg").alias("c"))
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(insum, nodes["node"] == insum["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select(
+        "node",
+        F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("node_type"),
+        F.col("pr").alias("pr_units"),
+    )
+
+
+def _pagerank_round(k: int) -> str:
+    return f"""c{k} AS (
+  SELECT e.dst, SUM(p.pr // d.deg) AS s
+  FROM edges e JOIN deg d USING (src) JOIN pr{k - 1} p ON p.node = e.src
+  GROUP BY 1
+), pr{k} AS (
+  SELECT nd.node,
+         CAST((SELECT base FROM consts)
+              + (85 * COALESCE(c{k}.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes nd LEFT JOIN c{k} ON c{k}.dst = nd.node
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+), consts AS (
+  SELECT ({PR_SCALE} // COUNT(*)) AS init,
+         (15 * ({PR_SCALE} // COUNT(*))) // 100 AS base
+  FROM nodes
+), pr0 AS (
+  SELECT node, CAST((SELECT init FROM consts) AS BIGINT) AS pr FROM nodes
+), {", ".join(_pagerank_round(k) for k in range(1, PR_ITERS + 1))}
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       pr AS pr_units
+FROM pr{PR_ITERS}
+"""

@@ -662,6 +662,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 per-language top-half quality percentile filter",
     ),
+    "pagerank_trade": Query(
+        analytics.pagerank_trade,
+        analytics.PAGERANK_SQL,
+        ("lineitem", "orders"),
+        "A10 fixed-point PageRank over the customer→supplier graph (exact-checked iteration)",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,

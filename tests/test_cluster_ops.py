@@ -112,3 +112,48 @@ def test_tfidf_ranks_rare_terms(spark):
     # doc 1's top term is the tf=3 doc-unique one
     assert top[1][0][0] == "rare1"
     assert top[2][0][0] == "unique2"
+
+
+def test_pagerank_fixed_point_semantics(spark):
+    """Fixed-point PageRank on a hand-checkable graph: two customers,
+    two suppliers; c1 buys from both suppliers, c2 only from s1 — s1
+    must outrank s2, customers (no in-edges) hold the base mass, and
+    every unit matches the driver-side integer recurrence exactly."""
+    from data_engineering_course_project_2023_spark.plans.analytics import (
+        PR_ITERS,
+        PR_SCALE,
+        _SUPP_OFFSET,
+        pagerank_trade,
+    )
+
+    li = spark.createDataFrame(
+        [(100, 11), (100, 12), (200, 11)],
+        "l_orderkey long, l_suppkey long",
+    )
+    o = spark.createDataFrame(
+        [(100, 1), (200, 2)], "o_orderkey long, o_custkey long"
+    )
+    got = {
+        r["node"]: (r["node_type"], r["pr_units"])
+        for r in pagerank_trade({"lineitem": li, "orders": o}).collect()
+    }
+
+    # reference recurrence in plain ints
+    edges = {1: [11 + _SUPP_OFFSET, 12 + _SUPP_OFFSET], 2: [11 + _SUPP_OFFSET]}
+    nodes = [1, 2, 11 + _SUPP_OFFSET, 12 + _SUPP_OFFSET]
+    init = PR_SCALE // len(nodes)
+    base = (15 * init) // 100
+    pr = {v: init for v in nodes}
+    for _ in range(PR_ITERS):
+        s = {v: 0 for v in nodes}
+        for u, outs in edges.items():
+            for v in outs:
+                s[v] += pr[u] // len(outs)
+        pr = {v: base + (85 * s[v]) // 100 for v in nodes}
+
+    assert got == {
+        v: ("supplier" if v >= _SUPP_OFFSET else "customer", pr[v])
+        for v in nodes
+    }
+    assert got[11 + _SUPP_OFFSET][1] > got[12 + _SUPP_OFFSET][1]
+    assert got[1][1] == base

@@ -86,3 +86,21 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         if bad:
             offenders[name] = bad
     assert not offenders, offenders
+
+
+def test_chunking_and_quality_rules_are_map_side(spark):
+    """chunk_for_rag / gopher_quality must plan as pure map work: no
+    hash-partition exchange anywhere (chunk_for_rag's only exchange is
+    the spread() round-robin rebalance)."""
+    plan = plan_of(registry.run_query("chunk_for_rag", spark, SF_CORRECT))
+    assert "hashpartitioning" not in plan
+    plan = plan_of(registry.run_query("gopher_quality", spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark):
+    """The dimension-sized vocabulary must broadcast into the encode
+    join — the corpus side never sort-merges."""
+    plan = plan_of(registry.run_query("vocab_encode", spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
