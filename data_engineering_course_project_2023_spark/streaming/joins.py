@@ -106,3 +106,41 @@ def dedup_events_batch(events: DataFrame) -> DataFrame:
     stream keeps the first ARRIVAL, which on a replayed identical row
     is value-identical)."""
     return events.dropDuplicates(["event_id"])
+
+
+def stream_to_jdbc(
+    stream_df: DataFrame,
+    table: str,
+    url: str,
+    checkpoint: str,
+    batchsize: int = 10_000,
+    num_partitions: int | None = None,
+    properties: dict[str, str] | None = None,
+):
+    """Streaming→warehouse sink via ``foreachBatch``: each micro-batch
+    runs the same batch JDBC append as ``sources.writers.write_jdbc``
+    (batch-INSERT size + connection-capping coalesce), and the
+    checkpoint records the committed batch id, so a restarted query
+    re-delivers at-least-once and an idempotent/keyed target table
+    upgrades that to exactly-once — the standard Structured Streaming
+    warehouse-loading pattern (there is no native streaming JDBC sink).
+    """
+    from ..sources.writers import write_jdbc
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_jdbc(
+            batch_df,
+            table,
+            url,
+            mode="append",
+            batchsize=batchsize,
+            num_partitions=num_partitions,
+            properties=properties,
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -104,3 +104,39 @@ def test_dedup_stream_suppresses_replays_across_restart(spark, tmp_path):
         spark.read.parquet(src)
     ).select("event_id")
     assert sorted(r["event_id"] for r in batch.collect()) == [1, 2, 3]
+
+
+def test_stream_to_jdbc_loads_warehouse(spark, tmp_path):
+    """foreachBatch streaming load into embedded Derby: all rows land;
+    a checkpointed re-run with no new input writes nothing more
+    (committed batch ids are not re-executed)."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ck")
+    t = datetime(2024, 1, 1, 10, 0)
+    _write(spark, src, [(1, t, 7, "click", 1.0), (2, t, 8, "view", 2.0)])
+
+    url = "jdbc:derby:memory:graftstream;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    stream = spark.readStream.schema(_SCHEMA).parquet(src).select(
+        "event_id", "user_id", "event_type"
+    )
+    q = joins.stream_to_jdbc(stream, "fact_events", url, ckpt, properties=props)
+    q.awaitTermination(120)
+
+    def read_back():
+        return sorted(
+            r["event_id"]
+            for r in spark.read.format("jdbc")
+            .options(url=url, dbtable="fact_events", **props)
+            .load()
+            .collect()
+        )
+
+    assert read_back() == [1, 2]
+
+    # restart with no new data: nothing re-appended
+    stream2 = spark.readStream.schema(_SCHEMA).parquet(src).select(
+        "event_id", "user_id", "event_type"
+    )
+    q2 = joins.stream_to_jdbc(stream2, "fact_events", url, ckpt, properties=props)
+    q2.awaitTermination(120)
+    assert read_back() == [1, 2]
