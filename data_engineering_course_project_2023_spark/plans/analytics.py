@@ -1185,3 +1185,68 @@ SELECT node,
        pr AS pr_units
 FROM pr{PR_ITERS}
 """
+
+
+# --- A11: triangle counting ---------------------------------------------------
+def triangle_counts(t: Tables) -> DataFrame:
+    """A11: per-node triangle participation in the part co-order graph
+    (edges = canonical copair pairs with weight ≥ 2, as in
+    copair_components). The a<b<c edge orientation enumerates each
+    triangle exactly once, so the two self-joins stay linear in the
+    wedge count — the standard distributed triangle algorithm (no
+    per-node adjacency materialization). The edge list is orders of
+    magnitude smaller than lineitem; the joins shuffle only edges."""
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("na"),
+            F.col("e1.dst").alias("nb"),
+            F.col("e2.dst").alias("nc"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("na", "nb", "nc")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+TRIANGLE_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), edges AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), tri AS (
+  SELECT e1.src AS na, e1.dst AS nb, e2.dst AS nc
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.dst
+  JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT node, COUNT(*) AS n_triangles
+FROM (SELECT unnest([na, nb, nc]) AS node FROM tri)
+GROUP BY 1
+"""

@@ -668,6 +668,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "orders"),
         "A10 fixed-point PageRank over the customer→supplier graph (exact-checked iteration)",
     ),
+    "triangle_counts": Query(
+        analytics.triangle_counts,
+        analytics.TRIANGLE_SQL,
+        ("lineitem",),
+        "A11 per-node triangle participation in the co-order graph",
+    ),
     # --- reference-parity cleaning suite on a shared literal fixture ---
     "arxiv_clean_silver": Query(
         arxiv_clean.arxiv_clean_query,

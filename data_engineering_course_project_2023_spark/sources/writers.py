@@ -91,3 +91,36 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S6-analog: columnar ORC sink (zlib by default; stripe-level
     stats make the output pushdown-scannable like parquet)."""
     df.write.mode(mode).orc(path)
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dest_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory
+    into ceil(input_bytes / target_bytes) files (default 128 MB — the
+    advisory scan-partition size). The small-files problem is the #1
+    operational degradation of long-running ingest at scale: a 100 TB
+    table accreted in 10k-row micro-batches pays per-file open/footer
+    costs and floods the driver's file index. Sizing from actual bytes
+    (not a fixed count) keeps the same call correct at any scale.
+    Returns the part count written."""
+    import math
+
+    from py4j.java_gateway import java_import
+
+    df = spark.read.parquet(src_dir)
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    path = jvm.Path(src_dir)
+    fs = path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(path)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_parts = max(1, math.ceil(total / target_bytes))
+    df.repartition(n_parts).write.mode("overwrite").parquet(dest_dir)
+    return n_parts

@@ -157,3 +157,25 @@ def test_pagerank_fixed_point_semantics(spark):
     }
     assert got[11 + _SUPP_OFFSET][1] > got[12 + _SUPP_OFFSET][1]
     assert got[1][1] == base
+
+
+def test_triangle_counts_enumeration(spark):
+    """K4 on parts {1,2,3,4} minus edge (2,3): triangles (1,2,4),
+    (1,3,4) — node 1 and 4 in two each, 2 and 3 in one. Edges need
+    co-occurrence in ≥2 orders, so each pair appears twice."""
+    from data_engineering_course_project_2023_spark.plans.analytics import (
+        triangle_counts,
+    )
+
+    pairs = [(1, 2), (1, 3), (1, 4), (2, 4), (3, 4)]
+    rows = []
+    for i, (x, y) in enumerate(pairs):
+        for rep in (0, 1):
+            okey = 1000 + i * 10 + rep
+            rows += [(okey, x), (okey, y)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_counts({"lineitem": li}).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1, 4: 2}

@@ -151,3 +151,42 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "bucket" in plan
     assert back.count() == 20
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """20 micro-batch files compact to the byte-sized part count (1
+    here) with identical data."""
+    from data_engineering_course_project_2023_spark.sources.writers import (
+        compact_parquet,
+    )
+
+    src, dest = str(tmp_path / "frag"), str(tmp_path / "compact")
+    for i in range(20):
+        spark.range(i * 10, (i + 1) * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    import glob
+
+    assert len(glob.glob(src + "/*.parquet")) == 20
+    n = compact_parquet(spark, src, dest)
+    assert n == 1
+    assert len(glob.glob(dest + "/*.parquet")) == 1
+    assert sorted(r["id"] for r in spark.read.parquet(dest).collect()) == list(
+        range(200)
+    )
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """A widened batch (new column) reads back as one unified scan with
+    mergeSchema; old rows surface NULL for the new column."""
+    path = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "append"
+    ).parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(back.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in back.collect()}
+    assert got == {1: None, 2: 9.5}
