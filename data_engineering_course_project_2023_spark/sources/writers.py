@@ -124,3 +124,24 @@ def compact_parquet(
     n_parts = max(1, math.ceil(total / target_bytes))
     df.repartition(n_parts).write.mode("overwrite").parquet(dest_dir)
     return n_parts
+
+
+def write_sorted_ranges(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_parts: int,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered export: repartitionByRange gives globally
+    range-disjoint files, sortWithinPartitions orders rows inside each
+    — together a total ordering on disk without a single-reducer global
+    sort. Downstream scans with a predicate on the sort column touch
+    one file's range (min/max footer stats prune the rest), and
+    merge-style consumers can stream the files in order."""
+    (
+        df.repartitionByRange(num_parts, sort_col)
+        .sortWithinPartitions(sort_col)
+        .write.mode(mode)
+        .parquet(path)
+    )

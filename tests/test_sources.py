@@ -190,3 +190,48 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     assert set(back.columns) == {"id", "v", "score"}
     got = {r["id"]: r["score"] for r in back.collect()}
     assert got == {1: None, 2: 9.5}
+
+
+def test_write_sorted_ranges_disjoint_files(spark, tmp_path):
+    """Files are range-disjoint and internally sorted — the layout that
+    makes min/max pruning effective."""
+    import glob
+
+    from data_engineering_course_project_2023_spark.sources.writers import (
+        write_sorted_ranges,
+    )
+
+    path = str(tmp_path / "sorted")
+    df = spark.range(1000).withColumn("k", (F.col("id") * 37) % 1000)
+    write_sorted_ranges(df, path, "k", num_parts=4)
+    files = sorted(glob.glob(path + "/*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        vals = [r["k"] for r in spark.read.parquet(f).collect()]
+        assert vals == sorted(vals)  # sorted inside the file
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2  # disjoint across files
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """With partitionOverwriteMode=dynamic, an overwrite write replaces
+    only the partitions present in the incoming frame — the
+    reprocess-one-day pattern; static mode would drop the whole table."""
+    path = str(tmp_path / "days")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], "day string, v int"
+    )
+    base.write.partitionBy("day").parquet(path)
+    fix = spark.createDataFrame([("2024-01-02", 99)], "day string, v int")
+    (
+        fix.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    # partition values read back type-inferred (string → date)
+    got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
