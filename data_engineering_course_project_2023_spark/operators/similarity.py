@@ -214,7 +214,27 @@ def _argmin_expr(cent_list: list[tuple[int, list[float]]]) -> Column:
     )
 
 
+_KMEANS_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
 def _kmeans_list(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    files = tuple(sorted(df.inputFiles()))
+    key = (files, k, n_iter, id_col, vec_col)
+    if files and key in _KMEANS_CACHE:
+        return _KMEANS_CACHE[key]
+    out = _kmeans_list_uncached(df, k, n_iter, id_col, vec_col)
+    if files:
+        _KMEANS_CACHE[key] = out
+    return out
+
+
+def _kmeans_list_uncached(
     df: DataFrame,
     k: int = 8,
     n_iter: int = 3,
@@ -583,4 +603,126 @@ def semdedup_keep(
         spread(df)
         .join(dups, id_col, "left_anti")
         .select(id_col, block_col)
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    shortlist: int = 100,
+    n_probe: int = 2,
+    n_clusters: int = 8,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """X3g: the full FAISS IVFADC layout — coarse IVF quantizer prunes
+    to ``n_probe`` cells, PQ codes over the *residuals* (v − cell
+    centroid) give the compressed in-cell representation, ADC scores
+    the probed cells with a per-cell distance table (the query residual
+    differs per cell), and the shortlist gets an exact cosine rerank.
+
+    Scale shape: both codebooks are driver-held constants (coarse
+    k·dim + PQ m·k·d_sub doubles); assignment, residual encoding and
+    ADC scoring are zero-shuffle map expressions; the only ordering
+    work is TakeOrdered of the shortlist then of topk. At 100 TB the
+    encoded (centroid_id, codes) frame is the persisted index —
+    partitioned by centroid_id so a probe scans only matching
+    partitions — and search never touches raw vectors except to rerank
+    the shortlist."""
+    cent_list = _kmeans_list(df, k=n_clusters, id_col=id_col, vec_col=vec_col)
+    d_sub_dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    d_sub = d_sub_dim // m
+
+    # residual frame: v − assigned cell centroid, via a literal
+    # cid→centroid lookup folded into the expression
+    cent_lookup = ", ".join(
+        "struct({} AS cid, array({}) AS c)".format(
+            int(cid), ",".join(repr(float(x)) + "D" for x in c)
+        )
+        for cid, c in cent_list
+    )
+    vecs = spread(df).select(
+        id_col, F.col(vec_col).cast("array<double>").alias("v")
+    )
+    assigned = vecs.withColumn("centroid_id", _argmin_expr(cent_list)).withColumn(
+        "resid",
+        F.expr(
+            f"""zip_with(v, filter(array({cent_lookup}),
+                         s -> s.cid = centroid_id)[0].c,
+                         (a, b) -> a - b)"""
+        ),
+    ).localCheckpoint()
+
+    # PQ codebook trained on residuals (the canonical IVFADC encoding);
+    # memoized on the ORIGINAL input's files — the checkpointed residual
+    # frame has no inputFiles for _pq_train's own cache to key on
+    files = tuple(sorted(df.inputFiles()))
+    pq_key = (files, "ivfpq-resid", n_clusters, m, k, id_col, vec_col)
+    if files and pq_key in _PQ_CODEBOOK_CACHE:
+        cents_pq = _PQ_CODEBOOK_CACHE[pq_key]
+    else:
+        cents_pq = _pq_train(
+            assigned.select(id_col, "resid"), m, k, 2, id_col, "resid"
+        )
+        if files:
+            _PQ_CODEBOOK_CACHE[pq_key] = cents_pq
+
+    qrow = df.filter(F.col(id_col) == query_vec_id).select(
+        F.col(vec_col).cast("array<double>").alias("v")
+    )
+    qv = list(qrow.first()["v"])
+    qdists = sorted(
+        (sum((a - b) * (a - b) for a, b in zip(qv, c)), cid)
+        for cid, c in cent_list
+    )
+    probe_ids = [cid for _, cid in qdists[:n_probe]]
+    cent_by_id = dict(cent_list)
+
+    # per-probed-cell ADC table over the query's residual in that cell
+    def _adc_for_cell(cid: int) -> str:
+        qr = [a - b for a, b in zip(qv, cent_by_id[cid])]
+        table = [
+            [
+                sum(
+                    (qr[j * d_sub + p] - cents_pq[j][c][p]) ** 2
+                    for p in range(d_sub)
+                )
+                for c in range(k)
+            ]
+            for j in range(m)
+        ]
+        tbl = ", ".join(
+            "array({})".format(",".join(repr(float(x)) + "D" for x in row))
+            for row in table
+        )
+        return (
+            f"aggregate(zip_with(array({tbl}), codes, "
+            f"(t, c) -> element_at(t, c + 1)), 0.0D, (acc, x) -> acc + x)"
+        )
+
+    adc_case = "CASE " + " ".join(
+        f"WHEN centroid_id = {cid} THEN ({_adc_for_cell(cid)})"
+        for cid in probe_ids
+    ) + " END"
+
+    # _pq_assign_expr reads column `v`; point it at the residuals
+    coded = (
+        assigned.filter(F.col("centroid_id").isin(probe_ids))
+        .filter(F.col(id_col) != query_vec_id)
+        .withColumnRenamed("v", "_raw")
+        .withColumnRenamed("resid", "v")
+        .withColumn("codes", _pq_assign_expr(cents_pq, d_sub))
+        .withColumn("adc_dist", F.expr(adc_case))
+    )
+    qarr = F.expr("array({})".format(",".join(repr(float(x)) + "D" for x in qv)))
+    short = coded.orderBy(F.asc("adc_dist"), F.asc(id_col)).limit(shortlist)
+    return (
+        short.select(
+            id_col, F.round(cosine(F.col("_raw"), qarr), 6).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(topk)
     )

@@ -1503,3 +1503,11 @@ FROM scored
 QUALIFY PERCENT_RANK() OVER (PARTITION BY lang
                              ORDER BY quality ASC, doc_id ASC) >= 0.5
 """
+
+
+# --- X3g: IVF + PQ composite search -------------------------------------------
+def ivfpq_topk_query(t: Tables) -> DataFrame:
+    """X3g: IVFADC — coarse probe + residual-PQ ADC shortlist + exact
+    rerank (rows-only: the two codebook trainings are engine-internal;
+    recall vs brute force and determinism are pinned in pytest)."""
+    return similarity.ivfpq_topk(t["embeddings"])

@@ -479,6 +479,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X3c IVF (deterministic k-means) probe search — rows-only",
     ),
+    "ivfpq_topk": Query(
+        llmops.ivfpq_topk_query,
+        None,
+        ("embeddings",),
+        "X3g IVFADC: coarse probe + residual-PQ ADC + exact rerank — rows-only",
+    ),
     # --- multimodal plumbing through mapInPandas, oracle-checked ---
     "multimodal_features": Query(
         llmops.multimodal_features,

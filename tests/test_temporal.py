@@ -209,3 +209,28 @@ def test_pq_codes_and_adc_recall(spark):
         r["vec_id"] for r in similarity.pq_topk(emb, query_vec_id=0, topk=10).collect()
     ]
     assert pq == pq2
+
+
+def test_ivfpq_recall_and_determinism(spark):
+    """IVFADC (coarse probe + residual-PQ ADC + exact rerank) recovers
+    >=0.7 of the exact top-10 despite scanning only ~2/8 cells, and
+    re-running yields an identical ranking (both codebooks are
+    deterministic)."""
+    from data_engineering_course_project_2023_spark.operators import similarity
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = [
+        r["vec_id"]
+        for r in similarity.brute_force_topk(emb, query_vec_id=0, k=10).collect()
+    ]
+    got = similarity.ivfpq_topk(emb, query_vec_id=0, topk=10).collect()
+    ids = [r["vec_id"] for r in got]
+    assert len(ids) == 10
+    assert len(set(exact) & set(ids)) / 10 >= 0.7
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in got)
+    ids2 = [
+        r["vec_id"]
+        for r in similarity.ivfpq_topk(emb, query_vec_id=0, topk=10).collect()
+    ]
+    assert ids == ids2
