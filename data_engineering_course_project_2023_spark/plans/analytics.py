@@ -1250,3 +1250,115 @@ SELECT node, COUNT(*) AS n_triangles
 FROM (SELECT unnest([na, nb, nc]) AS node FROM tri)
 GROUP BY 1
 """
+
+
+# --- materialized-aggregate maintenance (partial-agg merge) -------------------
+def incremental_agg_merge(t: Tables) -> DataFrame:
+    """Incremental materialized-view maintenance: the gold aggregate is
+    kept as MERGEABLE partials (decimal sum + count) so a new
+    partition's delta folds into the stored state with a delta-sized
+    agg instead of a full recompute — the warehouse-refresh pattern the
+    reference re-runs populate_DWH for on every DAG cycle (ref:
+    src/airflow/dags/populate_DWH.py full-reload loop). Spelled here as
+    base(<cut) ⊎ delta(>=cut) merged and proven equal to the one-shot
+    aggregate by the oracle. AVG is re-derived from merged sum/count —
+    the reason avg itself is never the stored state. Decimal partials
+    make the merge exact under any partitioning/arrival order."""
+    orders = t["orders"]
+    cut = F.lit("1996-01-01").cast("timestamp_ntz")
+
+    def _partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").alias("order_year"), "o_orderpriority"
+        ).agg(
+            F.sum(money("o_totalprice")).alias("_sum"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+
+    merged = (
+        _partial(orders.filter(F.col("o_orderdate") < cut))
+        .unionByName(_partial(orders.filter(F.col("o_orderdate") >= cut)))
+        .groupBy("order_year", "o_orderpriority")
+        .agg(F.sum("_sum").alias("_sum"), F.sum("_n").alias("_n"))
+    )
+    return merged.select(
+        "order_year",
+        "o_orderpriority",
+        F.col("_n").alias("n_orders"),
+        F.col("_sum").cast("double").alias("total_price"),
+        (F.col("_sum").cast("double") / F.col("_n")).alias("avg_price"),
+    )
+
+
+INCREMENTAL_AGG_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+         AS avg_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --- Z-order (Morton) clustering keys -----------------------------------------
+def _morton_sql(k1: str, k2: str, bits: int, spark_dialect: bool) -> str:
+    """Bit-interleave expression for (k1, k2) & (2^bits−1), emitted in
+    either Spark SQL (shiftleft/shiftright functions) or DuckDB
+    (<< / >> operators) spelling — same arithmetic, same result."""
+    terms = []
+    for i in range(bits):
+        if spark_dialect:
+            terms.append(
+                f"shiftleft(shiftright({k1}, {i}) & 1, {2 * i + 1})"
+                f" + shiftleft(shiftright({k2}, {i}) & 1, {2 * i})"
+            )
+        else:
+            terms.append(
+                f"((({k1} >> {i}) & 1) << {2 * i + 1})"
+                f" + ((({k2} >> {i}) & 1) << {2 * i})"
+            )
+    return " + ".join(terms)
+
+
+def zorder_keys(t: Tables) -> DataFrame:
+    """Z-order (Morton) clustering: interleave 16 bits of l_orderkey ×
+    l_partkey into one sort key so a single range-clustered layout
+    serves point/range predicates on EITHER column — the multi-dim
+    data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER) that plain
+    range-partitioning on one key can't give. Pure codegen bit math,
+    zero shuffle before the bucket agg; per-bucket key spans are the
+    min/max file-skipping stats a writer would persist. At 100 TB the
+    zval is the repartitionByRange + sortWithinPartitions key (see the
+    range-clustered export); this query IS the stats manifest."""
+    li = t["lineitem"].select(
+        (F.col("l_orderkey") % 65536).alias("k1"),
+        (F.col("l_partkey") % 65536).alias("k2"),
+    )
+    zval = F.expr(_morton_sql("k1", "k2", 16, spark_dialect=True))
+    return (
+        li.withColumn("zval", zval)
+        .groupBy(F.shiftright("zval", 22).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("k1").alias("min_k1"),
+            F.max("k1").alias("max_k1"),
+            F.min("k2").alias("min_k2"),
+            F.max("k2").alias("max_k2"),
+        )
+    )
+
+
+ZORDER_KEYS_SQL = f"""
+WITH keyed AS (
+  SELECT l_orderkey % 65536 AS k1, l_partkey % 65536 AS k2 FROM lineitem
+), z AS (
+  SELECT k1, k2, {_morton_sql('k1', 'k2', 16, spark_dialect=False)} AS zval
+  FROM keyed
+)
+SELECT CAST(zval >> 22 AS BIGINT) AS zbucket, COUNT(*) AS n_rows,
+       MIN(k1) AS min_k1, MAX(k1) AS max_k1,
+       MIN(k2) AS min_k2, MAX(k2) AS max_k2
+FROM z GROUP BY 1
+"""

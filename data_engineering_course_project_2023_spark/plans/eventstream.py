@@ -412,3 +412,191 @@ SELECT purchase_id, click_id, p_user AS user_id,
 FROM clicks c JOIN purchases p ON c_user = p_user
 WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 600 SECONDS
 """
+
+
+# --- time-series gap-fill + forward-fill -------------------------------------
+def daily_gapfill(t: Tables) -> DataFrame:
+    """Time-series densification: per event_type daily counts with
+    missing days materialized as 0-rows and the daily value total
+    forward-filled from the last observed day (standard feature-store /
+    monitoring shape the reference's daily ES index rotation implies
+    but never computes; ref: src/logstash/logstash.conf daily indices).
+
+    Scale shape: the calendar explode is bounded by (keys × day-span),
+    tiny next to the event count; one shuffle keys the daily pre-agg
+    and the window reuses that partitioning. Daily values are summed in
+    DECIMAL so the carried value is partition-order independent."""
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("_val"),
+        )
+    )
+    cal = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cal.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("_val", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("carried_value"),
+        )
+    )
+
+
+DAILY_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS val
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), cal AS (
+  SELECT event_type,
+         CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+), joined AS (
+  SELECT c.event_type, c.day, d.n_events, d.val,
+         COUNT(d.val) OVER (PARTITION BY c.event_type ORDER BY c.day
+                            ROWS UNBOUNDED PRECEDING) AS ffgrp
+  FROM cal c LEFT JOIN daily d USING (event_type, day)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       COALESCE(n_events, 0) AS n_events,
+       CAST(MAX(val) OVER (PARTITION BY event_type, ffgrp) AS DOUBLE)
+         AS carried_value
+FROM joined
+"""
+
+
+# --- deterministic stratified sampling ---------------------------------------
+def stratified_sample(t: Tables) -> DataFrame:
+    """Per-stratum deterministic sampling — ``sampleBy`` semantics with
+    a content-key hash instead of an RNG, so the sample is identical
+    across runs, engines, and re-shards (the property a reproducible
+    training-data pipeline needs). Rates per mille: view 50, click 200,
+    everything else kept whole. Pure map filter → partial-agg count."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    rate = (
+        F.when(F.col("event_type") == "view", 50)
+        .when(F.col("event_type") == "click", 200)
+        .otherwise(1000)
+    )
+    return (
+        t["events"]
+        .filter(bucket < rate)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sampled_value"),
+        )
+    )
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT event_type, COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sampled_value
+FROM events
+WHERE CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+      % 1000 < CASE event_type WHEN 'view' THEN 50
+                               WHEN 'click' THEN 200 ELSE 1000 END
+GROUP BY 1
+"""
+
+
+# --- robust outlier detection (discrete median / MAD) ------------------------
+def value_outliers_mad(t: Tables) -> DataFrame:
+    """Robust per-stratum anomaly stats: discrete (lower) median and
+    MAD, and the count of points beyond median ± 3·MAD. The DISCRETE
+    median (element at rank ceil(n/2), not interpolated) is a real data
+    value, so every downstream comparison is over bit-identical doubles
+    on any engine — no interpolation-order epsilon at the threshold.
+
+    Scale shape: two keyed shuffles (rank for the median, rank for the
+    MAD) + two broadcast joins of the per-key medians; never a global
+    sort."""
+    ev = t["events"].select("event_type", "event_id", "value")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        ev.withColumn("_rn", F.row_number().over(wv))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    mad = (
+        dev.withColumn("_rn", F.row_number().over(wd))
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
+        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        .select("event_type", F.col("adev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.max("med"), 6).alias("med"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+    )
+
+
+VALUE_OUTLIERS_SQL = """
+WITH ev AS (SELECT event_type, event_id, value FROM events),
+med AS (
+  SELECT event_type, value AS med FROM (
+    SELECT event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM ev)
+  WHERE rn = floor((n + 1) / 2)
+), dev AS (
+  SELECT ev.event_type, ev.event_id, ev.value, med.med,
+         abs(ev.value - med.med) AS adev
+  FROM ev JOIN med USING (event_type)
+), mad AS (
+  SELECT event_type, adev AS mad FROM (
+    SELECT event_type, adev,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY adev, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY event_type) AS n
+    FROM dev)
+  WHERE rn = floor((n + 1) / 2)
+)
+SELECT dev.event_type,
+       ROUND(MAX(dev.med), 6) AS med,
+       ROUND(MAX(mad.mad), 6) AS mad,
+       CAST(SUM(CASE WHEN dev.adev > 3 * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       COUNT(*) AS n_total
+FROM dev JOIN mad USING (event_type)
+GROUP BY 1
+"""

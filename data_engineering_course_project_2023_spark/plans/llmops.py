@@ -1511,3 +1511,118 @@ def ivfpq_topk_query(t: Tables) -> DataFrame:
     rerank (rows-only: the two codebook trainings are engine-internal;
     recall vs brute force and determinism are pinned in pytest)."""
     return similarity.ivfpq_topk(t["embeddings"])
+
+
+# --- X4h: bigram collocation PMI ----------------------------------------------
+def token_pmi(t: Tables) -> DataFrame:
+    """X4h: collocation extraction — pointwise mutual information of
+    adjacent token pairs, ln(n_ab·N / (n_a·n_b)), the classic phrase /
+    multi-word-expression detector a tokenizer-training pipeline runs
+    before vocab fit. Bigrams come from a map-side ``transform`` over
+    the token array (linear, never a token self-join); the three count
+    frames are token-keyed aggs and the unigram attach joins are
+    broadcast (vocab-sized). N rides along as the standard one-row
+    scalar broadcast. Filter n_ab >= 5 bounds the output; ranking uses
+    the ROUNDED score + pair tiebreak so engine and oracle agree."""
+    docs = spread(t["documents"]).select(
+        "doc_id", textops.tokens("text").alias("toks")
+    )
+    big = docs.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)), "
+                "(x, i) -> struct(x AS a, element_at(toks, i + 2) AS b))"
+            )
+        ).alias("bg")
+    ).select("bg.a", "bg.b")
+    uni = docs.select(F.explode("toks").alias("tok"))
+    n_tot = uni.agg(F.count(F.lit(1)).alias("n_tokens"))
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
+    pairs = (
+        big.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    return (
+        pairs.join(F.broadcast(ucnt.withColumnRenamed("tok", "a")), "a")
+        .withColumnRenamed("n_tok", "n_a")
+        .join(F.broadcast(ucnt.withColumnRenamed("tok", "b")), "b")
+        .withColumnRenamed("n_tok", "n_b")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col("a").alias("tok_a"),
+            F.col("b").alias("tok_b"),
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") * F.col("n_tokens")).cast("double")
+                    / (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(50)
+    )
+
+
+TOKEN_PMI_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+), uni AS (
+  SELECT unnest(w) AS tok FROM toks
+), ucnt AS (
+  SELECT tok, COUNT(*) AS n_tok FROM uni GROUP BY 1
+), ntot AS (
+  SELECT COUNT(*) AS n_tokens FROM uni
+), big AS (
+  SELECT w[i] AS a, w[i + 1] AS b
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+), pairs AS (
+  SELECT a, b, COUNT(*) AS n_ab FROM big GROUP BY 1, 2 HAVING COUNT(*) >= 5
+)
+SELECT p.a AS tok_a, p.b AS tok_b, p.n_ab,
+       ROUND(ln(CAST(p.n_ab * n_tokens AS DOUBLE)
+                / CAST(ua.n_tok * ub.n_tok AS DOUBLE)), 6) AS pmi
+FROM pairs p
+JOIN ucnt ua ON ua.tok = p.a
+JOIN ucnt ub ON ub.tok = p.b
+CROSS JOIN ntot
+ORDER BY pmi DESC, tok_a, tok_b
+LIMIT 50
+"""
+
+
+# --- X3h: per-label centroid pooling ------------------------------------------
+def label_centroids(t: Tables) -> DataFrame:
+    """X3h: mean-pool embeddings per label — the class-centroid /
+    prototype computation under k-NN classification and SemDeDup-style
+    cluster seeding. Per-dimension sums go through exact micro-unit
+    integers (floor(x·1e6) on the float-exact double), so the mean is
+    partition-order independent and bit-identical cross-engine; the
+    single shuffle keys (label, pos) — dims fan out map-side via
+    posexplode, no vector ever collects to the driver."""
+    ex = spread(t["embeddings"]).select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    return (
+        ex.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            (
+                F.sum(F.floor(F.col("x") * 1000000).cast("bigint")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid_micro"),
+        )
+    )
+
+
+LABEL_CENTROIDS_SQL = """
+SELECT label, i AS pos, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                     AS BIGINT)) AS DOUBLE) / COUNT(*) AS centroid_micro
+FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+GROUP BY 1, 2
+"""

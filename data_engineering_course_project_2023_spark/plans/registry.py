@@ -687,6 +687,49 @@ REGISTRY: dict[str, Query] = {
         ("region",),  # only to obtain the session; fixture is inline
         "silver-1 cleaning suite (P1-P9 exact reference semantics)",
     ),
+    # --- round-2 batch 2: time-series / sampling / robust stats ---
+    "daily_gapfill": Query(
+        eventstream.daily_gapfill,
+        eventstream.DAILY_GAPFILL_SQL,
+        ("events",),
+        "time-series densification: calendar gap-fill + forward-filled daily value",
+    ),
+    "stratified_sample": Query(
+        eventstream.stratified_sample,
+        eventstream.STRATIFIED_SAMPLE_SQL,
+        ("events",),
+        "deterministic per-stratum hash sampling (sampleBy without RNG)",
+    ),
+    "value_outliers_mad": Query(
+        eventstream.value_outliers_mad,
+        eventstream.VALUE_OUTLIERS_SQL,
+        ("events",),
+        "robust outliers: discrete median/MAD + 3-MAD exceedance counts",
+    ),
+    "token_pmi": Query(
+        llmops.token_pmi,
+        llmops.TOKEN_PMI_SQL,
+        ("documents",),
+        "X4h bigram collocation PMI (map-side bigrams, broadcast unigram attach)",
+    ),
+    "label_centroids": Query(
+        llmops.label_centroids,
+        llmops.LABEL_CENTROIDS_SQL,
+        ("embeddings",),
+        "X3h per-label centroid pooling via exact micro-unit sums",
+    ),
+    "incremental_agg_merge": Query(
+        analytics.incremental_agg_merge,
+        analytics.INCREMENTAL_AGG_SQL,
+        ("orders",),
+        "materialized-agg maintenance: mergeable decimal partials == full recompute",
+    ),
+    "zorder_keys": Query(
+        analytics.zorder_keys,
+        analytics.ZORDER_KEYS_SQL,
+        ("lineitem",),
+        "Z-order (Morton) clustering keys + per-bucket skipping stats",
+    ),
 }
 
 

@@ -69,6 +69,8 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "heavy_hitter_tokens",
         # one-row n_docs scalar broadcast (same pattern as the above)
         "tfidf_top_terms",
+        # one-row n_tokens scalar broadcast
+        "token_pmi",
         # iterative: plan built per checkpointed round; pair graph only
         "neardup_clusters",
     }

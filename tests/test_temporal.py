@@ -234,3 +234,34 @@ def test_ivfpq_recall_and_determinism(spark):
         for r in similarity.ivfpq_topk(emb, query_vec_id=0, topk=10).collect()
     ]
     assert ids == ids2
+
+
+def test_daily_gapfill_fills_and_carries(spark):
+    """Pin densification semantics on a corpus with REAL gaps (the
+    testdata has events every day, so the oracle run exercises the
+    no-gap case only): missing days appear with n_events=0 and carry
+    the last observed daily value forward; days before the first
+    observation never materialize."""
+    from data_engineering_course_project_2023_spark.plans import eventstream
+
+    rows = [
+        (1, "a", _ts("2024-01-01 10:00:00"), 10.0),
+        (2, "a", _ts("2024-01-01 11:00:00"), 5.0),
+        # Jan 2-3 missing entirely for type a
+        (3, "a", _ts("2024-01-04 09:00:00"), 7.0),
+        (4, "b", _ts("2024-01-02 00:00:00"), 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    got = {
+        (r["event_type"], r["day"]): (r["n_events"], r["carried_value"])
+        for r in eventstream.daily_gapfill({"events": ev}).collect()
+    }
+    assert got == {
+        ("a", "2024-01-01"): (2, 15.0),
+        ("a", "2024-01-02"): (0, 15.0),   # gap row, value carried
+        ("a", "2024-01-03"): (0, 15.0),
+        ("a", "2024-01-04"): (1, 7.0),
+        ("b", "2024-01-02"): (1, 1.0),    # single-day span, no padding
+    }
