@@ -1362,3 +1362,115 @@ SELECT CAST(zval >> 22 AS BIGINT) AS zbucket, COUNT(*) AS n_rows,
        MIN(k2) AS min_k2, MAX(k2) AS max_k2
 FROM z GROUP BY 1
 """
+
+
+# --- exact Pearson correlation ------------------------------------------------
+def corr_quantity_discount(t: Tables) -> DataFrame:
+    """Per-returnflag Pearson correlation between quantity and discount
+    via the closed-form moment sums over exact integers (quantity is
+    integral, discount is 2dp -> whole percent points), so the final
+    double expression — products, sqrt, division — is bit-identical
+    across engines (profiling/feature-selection shape; DuckDB's corr()
+    computes the same quantity in streaming double, we pin exact).
+
+    Scale shape: pure partial-aggregable sums — one shuffle to a
+    handful of flag groups, no second pass, no window."""
+    li = t["lineitem"].select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("y"),
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    cov_n = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    varx_n = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    vary_n = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(varx_n) * F.sqrt(vary_n)
+    return sums.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx") / F.col("n").cast("double")).alias("mean_qty"),
+        (F.col("sy") / (F.col("n") * F.lit(100.0))).alias("mean_discount"),
+        F.when(den != 0, cov_n / den).alias("corr_qty_discount"),
+    )
+
+
+CORR_QTY_DISCOUNT_SQL = """
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+         CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS syy,
+         CAST(SUM(CAST(l_quantity AS BIGINT)
+                  * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT) AS sxy
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, n,
+       CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_qty,
+       CAST(sy AS DOUBLE) / (n * 100.0) AS mean_discount,
+       CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) <> 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS corr_qty_discount
+FROM sums
+"""
+
+
+# --- blocked fuzzy string matching --------------------------------------------
+def fuzzy_part_pairs(t: Tables) -> DataFrame:
+    """Entity-resolution candidate pairs: block parts by
+    (brand, size) — a standard blocking key — and keep within-block
+    name pairs whose Levenshtein edit distance is small. The classic
+    fuzzy-dedup shape (reference dedups entities by exact key only;
+    ref: src/airflow/dags/transform_dataset_stage_3.py authors dedup),
+    here with the quadratic cost bounded per block.
+
+    Scale shape: the self-join is an equi-join on the blocking key
+    (hash-partitioned, never cartesian); block cardinality bounds the
+    per-task pair count, and the a<b key filter halves the work."""
+    p = t["part"].select("p_partkey", "p_brand", "p_size", "p_name")
+    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
+    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
+    return (
+        a.join(
+            b,
+            (F.col("a_p_brand") == F.col("b_p_brand"))
+            & (F.col("a_p_size") == F.col("b_p_size"))
+            & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+        )
+        .select(
+            F.col("a_p_partkey").alias("key_a"),
+            F.col("b_p_partkey").alias("key_b"),
+            F.col("a_p_brand").alias("brand"),
+            F.levenshtein("a_p_name", "b_p_name").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 6)
+    )
+
+
+FUZZY_PART_PAIRS_SQL = """
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_brand AS brand,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS edit_dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 6
+"""

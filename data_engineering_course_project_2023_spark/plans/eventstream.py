@@ -600,3 +600,257 @@ SELECT dev.event_type,
 FROM dev JOIN mad USING (event_type)
 GROUP BY 1
 """
+
+
+# --- cohort retention ---------------------------------------------------------
+def cohort_retention(t: Tables) -> DataFrame:
+    """Weekly cohort retention triangle: users are assigned to the ISO
+    week of their first event; each later active week counts toward
+    that cohort's ``week_offset`` row, with retention as an exact
+    int/int ratio vs the cohort size (product-analytics staple implied
+    by the reference's per-user Kibana dashboards; ref:
+    src/logstash/logstash.conf daily indices).
+
+    Scale shape: one shuffle keys (user, week) distinct activity, a
+    broadcast-able cohort map joins back on user, and the final agg is
+    a partial-count — no window, no skew (weeks are bounded keys)."""
+    ev = t["events"].select(
+        "user_id", F.to_date(F.date_trunc("week", "ts")).alias("week")
+    )
+    active = ev.distinct()
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        active.join(cohort, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return (
+        ret.join(sizes, "cohort_week")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY 1
+), sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+), ret AS (
+  SELECT c.cohort_week,
+         CAST(FLOOR((a.week - c.cohort_week) / 7) AS INTEGER) AS week_offset,
+         COUNT(*) AS n_active
+  FROM active a JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week, r.week_offset,
+       r.n_active, s.cohort_size,
+       CAST(r.n_active AS DOUBLE) / s.cohort_size AS retention
+FROM ret r JOIN sizes s USING (cohort_week)
+"""
+
+
+# --- event-sequence transition matrix ----------------------------------------
+def event_transitions(t: Tables) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: lag(event_type) within each user's timeline, then
+    (prev, next) counts and the row-normalized transition probability
+    (sequence-model / funnel-diagnostic shape; int/int division keeps
+    the probability bit-stable across engines).
+
+    Scale shape: the lag window shuffles once on user_id (millions of
+    small partitions — the natural key); the count agg and the
+    per-prev normalizing window both ride tiny grouped outputs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        t["events"]
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions")
+            / F.sum("n_transitions").over(tot).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS next_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS n_transitions
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                     AS BIGINT) AS DOUBLE) AS p_transition
+FROM counts
+"""
+
+
+# --- 7-day rolling average ----------------------------------------------------
+def rolling_avg_value(t: Tables) -> DataFrame:
+    """Calendar-aware trailing 7-day rolling mean of the daily value
+    total per event_type — RANGE frame on a day index so missing days
+    shrink the window (monitoring smoothing the reference's daily index
+    rotation implies). Daily totals go through DECIMAL then exact
+    integer cents, so the rolling mean is an exact-int division —
+    bit-stable under any partitioning.
+
+    Scale shape: one keyed pre-agg shuffle to (type, day); the RANGE
+    window rides the same partitioning over a bounded calendar."""
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn("day_idx", F.datediff("day", F.lit("2024-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents") / F.lit(100.0)).alias("day_value"),
+        F.count(F.lit(1)).over(w).alias("n_days_window"),
+        (
+            F.sum("cents").over(w)
+            / (F.count(F.lit(1)).over(w) * F.lit(100.0))
+        ).alias("avg_7d"),
+    )
+
+
+ROLLING_AVG_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+         (CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01') AS day_idx
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(cents AS DOUBLE) / 100.0 AS day_value,
+       COUNT(*) OVER w AS n_days_window,
+       CAST(CAST(SUM(cents) OVER w AS BIGINT) AS DOUBLE)
+         / (COUNT(*) OVER w * 100.0) AS avg_7d
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- exact least-squares trend ------------------------------------------------
+def regr_value_trend(t: Tables) -> DataFrame:
+    """Per-type least-squares trend of the daily value total over the
+    day index — slope/intercept from the closed-form normal equations
+    computed over exact integer sums (x = day index, y = daily cents),
+    so both engines evaluate the identical double expression
+    (regression-over-time shape; DuckDB's regr_slope would compute the
+    same quantity in streaming double — we pin the exact-int route).
+
+    Scale shape: everything is a partial-aggregable sum — one shuffle
+    to (type, day) for the daily totals, one tiny agg per type; the
+    closed form needs no second pass over the data."""
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("y")
+        )
+        .withColumn(
+            "x", F.datediff("day", F.lit("2024-01-01")).cast("bigint")
+        )
+    )
+    sums = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / den.cast("double"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        (slope / F.lit(100.0)).alias("slope_per_day"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n") * F.lit(100.0))
+        ).alias("intercept"),
+    )
+
+
+REGR_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS y,
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01'
+              AS BIGINT) AS x
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+), sums AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN n * sxx - sx * sx <> 0 THEN
+         (CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE)) / 100.0
+       END AS slope_per_day,
+       (CAST(sy AS DOUBLE)
+          - CASE WHEN n * sxx - sx * sx <> 0 THEN
+              CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+            END * CAST(sx AS DOUBLE))
+         / (n * 100.0) AS intercept
+FROM sums
+"""

@@ -730,6 +730,43 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "Z-order (Morton) clustering keys + per-bucket skipping stats",
     ),
+    # --- round-2 batch 3: product analytics / stats / fuzzy matching ---
+    "cohort_retention": Query(
+        eventstream.cohort_retention,
+        eventstream.COHORT_RETENTION_SQL,
+        ("events",),
+        "weekly cohort retention triangle with exact int/int retention ratio",
+    ),
+    "event_transitions": Query(
+        eventstream.event_transitions,
+        eventstream.EVENT_TRANSITIONS_SQL,
+        ("events",),
+        "first-order Markov transition matrix over per-user event sequences",
+    ),
+    "rolling_avg_value": Query(
+        eventstream.rolling_avg_value,
+        eventstream.ROLLING_AVG_SQL,
+        ("events",),
+        "calendar-aware trailing 7-day rolling mean (RANGE frame, exact cents)",
+    ),
+    "regr_value_trend": Query(
+        eventstream.regr_value_trend,
+        eventstream.REGR_TREND_SQL,
+        ("events",),
+        "closed-form least-squares daily trend from exact integer moment sums",
+    ),
+    "corr_quantity_discount": Query(
+        analytics.corr_quantity_discount,
+        analytics.CORR_QTY_DISCOUNT_SQL,
+        ("lineitem",),
+        "exact-integer Pearson correlation per returnflag",
+    ),
+    "fuzzy_part_pairs": Query(
+        analytics.fuzzy_part_pairs,
+        analytics.FUZZY_PART_PAIRS_SQL,
+        ("part",),
+        "blocked Levenshtein candidate pairs (entity-resolution shape)",
+    ),
 }
 
 

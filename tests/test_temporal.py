@@ -265,3 +265,119 @@ def test_daily_gapfill_fills_and_carries(spark):
         ("a", "2024-01-04"): (1, 7.0),
         ("b", "2024-01-02"): (1, 1.0),    # single-day span, no padding
     }
+
+
+def test_cohort_retention_offsets(spark):
+    """Pin the cohort triangle semantics: offset 0 is the cohort week
+    itself (retention 1.0 by construction for any non-empty cohort),
+    later activity lands at floor(week-delta/7), users count once per
+    active week."""
+    from data_engineering_course_project_2023_spark.plans import eventstream
+
+    rows = [
+        # user 1: first seen week of Jan 1 (Mon), active again 2 weeks later
+        (1, 1, _ts("2024-01-02 10:00:00"), "view", 1.0),
+        (2, 1, _ts("2024-01-03 10:00:00"), "view", 1.0),  # same week, no dup
+        (3, 1, _ts("2024-01-16 10:00:00"), "click", 1.0),
+        # user 2: same cohort, never returns
+        (4, 2, _ts("2024-01-04 10:00:00"), "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_active"], r["retention"])
+        for r in eventstream.cohort_retention({"events": ev}).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 1.0),
+        ("2024-01-01", 2): (1, 0.5),
+    }
+
+
+def test_event_transitions_rows_and_probabilities(spark):
+    """Per-user lag pairs only (no cross-user transitions); ties broken
+    by event_id; probabilities normalize per prev_type."""
+    from data_engineering_course_project_2023_spark.plans import eventstream
+
+    rows = [
+        (1, 1, _ts("2024-01-01 10:00:00"), "view", 0.0),
+        (2, 1, _ts("2024-01-01 10:01:00"), "click", 0.0),
+        (3, 1, _ts("2024-01-01 10:02:00"), "view", 0.0),
+        (4, 2, _ts("2024-01-01 09:00:00"), "view", 0.0),
+        (5, 2, _ts("2024-01-01 09:01:00"), "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n_transitions"], r["p_transition"])
+        for r in eventstream.event_transitions({"events": ev}).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+        ("view", "view"): (1, 0.5),
+    }
+
+
+def test_rolling_avg_range_frame_skips_missing_days(spark):
+    """RANGE (not ROWS) frame: a day 10 days after the previous one
+    must not see it in its 7-day window."""
+    from data_engineering_course_project_2023_spark.plans import eventstream
+
+    rows = [
+        (1, 1, _ts("2024-01-01 10:00:00"), "a", 10.0),
+        (2, 1, _ts("2024-01-03 10:00:00"), "a", 20.0),
+        (3, 1, _ts("2024-01-20 10:00:00"), "a", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    got = {
+        r["day"]: (r["n_days_window"], r["avg_7d"])
+        for r in eventstream.rolling_avg_value({"events": ev}).collect()
+    }
+    assert got == {
+        "2024-01-01": (1, 10.0),
+        "2024-01-03": (2, 15.0),
+        "2024-01-20": (1, 40.0),  # gap > 6 days: window resets
+    }
+
+
+def test_regr_trend_recovers_exact_line(spark):
+    """y = 2x + 5 daily totals must come back as slope 2, intercept 5
+    exactly (closed form over exact integer sums)."""
+    from data_engineering_course_project_2023_spark.plans import eventstream
+
+    rows = [
+        (i, 1, _ts(f"2024-01-{i + 1:02d} 10:00:00"), "a", 2.0 * i + 5.0)
+        for i in range(5)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    [r] = eventstream.regr_value_trend({"events": ev}).collect()
+    assert (r["n"], r["slope_per_day"], r["intercept"]) == (5, 2.0, 5.0)
+
+
+def test_fuzzy_part_pairs_blocking_and_threshold(spark):
+    """Pairs only within the (brand, size) block; distance from
+    Spark's levenshtein; a<b canonical order; threshold excludes far
+    names."""
+    from data_engineering_course_project_2023_spark.plans import analytics
+
+    rows = [
+        (1, "B1", 1, "misty salmon steel"),
+        (2, "B1", 1, "misty salmon stell"),       # dist 1 -> pair
+        (3, "B1", 2, "misty salmon steel"),       # other size: blocked out
+        (4, "B1", 1, "completely different name"),  # too far
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_size int, p_name string"
+    )
+    got = [
+        (r["key_a"], r["key_b"], r["edit_dist"])
+        for r in analytics.fuzzy_part_pairs({"part": part}).collect()
+    ]
+    assert got == [(1, 2, 1)]
