@@ -1474,3 +1474,117 @@ FROM part a JOIN part b
  AND a.p_partkey < b.p_partkey
 WHERE levenshtein(a.p_name, b.p_name) <= 6
 """
+
+
+# --- Benford first-digit profile ----------------------------------------------
+def first_digit_profile(t: Tables) -> DataFrame:
+    """Benford's-law audit: distribution of the first significant
+    digit of l_extendedprice vs the Benford expectation log10(1+1/d)
+    (fraud/data-quality screening shape). The digit comes from the
+    decimal string of exact integer cents — identical across engines —
+    and the expectation is rounded to 6dp to absorb libm ulp skew.
+
+    Scale shape: map + partial-agg count to 9 groups; the expectation
+    is a constant expression — nothing shuffles but 9 rows."""
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    counts = (
+        t["lineitem"]
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    return counts.select(
+        "digit",
+        "n",
+        (F.col("n") / F.sum("n").over(tot).cast("double")).alias("observed"),
+        F.round(
+            F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")),
+            6,
+        ).alias("benford_expected"),
+    )
+
+
+FIRST_DIGIT_SQL = """
+WITH counts AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT digit, n,
+       CAST(n AS DOUBLE)
+         / CAST(CAST(SUM(n) OVER () AS BIGINT) AS DOUBLE) AS observed,
+       ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6)
+         AS benford_expected
+FROM counts
+"""
+
+
+# --- BFS shortest hops over the trade graph -----------------------------------
+def trade_hops(t: Tables) -> DataFrame:
+    """Minimum-hop BFS distance from customer #1 over the undirected
+    customer↔supplier trade graph, 4 levels (the "how close is this
+    entity" graph query the reference's Neo4j ideas list sketches as
+    shortestPath; ref: docs/neo4j_analytical_ideas.md). Exact integer
+    hops, checked against a DuckDB recursive-CTE twin whose UNION
+    dedup bounds the working set to (node × hop).
+
+    Scale shape: per level one equi-join frontier-expand + distinct +
+    anti-join against the visited set — the standard scalable BFS;
+    the frontier is localCheckpoint-ed so lineage stays flat. Levels
+    are fixed (4), so the plan is statically bounded."""
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("a"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    visited = edges.sparkSession.range(1).select(
+        F.lit(1).cast("bigint").alias("node"), F.lit(0).alias("hop")
+    )
+    frontier = visited
+    for h in range(1, 5):
+        nxt = (
+            edges.join(frontier, edges["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select("node", F.lit(h).alias("hop"))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
+TRADE_HOPS_SQL = f"""
+WITH RECURSIVE edges AS (
+  SELECT o.o_custkey AS src, l.l_suppkey + {{supp_offset}} AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+  UNION ALL
+  SELECT l.l_suppkey + {{supp_offset}} AS src, o.o_custkey AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), bfs(node, hop) AS (
+  SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+  UNION
+  SELECT e.dst AS node, b.hop + 1 AS hop
+  FROM bfs b JOIN edges e ON e.src = b.node
+  WHERE b.hop < 4
+)
+SELECT node, MIN(hop) AS hop FROM bfs GROUP BY 1
+""".replace("{supp_offset}", str(_SUPP_OFFSET))

@@ -854,3 +854,25 @@ SELECT event_type, n,
          / (n * 100.0) AS intercept
 FROM sums
 """
+
+
+# --- fixed-width histogram ----------------------------------------------------
+def value_histogram(t: Tables) -> DataFrame:
+    """Fixed-width histogram of the event value per type (bin width 2,
+    floor-bucketed — floor, never round, per the cross-engine tie
+    rule). The profiling shape behind every monitoring dashboard; a
+    pure map + partial-agg count, the cheapest possible plan."""
+    bin_lo = (F.floor(F.col("value") / 2) * 2).cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type", bin_lo.alias("bin_lo"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+VALUE_HISTOGRAM_SQL = """
+SELECT event_type,
+       CAST(FLOOR(value / 2) * 2 AS BIGINT) AS bin_lo,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""

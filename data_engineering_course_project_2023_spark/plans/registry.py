@@ -767,6 +767,30 @@ REGISTRY: dict[str, Query] = {
         ("part",),
         "blocked Levenshtein candidate pairs (entity-resolution shape)",
     ),
+    "value_histogram": Query(
+        eventstream.value_histogram,
+        eventstream.VALUE_HISTOGRAM_SQL,
+        ("events",),
+        "fixed-width floor-bucketed value histogram per event type",
+    ),
+    "first_digit_profile": Query(
+        analytics.first_digit_profile,
+        analytics.FIRST_DIGIT_SQL,
+        ("lineitem",),
+        "Benford first-digit audit from exact integer cents",
+    ),
+    "referential_audit": Query(
+        relational.referential_audit,
+        relational.REFERENTIAL_AUDIT_SQL,
+        ("lineitem", "orders", "customer", "supplier", "part", "nation"),
+        "FK orphan audit across the star schema (left-join conditional counts)",
+    ),
+    "trade_hops": Query(
+        analytics.trade_hops,
+        analytics.TRADE_HOPS_SQL,
+        ("lineitem", "orders"),
+        "4-level BFS min-hop distances vs a recursive-CTE oracle",
+    ),
 }
 
 

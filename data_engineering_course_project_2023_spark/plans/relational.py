@@ -495,3 +495,115 @@ SELECT o_custkey, o_orderkey,
             AS DOUBLE) AS delta_prev
 FROM orders
 """
+
+
+# --- referential-integrity audit ----------------------------------------------
+def referential_audit(t: Tables) -> DataFrame:
+    """Data-quality audit: per foreign-key relationship, the row count
+    and the number of orphan rows (FK value with no match in the
+    parent), the check every warehouse load runs before trusting a
+    star schema (the reference loads its DWH with no FK verification;
+    ref: src/airflow/dags/populate_DWH.py).
+
+    Scale shape: each orphan probe is a left-anti hash join where the
+    parent key set is dimension-sized (broadcast) or co-keyed with the
+    fact (orders→lineitem); the per-relation results are one-row
+    aggregates unioned driver-free."""
+
+    def audit(name, child, key, parent, pkey):
+        par = (
+            parent.select(F.col(pkey).alias(key))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        )
+        return (
+            child.select(key)
+            .join(par, key, "left")
+            .agg(
+                F.lit(name).alias("relationship"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("_hit").isNull(), 1)).alias("n_orphans"),
+            )
+            .select(
+                "relationship",
+                "n_rows",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+
+    checks = [
+        audit("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey",
+              t["orders"], "o_orderkey"),
+        audit("lineitem.l_partkey->part", t["lineitem"], "l_partkey",
+              t["part"], "p_partkey"),
+        audit("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey",
+              t["supplier"], "s_suppkey"),
+        audit("orders.o_custkey->customer", t["orders"], "o_custkey",
+              t["customer"], "c_custkey"),
+        audit("customer.c_nationkey->nation", t["customer"], "c_nationkey",
+              t["nation"], "n_nationkey"),
+        audit("supplier.s_nationkey->nation", t["supplier"], "s_nationkey",
+              t["nation"], "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+REFERENTIAL_AUDIT_SQL = """
+SELECT 'lineitem.l_orderkey->orders' AS relationship,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) = 0 AS intact
+UNION ALL
+SELECT 'lineitem.l_partkey->part',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)) = 0
+UNION ALL
+SELECT 'lineitem.l_suppkey->supplier',
+       (SELECT COUNT(*) FROM lineitem),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)),
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                          WHERE s.s_suppkey = l.l_suppkey)) = 0
+UNION ALL
+SELECT 'orders.o_custkey->customer',
+       (SELECT COUNT(*) FROM orders),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+UNION ALL
+SELECT 'customer.c_nationkey->nation',
+       (SELECT COUNT(*) FROM customer),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)) = 0
+UNION ALL
+SELECT 'supplier.s_nationkey->nation',
+       (SELECT COUNT(*) FROM supplier),
+       (SELECT COUNT(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey)),
+       (SELECT COUNT(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey)) = 0
+"""

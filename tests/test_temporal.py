@@ -381,3 +381,63 @@ def test_fuzzy_part_pairs_blocking_and_threshold(spark):
         for r in analytics.fuzzy_part_pairs({"part": part}).collect()
     ]
     assert got == [(1, 2, 1)]
+
+
+def test_referential_audit_counts_orphans(spark):
+    """An orphan FK row must be counted and flip intact to False;
+    clean relations report zero orphans."""
+    from data_engineering_course_project_2023_spark.plans import relational
+
+    t = {
+        "orders": spark.createDataFrame(
+            [(1, 10), (2, 99)], "o_orderkey long, o_custkey long"
+        ),
+        "customer": spark.createDataFrame(
+            [(10, 0)], "c_custkey long, c_nationkey long"
+        ),
+        "lineitem": spark.createDataFrame(
+            [(1, 5, 7)], "l_orderkey long, l_partkey long, l_suppkey long"
+        ),
+        "part": spark.createDataFrame([(5,)], "p_partkey long"),
+        "supplier": spark.createDataFrame(
+            [(7, 0)], "s_suppkey long, s_nationkey long"
+        ),
+        "nation": spark.createDataFrame([(0,)], "n_nationkey long"),
+    }
+    got = {
+        r["relationship"]: (r["n_rows"], r["n_orphans"], r["intact"])
+        for r in relational.referential_audit(t).collect()
+    }
+    assert got["orders.o_custkey->customer"] == (2, 1, False)
+    assert got["lineitem.l_orderkey->orders"] == (1, 0, True)
+    assert got["customer.c_nationkey->nation"] == (1, 0, True)
+
+
+def test_trade_hops_bfs_levels(spark):
+    """Min-hop levels on a hand-built chain: cust1 -> suppA -> cust2 ->
+    suppB; nodes outside the 4-hop radius don't appear."""
+    from data_engineering_course_project_2023_spark.plans import analytics
+
+    # orders: (orderkey, custkey); lineitem: (orderkey, suppkey)
+    orders = spark.createDataFrame(
+        [(100, 1), (200, 2), (300, 3)], "o_orderkey long, o_custkey long"
+    )
+    lineitem = spark.createDataFrame(
+        [(100, 11), (200, 11), (200, 12), (300, 13)],
+        "l_orderkey long, l_suppkey long",
+    )
+    got = {
+        r["node"]: r["hop"]
+        for r in analytics.trade_hops(
+            {"lineitem": lineitem, "orders": orders}
+        ).collect()
+    }
+    off = 10**9
+    assert got == {
+        1: 0,
+        11 + off: 1,   # supplier A via order 100
+        2: 2,          # customer 2 shares supplier A
+        12 + off: 3,   # supplier B via customer 2
+    }
+    # customer 3 / supplier 13 form a disconnected component
+    assert 3 not in got and 13 + off not in got
