@@ -1588,3 +1588,86 @@ WITH RECURSIVE edges AS (
 )
 SELECT node, MIN(hop) AS hop FROM bfs GROUP BY 1
 """.replace("{supp_offset}", str(_SUPP_OFFSET))
+
+
+# --- explicit GROUPING SETS with grouping-id disambiguation --------------------
+def grouping_sets_revenue(t: Tables) -> DataFrame:
+    """Explicit GROUPING SETS — (year), (priority), () — with
+    GROUPING() flags so all-rows aggregates are distinguishable from
+    genuine NULL keys (the cube/rollup cousins cover the hierarchical
+    cases; this is the hand-picked-sets one). Single pass, map-side
+    partial aggregation across the set expansion."""
+    o = t["orders"].select(
+        F.year("o_orderdate").alias("order_year"),
+        F.col("o_orderpriority").alias("priority"),
+        money("o_totalprice").alias("price"),
+    )
+    return (
+        o.groupingSets(
+            [["order_year"], ["priority"], []],
+            "order_year",
+            "priority",
+        )
+        .agg(
+            F.grouping("order_year").cast("int").alias("g_year"),
+            F.grouping("priority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_value"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       o_orderpriority AS priority,
+       CAST(GROUPING(year(o_orderdate)) AS INTEGER) AS g_year,
+       CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((year(o_orderdate)), (o_orderpriority), ())
+"""
+
+
+# --- ntile decile banding ------------------------------------------------------
+def customer_ltv_deciles(t: Tables) -> DataFrame:
+    """Customer lifetime-value deciles: total spend per customer,
+    ntile(10) banding (deterministic under the spend-then-key total
+    order), then per-decile size and exact decimal value range — the
+    marketing-segmentation shape. One keyed agg shuffle + one global
+    window over customer-sized data, then a 10-row agg."""
+    spend = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.sum(money("o_totalprice")).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        spend.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("spend").cast("double").alias("min_spend"),
+            F.max("spend").cast("double").alias("max_spend"),
+            F.sum("spend").cast("double").alias("total_spend"),
+        )
+    )
+
+
+CUSTOMER_LTV_DECILES_SQL = """
+WITH spend AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY 1
+), banded AS (
+  SELECT spend,
+         NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile, COUNT(*) AS n_customers,
+       CAST(MIN(spend) AS DOUBLE) AS min_spend,
+       CAST(MAX(spend) AS DOUBLE) AS max_spend,
+       CAST(SUM(spend) AS DOUBLE) AS total_spend
+FROM banded GROUP BY 1
+"""

@@ -791,6 +791,18 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "orders"),
         "4-level BFS min-hop distances vs a recursive-CTE oracle",
     ),
+    "grouping_sets_revenue": Query(
+        analytics.grouping_sets_revenue,
+        analytics.GROUPING_SETS_SQL,
+        ("orders",),
+        "explicit GROUPING SETS with GROUPING() flag disambiguation",
+    ),
+    "customer_ltv_deciles": Query(
+        analytics.customer_ltv_deciles,
+        analytics.CUSTOMER_LTV_DECILES_SQL,
+        ("orders",),
+        "deterministic ntile(10) LTV bands with exact decimal ranges",
+    ),
 }
 
 
