@@ -1552,10 +1552,14 @@ def trade_hops(t: Tables) -> DataFrame:
         )
         .localCheckpoint()
     )
-    visited = edges.sparkSession.range(1).select(
+    seed = edges.sparkSession.range(1).select(
         F.lit(1).cast("bigint").alias("node"), F.lit(0).alias("hop")
     )
-    frontier = visited
+    # Only each level's frontier is checkpointed; the visited set is a
+    # union of those already-materialized frontiers, so re-checkpointing
+    # it every round would double the materialization work.
+    visited = seed
+    frontier = seed
     for h in range(1, 5):
         nxt = (
             edges.join(frontier, edges["src"] == frontier["node"])
@@ -1565,7 +1569,7 @@ def trade_hops(t: Tables) -> DataFrame:
             .select("node", F.lit(h).alias("hop"))
             .localCheckpoint()
         )
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
 
