@@ -28,10 +28,11 @@ from pyspark.sql.types import (
 
 # The driver parquet files store timestamps with isAdjustedToUTC=false,
 # which Spark 4 reads as TIMESTAMP_NTZ (wall-clock, no zone) — matching
-# DuckDB's naive TIMESTAMP semantics exactly. The exception is events.ts:
-# stored as TIMESTAMP(NANOS) which Spark can't read natively; readers
-# rebuild it via timestamp_micros() → session-zoned TIMESTAMP (the
-# session is pinned to UTC in run_query, so values still agree).
+# DuckDB's naive TIMESTAMP semantics exactly. events.ts is micros NTZ in
+# the current driver drop; earlier drops stored it as TIMESTAMP(NANOS),
+# which Spark can't read natively — readers keep a fallback that rebuilds
+# nanos columns via timestamp_micros() and casts back to NTZ (the session
+# is pinned to UTC, so the wall-clock values are identical either way).
 
 # ---------------------------------------------------------------------------
 # 1. Driver benchmark tables (parquet already carries these; kept for
@@ -113,7 +114,7 @@ LINEITEM = StructType(
 EVENTS = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),

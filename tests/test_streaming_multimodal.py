@@ -116,7 +116,11 @@ def test_events_stream_twin_matches_oracle_transform(spark, tmp_path):
         (r["day"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in eventstream.daily_counts_transform(events).collect()
     }
-    stream_in = spark.readStream.schema(events.schema).parquet(src_dir)
+    from data_engineering_course_project_2023_spark.streaming import with_event_time
+
+    stream_in = with_event_time(
+        spark.readStream.schema(events.schema).parquet(src_dir)
+    )
     agg = eventstream.daily_counts_transform(
         stream_in.withWatermark("ts", "1 hour")
     )
