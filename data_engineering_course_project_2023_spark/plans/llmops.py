@@ -1626,3 +1626,158 @@ SELECT label, i AS pos, COUNT(*) AS n_vecs,
 FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
 GROUP BY 1, 2
 """
+
+
+# --- X1c: incremental novelty vs a historical corpus --------------------------
+#
+# Deterministic id-hash split stands in for "historical corpus" (80%) vs
+# "new crawl batch" (20%): pmod(md5(doc_id), 10) < 8 — the same
+# reproducible-sampling idiom as hash_sample_orders, so the split is
+# partition-order independent and identical in both engines.
+
+def _split_expr() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        % 10
+    )
+_SPLIT_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
+)
+
+
+def novel_docs(t: Tables) -> DataFrame:
+    """X1c baseline: EXACT novelty — new-batch docs whose content
+    fingerprint never occurs in the historical split. Left-anti hash
+    join on md5(text); at 100 TB this is the expensive path the Bloom
+    variant below replaces (it shuffles the history's fingerprints)."""
+    d = spread(t["documents"])
+    hist = d.filter(_split_expr() < 8).select(F.md5("text").alias("fp"))
+    new = d.filter(_split_expr() >= 8).select(
+        "doc_id", "source", F.md5("text").alias("fp")
+    )
+    return new.join(hist, "fp", "left_anti").select("doc_id", "source")
+
+
+NOVEL_DOCS_SQL = f"""
+WITH h AS (SELECT DISTINCT md5(text) AS fp FROM documents
+           WHERE {_SPLIT_SQL} < 8),
+n AS (SELECT doc_id, source, md5(text) AS fp FROM documents
+      WHERE {_SPLIT_SQL} >= 8)
+SELECT doc_id, source FROM n
+WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.fp = n.fp)
+"""
+
+
+def novel_docs_bloom(t: Tables) -> DataFrame:
+    """X1c scale path: the same novelty check through a Bloom filter
+    built once over the history and broadcast as a bitmap literal — the
+    history never re-shuffles and the probe is map-only. False positives
+    (novel docs misreported as seen) are inherent to the filter and
+    REPRODUCED by the oracle, which models bit-set membership exactly
+    (ref semantics: the dedup step of any incremental crawl ingest)."""
+    d = spread(t["documents"])
+    bitmap = dedup.bloom_build_bitmap(
+        d.filter(_split_expr() < 8), "text", cache_tag="hist80"
+    )
+    new = d.filter(_split_expr() >= 8)
+    return dedup.bloom_novel(new, bitmap, "text").select("doc_id", "source")
+
+
+def _bloom_pos_sql(expr: str, s: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5({expr}), {1 + 8 * s}, 8)) AS BIGINT) "
+        f"% {dedup.BLOOM_M_BITS}"
+    )
+
+
+NOVEL_DOCS_BLOOM_SQL = f"""
+WITH hp AS (
+  SELECT DISTINCT p FROM (
+    SELECT unnest([{", ".join(_bloom_pos_sql("text", s) for s in range(dedup.BLOOM_K))}]) AS p
+    FROM documents WHERE {_SPLIT_SQL} < 8
+  )
+),
+np AS (
+  SELECT doc_id, source,
+         unnest([{", ".join(_bloom_pos_sql("text", s) for s in range(dedup.BLOOM_K))}]) AS p
+  FROM documents WHERE {_SPLIT_SQL} >= 8
+),
+hits AS (
+  SELECT doc_id, source,
+         SUM(CASE WHEN p IN (SELECT p FROM hp) THEN 1 ELSE 0 END) AS nh
+  FROM np GROUP BY 1, 2
+)
+SELECT doc_id, source FROM hits WHERE nh < {dedup.BLOOM_K}
+"""
+
+
+# --- X2f: source-overlap governance report ------------------------------------
+def source_overlap(t: Tables) -> DataFrame:
+    """X2f: estimated pairwise Jaccard BETWEEN SOURCES via per-source
+    union-MinHash — the corpus-governance report that catches one feed
+    mirroring another before both are ingested at full weight.
+
+    min(md5(shingle)) over a source's shingle UNION is the source-level
+    MinHash (same slices as the per-doc signatures), so the per-source
+    signature costs one agg over the shingle frame. Pair candidates come
+    from an EQUI-join on (component index, component value) — sources
+    sharing no component never pair, so there is no all-pairs cross join
+    even at thousands of sources. est_jaccard = matching components / k."""
+    d = spread(t["documents"])
+    sh = dedup.shingles(d, "text", "source")  # (doc_id=source, shingle)
+    slices = dedup._minhash_slices(F.col("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(slices[i]).alias(f"mh_{i}") for i in range(dedup.N_MINHASH)]
+    )
+    comp = sig.select(
+        F.col("doc_id").alias("source"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), F.col(f"mh_{i}").alias("mh")
+                    )
+                    for i in range(dedup.N_MINHASH)
+                ]
+            )
+        ).alias("c"),
+    ).select("source", F.col("c.i").alias("i"), F.col("c.mh").alias("mh"))
+    a, b = comp.alias("a"), comp.alias("b")
+    return (
+        a.join(b, ["i", "mh"])
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_match"))
+        .withColumn(
+            "est_jaccard", F.col("n_match").cast("double") / dedup.N_MINHASH
+        )
+    )
+
+
+def _source_sig_components() -> str:
+    parts = []
+    for i in range(dedup.N_MINHASH):
+        parts.append(f"SELECT source, {i} AS i, mh_{i} AS mh FROM sigs")
+    return "\nUNION ALL\n".join(parts)
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+idx AS (SELECT source, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+       FROM idx),
+sigs AS (
+  SELECT source AS source,
+         {_mh_cols()}
+  FROM (SELECT source AS doc_id, source, shingle FROM sh) GROUP BY source
+),
+comp AS (
+{_source_sig_components()}
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_match,
+       CAST(COUNT(*) AS DOUBLE) / {dedup.N_MINHASH} AS est_jaccard
+FROM comp a
+JOIN comp b ON a.i = b.i AND a.mh = b.mh AND a.source < b.source
+GROUP BY 1, 2
+"""

@@ -803,6 +803,24 @@ REGISTRY: dict[str, Query] = {
         ("orders",),
         "deterministic ntile(10) LTV bands with exact decimal ranges",
     ),
+    "novel_docs": Query(
+        llmops.novel_docs,
+        llmops.NOVEL_DOCS_SQL,
+        ("documents",),
+        "X1c exact incremental novelty: new batch anti-joined on history fingerprints",
+    ),
+    "novel_docs_bloom": Query(
+        llmops.novel_docs_bloom,
+        llmops.NOVEL_DOCS_BLOOM_SQL,
+        ("documents",),
+        "X1c Bloom-broadcast novelty probe (FPs reproduced by the oracle)",
+    ),
+    "source_overlap": Query(
+        llmops.source_overlap,
+        llmops.SOURCE_OVERLAP_SQL,
+        ("documents",),
+        "X2f pairwise source Jaccard estimate via union-MinHash components",
+    ),
 }
 
 

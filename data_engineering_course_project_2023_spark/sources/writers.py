@@ -145,3 +145,51 @@ def write_sorted_ranges(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-corpus shard export: the materialization step at the end
+    of a curation pipeline, built so a 1000-node trainer can consume the
+    output without a coordinator.
+
+    - Shard assignment is CONTENT-DETERMINISTIC — pmod(md5(id), n) — not
+      partition-index based, so re-running the export (or backfilling a
+      subset) routes every document to the same shard regardless of how
+      the input happened to be partitioned. coalesce/repartition-index
+      schemes silently reshuffle docs between shards on every re-run.
+    - One hash-repartition co-locates each shard, partitionBy writes
+      hive-style ``shard=NNN`` dirs (a trainer rank reads its own dir;
+      partition pruning keeps ranks from scanning each other's data).
+    - ``maxRecordsPerFile`` bounds file size inside a shard so loader
+      workers get parallel splits without tiny-file explosion.
+
+    Returns the per-shard manifest (shard, n_rows, n_chars) — the stats
+    a data-loader needs for length-aware scheduling — computed with one
+    extra agg over the same frame.
+    """
+    from pyspark.sql import functions as F
+
+    sharded = df.withColumn(
+        "shard",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+            ).cast("long"),
+            F.lit(n_shards),
+        ).cast("int"),
+    )
+    writer = sharded.repartition(n_shards, "shard").write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(path)
+    agg_cols = [F.count(F.lit(1)).alias("n_rows")]
+    if "text" in df.columns:
+        agg_cols.append(F.sum(F.length("text")).alias("n_chars"))
+    return sharded.groupBy("shard").agg(*agg_cols)

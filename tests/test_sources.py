@@ -235,3 +235,37 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     # partition values read back type-inferred (string → date)
     got = {(str(r["day"]), r["v"]) for r in spark.read.parquet(path).collect()}
     assert got == {("2024-01-01", 1), ("2024-01-02", 99)}
+
+
+def test_export_training_shards_deterministic_and_complete(spark, tmp_path):
+    """Shard export: every doc lands in exactly one shard, assignment is
+    content-deterministic (identical across differently-partitioned
+    re-runs), shard dirs are hive-readable with pruning, and the
+    manifest counts match the files on disk."""
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.sources.writers import (
+        export_training_shards,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    out1 = str(tmp_path / "shards1")
+    manifest = export_training_shards(docs, out1, n_shards=4,
+                                      max_records_per_file=50)
+    back = spark.read.parquet(out1)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    assert (tmp_path / "shards1" / "shard=0").exists()
+    # manifest matches disk
+    disk = {r["shard"]: r["cnt"] for r in
+            back.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert {r["shard"]: r["n_rows"] for r in manifest.collect()} == disk
+    # determinism under a different input partitioning
+    out2 = str(tmp_path / "shards2")
+    export_training_shards(docs.repartition(7), out2, n_shards=4)
+    a = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    b = {(r["doc_id"], r["shard"]) for r in
+         spark.read.parquet(out2).select("doc_id", "shard").collect()}
+    assert a == b
+    # pruning: a shard-filtered scan reads only that hive dir
+    one = spark.read.parquet(out1).filter(F.col("shard") == 2)
+    assert one.count() == disk.get(2, 0)

@@ -363,3 +363,56 @@ def test_vocab_encode_ids_and_oov(spark):
     assert got[1]["n_tokens"] == 5 and got[1]["n_oov"] == 1
     assert got[2]["token_ids"] == [1, 2, 0]
     assert got[2]["n_oov"] == 1
+
+
+def test_bloom_novelty_contract(spark):
+    """X1c Bloom guarantees: NO false negatives (every truly-seen doc is
+    filtered), false positives bounded, and the probe result is exactly
+    the exact-path result minus FPs — on a constructed corpus where the
+    new batch half-overlaps the history."""
+    from data_engineering_course_project_2023_spark.operators import dedup
+
+    hist = spark.createDataFrame(
+        [(i, f"history document number {i} body") for i in range(200)],
+        "doc_id int, text string",
+    )
+    # new batch: 50 docs copied verbatim from history + 50 fresh ones
+    new = spark.createDataFrame(
+        [(1000 + i, f"history document number {i} body") for i in range(50)]
+        + [(2000 + i, f"brand new crawl text {i}") for i in range(50)],
+        "doc_id int, text string",
+    )
+    bitmap = dedup.bloom_build_bitmap(hist, "text")
+    got = {r["doc_id"] for r in dedup.bloom_novel(new, bitmap, "text").collect()}
+    truly_novel = {2000 + i for i in range(50)}
+    # no false negatives: nothing outside the truly-novel set survives ∁,
+    # i.e. every seen doc was dropped
+    assert got <= truly_novel
+    # FP rate at this fill factor is ~1e-9; allow a tiny slack anyway
+    assert len(truly_novel - got) <= 2
+    # determinism: rebuilding the bitmap yields the identical filter
+    assert bitmap == dedup.bloom_build_bitmap(hist, "text")
+
+
+def test_bloom_bitmap_bits_match_positions(spark):
+    """The bitmap words encode exactly the md5-slice positions — the
+    property that makes the DuckDB position-set oracle a faithful model
+    of the bit test."""
+    from data_engineering_course_project_2023_spark.operators import dedup
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, "alpha"), (2, "beta")], "doc_id int, text string")
+    bitmap = dedup.bloom_build_bitmap(df, "text")
+    rows = df.select(
+        F.explode(F.array(*dedup.bloom_positions(F.col("text")))).alias("p")
+    ).collect()
+    expect = {r["p"] for r in rows}
+    got_bits = {
+        w * 64 + b
+        for w, word in enumerate(bitmap)
+        if word
+        for b in range(64)
+        if (word >> b) & 1
+    }
+    assert got_bits == expect
