@@ -740,6 +740,10 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
     # rounds it saves (8 → ~5 on this graph). On a 1000-executor cluster
     # where each round is a synchronization barrier, jumping's
     # O(log diameter) rounds win; flip when barrier cost dominates.
+    # One propagation step per checkpoint round — measured better than
+    # double-stepping: labels feeds the next step TWICE (union side +
+    # join side), so skipping the materialization makes Spark recompute
+    # the grouped frame and costs more than the barrier it saves.
     for _ in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.node)
@@ -1126,21 +1130,23 @@ def pagerank_trade(t: Tables) -> DataFrame:
     init = PR_SCALE // n
     base = (15 * init) // 100
     pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+    # PR_ITERS is a small fixed constant, so the rounds UNROLL into one
+    # statically-bounded plan (2 joins + 1 agg per round) and run as a
+    # single job — no per-round checkpoint/materialization barriers.
+    # Only the shared inputs (nodes, edges_deg) are checkpointed, since
+    # every round re-reads them. An adaptive/convergence-driven variant
+    # would need the per-round checkpoint discipline back.
     for _ in range(PR_ITERS):
         contrib = edges_deg.join(
             pr, edges_deg["src"] == pr["node"]
         ).select("dst", F.expr("pr DIV deg").alias("c"))
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        pr = (
-            nodes.join(insum, nodes["node"] == insum["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
-                ).cast("long").alias("pr"),
-            )
-            .localCheckpoint()
+        pr = nodes.join(insum, nodes["node"] == insum["dst"], "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+            ).cast("long").alias("pr"),
         )
     return pr.select(
         "node",

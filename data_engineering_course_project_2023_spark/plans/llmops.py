@@ -1781,3 +1781,131 @@ FROM comp a
 JOIN comp b ON a.i = b.i AND a.mh = b.mh AND a.source < b.source
 GROUP BY 1, 2
 """
+
+
+# --- X4f: per-source document cap ---------------------------------------------
+def source_cap(t: Tables) -> DataFrame:
+    """X4f: cap documents per source at a fixed budget, selected by
+    content-stable hash order — the domain-capping step every crawl
+    curation applies so one megasite can't dominate the mixture. Hash
+    order (not "first N scanned") makes the kept set reproducible across
+    re-runs and partitionings. One window per source; a pathologically
+    hot source would switch to the hash-threshold spelling (keep where
+    pmod(h, source_n) < cap·source_n/n) which needs no sort at all."""
+    from pyspark.sql import Window
+
+    d = spread(t["documents"])
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 15)
+        .select("source", "doc_id", "rk")
+    )
+
+
+SOURCE_CAP_SQL = """
+SELECT source, doc_id, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= 15
+"""
+
+
+# --- X4g: duplicate-rate governance report ------------------------------------
+def dup_ratio_by_source(t: Tables) -> DataFrame:
+    """X4g: per-source exact-duplicate rate — n_docs, distinct
+    fingerprints, and the dup ratio. The governance scoreboard that
+    decides which feeds earn a near-dup pass. COUNT(DISTINCT md5) is one
+    two-phase agg (partial distinct map-side); no joins."""
+    d = spread(t["documents"])
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5("text")).alias("n_unique"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs"),
+        )
+    )
+
+
+DUP_RATIO_SQL = """
+SELECT source, COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM documents GROUP BY 1
+"""
+
+
+# --- X3i: exact embedding covariance (PCA prep) --------------------------------
+def embedding_covariance(t: Tables) -> DataFrame:
+    """X3i: the d×d covariance accumulation that feeds PCA/whitening —
+    the classic "driver-side numpy" step re-expressed as one distributed
+    aggregation. Per row, the upper-triangle (i,j,x·y) terms fan out
+    MAP-SIDE from an array expression (no self-join of the exploded
+    frame, which would shuffle N·d rows); the single groupBy keys
+    (i,j) = d(d+1)/2 cells. Values go through floor(x·1e6) micro-ints so
+    every sum is an exact BIGINT and the final double covariance is the
+    same IEEE expression in both engines — bit-identical under any
+    partitioning."""
+    d = spread(t["embeddings"])
+    q = F.expr(
+        "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " x -> CAST(floor(x * 1000000) AS BIGINT))"
+    )
+    terms = F.expr(
+        "flatten(transform(__q, (xi, i) ->"
+        " transform(slice(__q, i + 1, size(__q) - i),"
+        "  (xj, j2) -> struct(i AS i, i + j2 AS j, xi AS x, xj AS y))))"
+    )
+    ex = (
+        d.withColumn("__q", q)
+        .select(F.explode(terms).alias("t"))
+        .select("t.i", "t.j", "t.x", "t.y")
+    )
+    n = F.count(F.lit(1))
+    sx, sy, sxy = F.sum("x"), F.sum("y"), F.sum(F.col("x") * F.col("y"))
+    return ex.groupBy("i", "j").agg(
+        n.alias("n_vecs"),
+        sx.alias("sum_x"),
+        sy.alias("sum_y"),
+        sxy.alias("sum_xy"),
+    ).withColumn(
+        "cov_micro2",
+        (F.col("sum_xy").cast("double") / F.col("n_vecs"))
+        - (F.col("sum_x").cast("double") / F.col("n_vecs"))
+        * (F.col("sum_y").cast("double") / F.col("n_vecs")),
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+pairs AS (
+  SELECT i, j, qv[i + 1] AS x, qv[j + 1] AS y
+  FROM q,
+       unnest(range(0, len(qv))) AS t(i),
+       unnest(range(0, len(qv))) AS u(j)
+  WHERE j >= i
+)
+SELECT i, j, COUNT(*) AS n_vecs,
+       CAST(SUM(x) AS BIGINT) AS sum_x,
+       CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+       (CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) / COUNT(*))
+         - (CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*))
+           * (CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / COUNT(*)) AS cov_micro2
+FROM pairs GROUP BY 1, 2
+"""

@@ -821,6 +821,24 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X2f pairwise source Jaccard estimate via union-MinHash components",
     ),
+    "source_cap": Query(
+        llmops.source_cap,
+        llmops.SOURCE_CAP_SQL,
+        ("documents",),
+        "X4f per-source doc budget by content-stable hash order",
+    ),
+    "dup_ratio_by_source": Query(
+        llmops.dup_ratio_by_source,
+        llmops.DUP_RATIO_SQL,
+        ("documents",),
+        "X4g per-source exact-duplicate rate scoreboard",
+    ),
+    "embedding_covariance": Query(
+        llmops.embedding_covariance,
+        llmops.EMBEDDING_COVARIANCE_SQL,
+        ("embeddings",),
+        "X3i exact d×d covariance accumulation (PCA prep, micro-int sums)",
+    ),
 }
 
 
