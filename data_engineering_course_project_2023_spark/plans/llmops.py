@@ -1909,3 +1909,55 @@ SELECT i, j, COUNT(*) AS n_vecs,
            * (CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) / COUNT(*)) AS cov_micro2
 FROM pairs GROUP BY 1, 2
 """
+
+
+# --- X4h: corpus snapshot diff ------------------------------------------------
+def snapshot_diff(t: Tables) -> DataFrame:
+    """X4h: content diff between two corpus versions — the CDC-style
+    report a dataset release pipeline publishes with every refresh
+    (what entered, what left, what was edited in place).
+
+    Versions are simulated deterministically from the one documents
+    table: v1 = id-hash buckets 0-8, v2 = buckets 1-9, and bucket-5 text
+    carries a marker edit in v2 — so the diff exercises all four
+    statuses. One full-outer hash join on doc_id comparing content
+    fingerprints; at 100 TB both sides shuffle once on the join key and
+    the fingerprint comparison is constant-width regardless of doc size."""
+    d = spread(t["documents"])
+    b = _split_expr()
+    v1 = d.filter(b < 9).select("doc_id", F.md5("text").alias("fp1"))
+    v2 = d.filter(b >= 1).select(
+        "doc_id",
+        F.md5(
+            F.when(b == 5, F.concat(F.col("text"), F.lit(" v2"))).otherwise(
+                F.col("text")
+            )
+        ).alias("fp2"),
+    )
+    joined = v1.join(v2, "doc_id", "full_outer")
+    return joined.select(
+        "doc_id",
+        F.when(F.col("fp1").isNull(), F.lit("added"))
+        .when(F.col("fp2").isNull(), F.lit("removed"))
+        .when(F.col("fp1") == F.col("fp2"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+
+
+SNAPSHOT_DIFF_SQL = f"""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS fp1 FROM documents WHERE {_SPLIT_SQL} < 9
+),
+v2 AS (
+  SELECT doc_id,
+         md5(CASE WHEN {_SPLIT_SQL} = 5 THEN text || ' v2' ELSE text END) AS fp2
+  FROM documents WHERE {_SPLIT_SQL} >= 1
+)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       CASE WHEN fp1 IS NULL THEN 'added'
+            WHEN fp2 IS NULL THEN 'removed'
+            WHEN fp1 = fp2 THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""

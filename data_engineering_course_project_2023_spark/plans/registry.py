@@ -839,6 +839,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X3i exact d×d covariance accumulation (PCA prep, micro-int sums)",
     ),
+    "snapshot_diff": Query(
+        llmops.snapshot_diff,
+        llmops.SNAPSHOT_DIFF_SQL,
+        ("documents",),
+        "X4h CDC-style corpus version diff (full-outer fingerprint compare)",
+    ),
 }
 
 

@@ -135,3 +135,30 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     format — predicate pushdown and column pruning reach the stripe
     level, so the same declarative plans stay scan-efficient."""
     return spark.read.orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Media-file ingest via Spark's built-in ``binaryFile`` source:
+    (path, modificationTime, length, content) with the raw bytes in
+    ``content`` — the entry point for the multimodal pipeline
+    (operators/multimodal.py consumes these rows as opaque blobs).
+
+    Pushed-down pruning: ``pathGlobFilter`` keeps non-matching files
+    unopened, and a ``length`` predicate prunes on the file-status
+    metadata WITHOUT reading content — pass max_bytes to skip oversized
+    media at list time. Each file is one row (the format is not
+    splittable); at 100 TB the unit of parallelism is the file, so
+    shard media into object-store-friendly sizes upstream, not into a
+    few giant archives."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df

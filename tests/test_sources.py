@@ -269,3 +269,39 @@ def test_export_training_shards_deterministic_and_complete(spark, tmp_path):
     # pruning: a shard-filtered scan reads only that hive dir
     one = spark.read.parquet(out1).filter(F.col("shard") == 2)
     assert one.count() == disk.get(2, 0)
+
+
+def test_read_binary_dir_media_ingest(spark, tmp_path):
+    """binaryFile source: bytes land intact, glob filter prunes by
+    name, and the size cap prunes from file-status metadata (no
+    content read needed to drop an oversized blob)."""
+    from data_engineering_course_project_2023_spark.operators import multimodal
+    from data_engineering_course_project_2023_spark.sources.readers import (
+        read_binary_dir,
+    )
+
+    d = tmp_path / "media"
+    d.mkdir()
+    (d / "a.img").write_bytes(b"\x89fakepng-bytes\x00\x01")
+    (d / "b.img").write_bytes(b"tiny")
+    (d / "notes.txt").write_bytes(b"not media")
+    df = read_binary_dir(spark, str(d), glob="*.img")
+    rows = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in df.collect()}
+    assert rows == {
+        "a.img": b"\x89fakepng-bytes\x00\x01",
+        "b.img": b"tiny",
+    }
+    capped = read_binary_dir(spark, str(d), glob="*.img", max_bytes=5)
+    assert [r["path"].rsplit("/", 1)[-1] for r in capped.collect()] == ["b.img"]
+    # feeds the multimodal feature pipeline end-to-end
+    media = df.select(
+        F.monotonically_increasing_id().alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.col("content"),
+        F.lit("image/fake").alias("mime"),
+        F.col("length").alias("n_bytes"),
+    )
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 2 and all(
+        len(r["features"]) == multimodal.FEATURE_DIM for r in feats
+    )
