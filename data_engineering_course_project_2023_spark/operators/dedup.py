@@ -32,6 +32,9 @@ N_MINHASH = 8
 SLICES_PER_MD5 = 4
 BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 with high prob
 
+# shingle-stage memo: (input files, params, stage_dir) → staged?
+_STAGE_CACHE: dict[tuple, bool] = {}
+
 
 def _md5_int60(c: Column, seed: int | None = None) -> Column:
     """First 60 bits of md5 as non-negative int64 (same in DuckDB via
@@ -125,8 +128,17 @@ def ngram_jaccard_pairs(
     if stage_dir is not None:
         # stage BEFORE the df-count pass: the explode/tokenize work runs
         # exactly once; df_counts, the anti-join probe, sizes and both
-        # self-join sides all scan the cheap 2-column parquet stage
-        sh.write.mode("overwrite").parquet(stage_dir)
+        # self-join sides all scan the cheap 2-column parquet stage.
+        # The stage is a pure function of (input files, params), so a
+        # repeated build in the same session reuses the parquet already
+        # on disk instead of re-tokenizing — same memo discipline as the
+        # PQ codebook; in-memory inputs (no files) always re-stage.
+        files = tuple(sorted(df.inputFiles()))
+        stage_key = (files, text_col, id_col, n, stage_dir)
+        if not (files and _STAGE_CACHE.get(stage_key)):
+            sh.write.mode("overwrite").parquet(stage_dir)
+            if files:
+                _STAGE_CACHE[stage_key] = True
         sh = df.sparkSession.read.parquet(stage_dir)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
