@@ -1961,3 +1961,96 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """
+
+
+# --- X4i: BPE merge-pair counting ---------------------------------------------
+def bpe_merge_pairs(t: Tables) -> DataFrame:
+    """X4i: the distributed inner loop of BPE tokenizer training — count
+    adjacent symbol pairs across the corpus, weighted by word frequency
+    (round 0: symbols are characters). The full trainer repeats this
+    count → merge-best-pair cycle; each round is exactly this job with a
+    longer symbol alphabet, so the one-round count is the scale-critical
+    primitive.
+
+    Shape: one groupBy(word) collapses the corpus to its vocabulary
+    (frequencies ride along), then pairs fan out MAP-SIDE from an array
+    expression over the (tiny) vocab — the corpus is never exploded to
+    character granularity, which is the difference between shuffling
+    |vocab|·avg_len rows and |corpus|·avg_len rows at 100 TB. Top-50 by
+    weighted count with a deterministic (pair) tiebreak."""
+    d = spread(t["documents"])
+    words = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    pairs = wf.filter(F.length("word") >= 2).select(
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> struct(substring(word, i, 1) AS a,"
+                "             substring(word, i + 1, 1) AS b))"
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("sym_a"), F.col("p.b").alias("sym_b"))
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "sym_a", "sym_b")
+        .limit(50)
+    )
+
+
+BPE_MERGE_PAIRS_SQL = r"""
+WITH words AS (
+  SELECT w AS word FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents
+  )
+),
+wf AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+pairs AS (
+  SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b, n
+  FROM wf, unnest(range(1, len(word))) AS t(i)
+  WHERE len(word) >= 2
+)
+SELECT sym_a, sym_b, CAST(SUM(n) AS BIGINT) AS pair_count
+FROM pairs GROUP BY 1, 2
+ORDER BY pair_count DESC, sym_a, sym_b
+LIMIT 50
+"""
+
+
+# --- X4j: one-row corpus card --------------------------------------------------
+def corpus_stats(t: Tables) -> DataFrame:
+    """X4j: the dataset-card summary row every corpus release ships —
+    global counts plus the exact-duplicate rate, in ONE aggregation pass
+    (two-phase count-distincts, no joins, no window)."""
+    d = spread(t["documents"])
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_chars"
+        ),
+        F.countDistinct(F.md5("text")).alias("n_unique_texts"),
+        (
+            F.lit(1.0)
+            - F.countDistinct(F.md5("text")).cast("double") / F.count(F.lit(1))
+        ).alias("dup_ratio"),
+    )
+
+
+CORPUS_STATS_SQL = """
+SELECT COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM documents
+"""

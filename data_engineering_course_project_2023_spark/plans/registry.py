@@ -845,6 +845,18 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4h CDC-style corpus version diff (full-outer fingerprint compare)",
     ),
+    "bpe_merge_pairs": Query(
+        llmops.bpe_merge_pairs,
+        llmops.BPE_MERGE_PAIRS_SQL,
+        ("documents",),
+        "X4i BPE tokenizer-training pair counts (vocab-sized fan-out)",
+    ),
+    "corpus_stats": Query(
+        llmops.corpus_stats,
+        llmops.CORPUS_STATS_SQL,
+        ("documents",),
+        "X4j one-row dataset-card summary (single agg pass)",
+    ),
 }
 
 
