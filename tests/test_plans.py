@@ -106,3 +106,80 @@ def test_vocab_encode_broadcasts_vocab(spark):
     plan = plan_of(registry.run_query("vocab_encode", spark, SF_CORRECT))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: a fact table written with hive partitions + a FILTERED dim
+    join must prune fact partitions at RUNTIME from the dim-side filter
+    (the join key's partition values aren't known at compile time). At
+    100 TB this is the difference between scanning one month and
+    scanning the table — the plan must carry the dynamicpruning
+    subquery on the fact scan."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    fact_dir = str(tmp_path / "orders_by_year")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.partitionBy("o_year")
+        .parquet(fact_dir)
+    )
+    years = spark.createDataFrame(
+        [(y, "keep" if y == 1995 else "drop") for y in range(1992, 1999)],
+        "o_year int, tag string",
+    )
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(years.filter(F.col("tag") == "keep"), "o_year")
+    plan = plan_of(joined)
+    assert "dynamicpruning" in plan.lower()
+    got_years = {r["o_year"] for r in joined.select("o_year").distinct().collect()}
+    assert got_years == {1995}
+
+
+def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
+    """Runtime filter injection: when a selective build side feeds a
+    shuffle join over an un-partitioned fact, Spark should inject a
+    bloom filter (or semi-join filter) on the probe side so most fact
+    rows drop BEFORE the shuffle — the optimizer-level sibling of the
+    explicit novelty Bloom operator. Pinned here so a config regression
+    that silently disables runtime filtering fails loudly."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    li_path = str(tmp_path / "li")
+    o_path = str(tmp_path / "o")
+    load_table(spark, SF_CORRECT, "lineitem").write.parquet(li_path)
+    load_table(spark, SF_CORRECT, "orders").write.parquet(o_path)
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    # force a shuffle join: bloom injection targets non-broadcast probes
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = spark.read.parquet(li_path)
+        o = spark.read.parquet(o_path).filter(F.col("o_totalprice") > 400000)
+        joined = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = plan_of(joined)
+        assert "bloom" in plan.lower() or "runtimefilter" in plan.lower(), plan[:2000]
+        assert joined.count() > 0
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
