@@ -1681,3 +1681,110 @@ SELECT decile, COUNT(*) AS n_customers,
        CAST(SUM(spend) AS DOUBLE) AS total_spend
 FROM banded GROUP BY 1
 """
+
+
+# --- A13: label-propagation communities ---------------------------------------
+_LPA_ROUNDS = 3
+
+
+def community_labels(t: Tables) -> DataFrame:
+    """A13: synchronous label propagation (LPA) over the part co-order
+    graph — the community-detection counterpart to copair_components
+    (CC answers "connected at all?", LPA answers "which dense cluster?").
+
+    Update rule, chosen for exactness: each round every node adopts its
+    neighbors' MOST FREQUENT label, ties broken by MIN label; nodes with
+    no neighbors keep their own. Synchronous rounds + deterministic
+    tie-break make the algorithm a pure function of the graph, so the
+    fixed {n} rounds UNROLL into one statically-bounded plan (like
+    pagerank_trade) and the whole iteration is exact-checked against an
+    unrolled DuckDB twin. Per round: one edge⋈label join, one
+    (node,label) count, one per-node argmax window over label-sized
+    data.
+
+    Scale: messages are edge-sized, the count collapses to (node,
+    distinct neighbor label) before the window, and the window
+    partitions by node — no global sort, no all-pairs anything. An
+    adaptive-round variant would re-introduce the per-round
+    localCheckpoint discipline from copair_components.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    nodes = (
+        t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ROUNDS):
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            msgs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+        )
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
+def _lpa_round_sql(r: int) -> str:
+    prev = f"lab_{r - 1}"
+    return f"""
+msgs_{r} AS (
+  SELECT e.dst AS node, l.lbl, COUNT(*) AS c
+  FROM edges e JOIN {prev} l ON e.src = l.node
+  GROUP BY 1, 2
+),
+best_{r} AS (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM msgs_{r}
+  ) WHERE rn = 1
+),
+lab_{r} AS (
+  SELECT p.node, COALESCE(b.lbl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN best_{r} b ON p.node = b.node
+)"""
+
+
+COMMUNITY_LABELS_SQL = (
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+lab_0 AS (SELECT DISTINCT l_partkey AS node, l_partkey AS lbl FROM lineitem),"""
+    + ",".join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))
+    + f"""
+SELECT node, lbl AS community FROM lab_{_LPA_ROUNDS}
+"""
+)

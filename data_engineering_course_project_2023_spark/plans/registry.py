@@ -857,6 +857,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4j one-row dataset-card summary (single agg pass)",
     ),
+    "community_labels": Query(
+        analytics.community_labels,
+        analytics.COMMUNITY_LABELS_SQL,
+        ("lineitem",),
+        "A13 synchronous LPA communities, unrolled rounds exact-checked",
+    ),
 }
 
 
