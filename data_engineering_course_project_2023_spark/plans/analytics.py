@@ -1788,3 +1788,45 @@ lab_0 AS (SELECT DISTINCT l_partkey AS node, l_partkey AS lbl FROM lineitem),"""
 SELECT node, lbl AS community FROM lab_{_LPA_ROUNDS}
 """
 )
+
+
+# --- A14: unpivot (wide → long reshaping) --------------------------------------
+def unpivot_measures(t: Tables) -> DataFrame:
+    """A14: melt/unpivot — the inverse of pivot_year_priority: a wide
+    per-flag measure frame reshaped to (key, measure, value) rows.
+    Unpivot is a zero-shuffle map operation (each input row fans out to
+    k rows locally), so the plan is agg → melt with no extra Exchange.
+    Measures are summed exactly in DECIMAL then cast to double for the
+    common unpivot value type."""
+    li = t["lineitem"]
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.sum(F.col("l_discount").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_disc"),
+        F.sum(F.col("l_tax").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_tax"),
+    )
+    return wide.unpivot(
+        "l_returnflag",
+        ["sum_price", "sum_disc", "sum_tax"],
+        "measure",
+        "value",
+    )
+
+
+UNPIVOT_MEASURES_SQL = """
+WITH wide AS (
+  SELECT l_returnflag,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+         CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_tax
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (sum_price, sum_disc, sum_tax))
+"""

@@ -863,6 +863,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "A13 synchronous LPA communities, unrolled rounds exact-checked",
     ),
+    "unpivot_measures": Query(
+        analytics.unpivot_measures,
+        analytics.UNPIVOT_MEASURES_SQL,
+        ("lineitem",),
+        "A14 wide→long melt (zero-shuffle reshaping, pivot inverse)",
+    ),
 }
 
 
