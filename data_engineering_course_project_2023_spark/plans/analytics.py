@@ -1692,9 +1692,11 @@ def community_labels(t: Tables) -> DataFrame:
     graph — the community-detection counterpart to copair_components
     (CC answers "connected at all?", LPA answers "which dense cluster?").
 
-    Update rule, chosen for exactness: each round every node adopts its
-    neighbors' MOST FREQUENT label, ties broken by MIN label; nodes with
-    no neighbors keep their own. Synchronous rounds + deterministic
+    Update rule, chosen for exactness: each round every node adopts the
+    MOST FREQUENT label among its neighbors AND ITSELF (the self-vote
+    prevents the classic synchronous-LPA two-cycle where an isolated
+    pair swaps labels forever), ties broken by MIN label; nodes with no
+    neighbors keep their own. Synchronous rounds + deterministic
     tie-break make the algorithm a pure function of the graph, so the
     fixed {n} rounds UNROLL into one statically-bounded plan (like
     pagerank_trade) and the whole iteration is exact-checked against an
@@ -1721,11 +1723,18 @@ def community_labels(t: Tables) -> DataFrame:
         .filter(F.col("n") >= 2)
         .select("src", "dst")
     )
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
     nodes = (
         t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        und.unionByName(
+            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # self-loops = the self-vote in the update rule
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
         .localCheckpoint()
     )
     labels = nodes.select("node", F.col("node").alias("lbl"))
@@ -1781,8 +1790,10 @@ und AS (
   WHERE a.l_partkey < b.l_partkey
   GROUP BY 1, 2 HAVING COUNT(*) >= 2
 ),
-edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
-lab_0 AS (SELECT DISTINCT l_partkey AS node, l_partkey AS lbl FROM lineitem),"""
+nodes0 AS (SELECT DISTINCT l_partkey AS node FROM lineitem),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und
+          UNION ALL SELECT node, node FROM nodes0),
+lab_0 AS (SELECT node, node AS lbl FROM nodes0),"""
     + ",".join(_lpa_round_sql(r) for r in range(1, _LPA_ROUNDS + 1))
     + f"""
 SELECT node, lbl AS community FROM lab_{_LPA_ROUNDS}

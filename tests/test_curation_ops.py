@@ -1,0 +1,106 @@
+"""Independent cross-checks for the late-round curation/stats operators:
+numpy and pure-Python references on constructed fixtures — a second
+verification axis besides the DuckDB oracles (which could in principle
+share a systematic modeling error with the Spark expression)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from data_engineering_course_project_2023_spark.plans import analytics, llmops
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """Exact micro-int covariance == the same arithmetic done in numpy
+    int64 — including the floor-to-micro quantization step."""
+    rng = [
+        (0, [0.5, -0.25, 0.125], 0),
+        (1, [1.0, 0.75, -0.5], 1),
+        (2, [-0.125, 0.0, 0.25], 0),
+        (3, [0.333, -0.667, 0.999], 1),
+    ]
+    df = spark.createDataFrame(
+        rng, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        (r["i"], r["j"]): (r["sum_x"], r["sum_y"], r["sum_xy"], r["cov_micro2"])
+        for r in llmops.embedding_covariance({"embeddings": df}).collect()
+    }
+    # numpy reference with the identical quantization (note: floor of
+    # the FLOAT32-exact double, like the Spark cast chain)
+    vecs = np.array(
+        [np.floor(np.array(v, dtype=np.float32).astype(np.float64) * 1e6)
+         for _, v, _ in rng],
+        dtype=np.int64,
+    )
+    n = len(vecs)
+    d = vecs.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    for i in range(d):
+        for j in range(i, d):
+            sx = int(vecs[:, i].sum())
+            sy = int(vecs[:, j].sum())
+            sxy = int((vecs[:, i] * vecs[:, j]).sum())
+            cov = (sxy / n) - (sx / n) * (sy / n)
+            assert got[(i, j)][:3] == (sx, sy, sxy)
+            assert abs(got[(i, j)][3] - cov) < 1e-9
+
+
+def test_bpe_merge_pairs_matches_pure_python(spark):
+    """Weighted adjacent-pair counts == a dict-based reference."""
+    docs = [
+        (1, "aab ab"),
+        (2, "aab aab cd"),
+        (3, "x"),  # single char: no pairs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["sym_a"], r["sym_b"]): r["pair_count"]
+        for r in llmops.bpe_merge_pairs({"documents": df}).collect()
+    }
+    from collections import Counter
+
+    wf = Counter(w for _, t in docs for w in t.split() if w)
+    ref = Counter()
+    for w, nn in wf.items():
+        for a, b in zip(w, w[1:]):
+            ref[(a, b)] += nn
+    assert got == dict(ref)
+
+
+def test_source_cap_deterministic_and_bounded(spark):
+    """Cap holds per source; the kept set is identical under a
+    different input partitioning (content-stable order, not scan
+    order)."""
+    rows = [(i, f"text {i}", "l", f"src{i % 3}", 10) for i in range(100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    r1 = llmops.source_cap({"documents": df})
+    r2 = llmops.source_cap({"documents": df.repartition(13)})
+    s1 = {(r["source"], r["doc_id"]) for r in r1.collect()}
+    s2 = {(r["source"], r["doc_id"]) for r in r2.collect()}
+    assert s1 == s2
+    per_src = {}
+    for src, _ in s1:
+        per_src[src] = per_src.get(src, 0) + 1
+    assert all(v == 15 for v in per_src.values())  # 34/33/33 docs → all capped
+
+
+def test_community_labels_on_two_cliques(spark):
+    """LPA separates two disjoint co-order cliques and each converges
+    to its min member label."""
+    # orders 1,2 share parts {10,11,12} twice (>=2 co-orders); orders
+    # 3,4 share parts {20,21} twice; no cross-links
+    rows = []
+    for ok in (1, 2):
+        rows += [(ok, p) for p in (10, 11, 12)]
+    for ok in (3, 4):
+        rows += [(ok, p) for p in (20, 21)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        r["node"]: r["community"]
+        for r in analytics.community_labels({"lineitem": li}).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
