@@ -876,3 +876,84 @@ SELECT event_type,
        COUNT(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+# --- TS winsorization ---------------------------------------------------------
+def value_winsorized(t: Tables) -> DataFrame:
+    """Per-type winsorized means: clamp values at the DISCRETE P5/P95
+    (value at rank ceil(q·n) — a real data point, no interpolation, so
+    the bound is bit-identical cross-engine like value_outliers_mad's
+    median) and report n, raw mean, winsorized mean. The de-spiking
+    step metric pipelines run before trend-fitting.
+
+    Sums go through exact integer cents so both means are
+    partition-order independent; one ranked pass finds both bounds
+    (conditional agg on the same window), one broadcast join clamps.
+    """
+    ev = t["events"].select("event_type", "event_id", "value")
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("_rn", F.row_number().over(wv)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    bounds = (
+        ranked.filter(
+            (F.col("_rn") == F.ceil(F.col("_n") * 0.05))
+            | (F.col("_rn") == F.ceil(F.col("_n") * 0.95))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("_rn") == F.ceil(F.col("_n") * 0.05), F.col("value"))
+            ).alias("p05"),
+            F.min(
+                F.when(F.col("_rn") == F.ceil(F.col("_n") * 0.95), F.col("value"))
+            ).alias("p95"),
+        )
+    )
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    clamped = ev.join(F.broadcast(bounds), "event_type").withColumn(
+        "wv", F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents(F.col("value"))).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+            "mean_raw"
+        ),
+        (F.sum(cents(F.col("wv"))).cast("double") / 100.0 / F.count(F.lit(1))).alias(
+            "mean_winsorized"
+        ),
+        F.min("p05").alias("p05"),
+        F.min("p95").alias("p95"),
+    )
+
+
+VALUE_WINSORIZED_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+bounds AS (
+  SELECT event_type,
+         MIN(CASE WHEN rn = CAST(ceil(n * 0.05) AS BIGINT) THEN value END) AS p05,
+         MIN(CASE WHEN rn = CAST(ceil(n * 0.95) AS BIGINT) THEN value END) AS p95
+  FROM ranked
+  WHERE rn = CAST(ceil(n * 0.05) AS BIGINT) OR rn = CAST(ceil(n * 0.95) AS BIGINT)
+  GROUP BY 1
+),
+clamped AS (
+  SELECT e.event_type, e.value,
+         LEAST(GREATEST(e.value, b.p05), b.p95) AS wv, b.p05, b.p95
+  FROM events e JOIN bounds b ON e.event_type = b.event_type
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / COUNT(*) AS mean_raw,
+       CAST(SUM(CAST(round(wv * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / COUNT(*) AS mean_winsorized,
+       MIN(p05) AS p05, MIN(p95) AS p95
+FROM clamped GROUP BY 1
+"""

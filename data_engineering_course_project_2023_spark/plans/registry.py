@@ -869,6 +869,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "A14 wide→long melt (zero-shuffle reshaping, pivot inverse)",
     ),
+    "value_winsorized": Query(
+        eventstream.value_winsorized,
+        eventstream.VALUE_WINSORIZED_SQL,
+        ("events",),
+        "TS winsorized means at discrete rank-based P5/P95 bounds",
+    ),
 }
 
 
