@@ -139,3 +139,42 @@ def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
         )
         .select("media_id", "kind", "frame_idx")
     )
+
+
+def extract_features_arrow(media: DataFrame, strict: bool = False) -> DataFrame:
+    """mapInArrow variant of extract_features: the same per-batch
+    contract against raw ``pyarrow.RecordBatch``es — no pandas
+    round-trip, so binary payloads aren't copied into Python objects
+    unless the decode touches them. Preferred at scale for blob-heavy
+    batches; output is bit-identical to the pandas path (pinned in
+    pytest)."""
+    import pyarrow as pa
+
+    decode = decode_media if strict else fake_decode
+
+    def run(batches):
+        for batch in batches:
+            content = batch.column("content").to_pylist()
+            kind = batch.column("kind").to_pylist()
+            decoded = [decode(c, k) for c, k in zip(content, kind)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "media_id": batch.column("media_id"),
+                    "kind": batch.column("kind"),
+                    "n_bytes": pa.array(
+                        [len(b) if b is not None else 0 for b in content],
+                        type=pa.int64(),
+                    ),
+                    "sha_hex": pa.array(
+                        [hashlib.sha256(b or b"").hexdigest() for b in content]
+                    ),
+                    "width": pa.array([d["width"] for d in decoded], type=pa.int32()),
+                    "height": pa.array([d["height"] for d in decoded], type=pa.int32()),
+                    "features": pa.array(
+                        [d["features"] for d in decoded],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            )
+
+    return media.mapInArrow(run, schema=FEATURE_SCHEMA)
