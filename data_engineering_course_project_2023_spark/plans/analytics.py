@@ -1841,3 +1841,63 @@ SELECT l_returnflag, measure, value
 FROM wide
 UNPIVOT (value FOR measure IN (sum_price, sum_disc, sum_tax))
 """
+
+
+# --- A15: 2-D skyline (Pareto frontier) ---------------------------------------
+def brand_frontier(t: Tables) -> DataFrame:
+    """A15: per-brand Pareto frontier over (maximize p_retailprice,
+    minimize p_size) — the "best tradeoff set" query (skyline operator).
+
+    The textbook spelling is a quadratic NOT-EXISTS dominance anti-join;
+    for a 2-D skyline the sort trick makes it one window pass: dedupe
+    each (brand, size) to its best price (same-size lower prices are
+    dominated), order sizes ascending, and keep a row iff its price
+    STRICTLY exceeds the running max over all smaller sizes — exactly
+    the non-dominated set. Cost: one keyed shuffle + two windows over
+    brand-sized partitions; never O(n²). Ties on price at the same size
+    resolve to the lowest partkey (deterministic representative)."""
+    p = t["part"]
+    w_best = Window.partitionBy("p_brand", "p_size").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    best = (
+        p.withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select("p_brand", "p_size", "p_retailprice", "p_partkey")
+    )
+    w_run = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        best.withColumn("_prevmax", F.max("p_retailprice").over(w_run))
+        .filter(
+            F.col("_prevmax").isNull()
+            | (F.col("p_retailprice") > F.col("_prevmax"))
+        )
+        .select("p_brand", "p_size", "p_retailprice", "p_partkey")
+    )
+
+
+BRAND_FRONTIER_SQL = """
+WITH best AS (
+  SELECT p_brand, p_size, p_retailprice, p_partkey FROM (
+    SELECT p_brand, p_size, p_retailprice, p_partkey,
+           ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+                              ORDER BY p_retailprice DESC, p_partkey) AS rn
+    FROM part
+  ) WHERE rn = 1
+),
+run AS (
+  SELECT p_brand, p_size, p_retailprice, p_partkey,
+         MAX(p_retailprice) OVER (
+           PARTITION BY p_brand ORDER BY p_size
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prevmax
+  FROM best
+)
+SELECT p_brand, p_size, p_retailprice, p_partkey
+FROM run
+WHERE prevmax IS NULL OR p_retailprice > prevmax
+"""

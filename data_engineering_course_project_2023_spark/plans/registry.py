@@ -875,6 +875,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "TS winsorized means at discrete rank-based P5/P95 bounds",
     ),
+    "brand_frontier": Query(
+        analytics.brand_frontier,
+        analytics.BRAND_FRONTIER_SQL,
+        ("part",),
+        "A15 2-D skyline via sort + running max (no quadratic dominance join)",
+    ),
 }
 
 

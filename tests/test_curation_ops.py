@@ -104,3 +104,36 @@ def test_community_labels_on_two_cliques(spark):
         for r in analytics.community_labels({"lineitem": li}).collect()
     }
     assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_brand_frontier_is_exactly_the_nondominated_set(spark):
+    """The window-trick skyline == brute-force dominance filter on a
+    constructed fixture with ties in both coordinates."""
+    rows = [
+        # (partkey, brand, size, price)
+        (1, "B", 5, 100.0),   # frontier (smallest size)
+        (2, "B", 5, 90.0),    # dominated: same size, lower price
+        (3, "B", 7, 120.0),   # frontier (bigger but pricier)
+        (4, "B", 9, 120.0),   # dominated: same price as 3, bigger
+        (5, "B", 11, 130.0),  # frontier
+        (6, "C", 4, 50.0),    # frontier (other brand independent)
+        (7, "C", 6, 50.0),    # dominated by 6
+    ]
+    df = spark.createDataFrame(
+        [(k, f"part{k}", b, "t", s, p) for k, b, s, p in rows],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    )
+    from data_engineering_course_project_2023_spark.plans import analytics
+
+    got = {r["p_partkey"] for r in analytics.brand_frontier({"part": df}).collect()}
+    # brute-force reference: strict dominance
+    keep = set()
+    for k, b, s, p in rows:
+        dominated = any(
+            b2 == b and ((p2 >= p and s2 < s) or (p2 > p and s2 <= s))
+            for _, b2, s2, p2 in rows
+        )
+        if not dominated:
+            keep.add(k)
+    assert got == keep == {1, 3, 5, 6}
