@@ -362,20 +362,31 @@ def connected_components(
     ).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    for _ in range(max_iter):
-        msgs = edges.join(labels, edges.src == labels.node).select(
-            F.col("dst").alias("node"), "lbl"
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        new_sum = labels.agg(F.sum("lbl")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    # iterative-stage reducer sizing, same rule as copair_components:
+    # per-round joins move edge-sized data, so size reducers to the
+    # materialized edge frame (~500k rows each, floor 8), never above
+    # the caller's scan-sized setting; restore after the loop.
+    spark = labels.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        for _ in range(max_iter):
+            msgs = edges.join(labels, edges.src == labels.node).select(
+                F.col("dst").alias("node"), "lbl"
+            )
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+            new_sum = labels.agg(F.sum("lbl")).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     return labels
 
 

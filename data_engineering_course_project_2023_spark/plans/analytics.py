@@ -735,6 +735,17 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
     # DECREASES labels, so sum(lbl) is strictly monotone until fixpoint —
     # a single cheap agg replaces a join-based changed-row count.
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
+    # Size the ITERATIVE stage's reducers to the (materialized) edge
+    # frame, not the input scan: the registry's input-byte sizing is
+    # right for the corpus-sized build above, but the per-round joins
+    # move only edge/node-sized data, and on tiny frames per-task
+    # scheduling dominates (measured 5.7 s @ 32 reducers vs 3.7 s @ 8
+    # at sf0.1). ~500k edges per reducer, floor 8, never above the
+    # scan sizing — at cluster scale the same rule yields thousands.
+    spark = labels.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     # NOTE: plain per-round propagation, NOT pointer jumping — measured
     # here, the extra label-of-label join per round costs more than the
     # rounds it saves (8 → ~5 on this graph). On a 1000-executor cluster
@@ -744,21 +755,26 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
     # double-stepping: labels feeds the next step TWICE (union side +
     # join side), so skipping the materialization makes Spark recompute
     # the grouped frame and costs more than the barrier it saves.
-    for _ in range(max_iter):
-        msgs = (
-            edges.join(labels, edges.src == labels.node)
-            .select(F.col("dst").alias("node"), "lbl")
-        )
-        labels = (
-            labels.unionByName(msgs)
-            .groupBy("node")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        new_sum = labels.agg(F.sum("lbl")).first()[0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+    try:
+        for _ in range(max_iter):
+            msgs = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), "lbl")
+            )
+            labels = (
+                labels.unionByName(msgs)
+                .groupBy("node")
+                .agg(F.min("lbl").alias("lbl"))
+                .localCheckpoint()
+            )
+            new_sum = labels.agg(F.sum("lbl")).first()[0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        # labels is materialized, so consumers never replan under the
+        # iterative setting
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     return labels.select(F.col("node").alias("l_partkey"), F.col("lbl").alias("component"))
 
 
@@ -1566,17 +1582,27 @@ def trade_hops(t: Tables) -> DataFrame:
     # it every round would double the materialization work.
     visited = seed
     frontier = seed
-    for h in range(1, 5):
-        nxt = (
-            edges.join(frontier, edges["src"] == frontier["node"])
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(visited, "node", "left_anti")
-            .select("node", F.lit(h).alias("hop"))
-            .localCheckpoint()
-        )
-        visited = visited.unionByName(nxt)
-        frontier = nxt
+    # per-level reducer sizing: the expand/distinct/anti-join chain
+    # moves edge/frontier-sized data — same iterative clamp as
+    # copair_components (restore after).
+    spark = edges.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        for h in range(1, 5):
+            nxt = (
+                edges.join(frontier, edges["src"] == frontier["node"])
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .select("node", F.lit(h).alias("hop"))
+                .localCheckpoint()
+            )
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     return visited
 
 
