@@ -110,3 +110,37 @@ def test_range_join_equals_naive_property(spark, rows, gap):
         .collect()
     }
     assert fast == naive
+
+
+@given(
+    hist=st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+                min_size=1, max_size=20),
+        min_size=1, max_size=30),
+    fresh=st.lists(
+        st.text(alphabet=st.characters(whitelist_categories=("Lu",)),
+                min_size=1, max_size=20),
+        min_size=1, max_size=30),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_never_false_negative(spark, hist, fresh):
+    """PROPERTY: for any history and any probe batch, every probe key
+    that IS in the history is filtered out (Bloom admits false
+    positives, never false negatives). Lowercase/digit history vs
+    uppercase fresh keys guarantees the two pools are disjoint."""
+    from data_engineering_course_project_2023_spark.operators import dedup
+
+    hist_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(hist)], "doc_id int, text string"
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(hist)]
+        + [(1000 + i, t) for i, t in enumerate(fresh)],
+        "doc_id int, text string",
+    )
+    bitmap = dedup.bloom_build_bitmap(hist_df, "text")
+    surviving = {
+        r["text"] for r in dedup.bloom_novel(probe, bitmap, "text").collect()
+    }
+    assert surviving.isdisjoint(set(hist))
