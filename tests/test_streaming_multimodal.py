@@ -402,3 +402,68 @@ def test_observed_checks_match_run_checks(spark):
     got = obs.get
     assert got["n_rows"] == n
     assert {k: (n, got[k]) for k in checks} == expected
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window (watermarked, APPEND mode — the only
+    mode Spark allows for streaming session aggregation) == the
+    oracle-gated batch session_window result. Append emits a session
+    only once the watermark passes it, so the input carries one
+    far-future SENTINEL event per user (the standard flush trick);
+    sentinel sessions are dropped by their window start before
+    comparing."""
+    import shutil
+
+    from data_engineering_course_project_2023_spark.plans import eventstream
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.streaming import with_event_time
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "sess_src")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    sentinel = (
+        events.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.lit(max_ts).cast("timestamp_ntz") + F.expr("INTERVAL 6 HOURS"))
+            .alias("ts"),
+            "user_id",
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    events.select(*sentinel.columns).unionByName(sentinel).write.parquet(src)
+    batch = {
+        (r["user_id"], r["n_sessions"], r["n_events"])
+        for r in eventstream.session_window_counts({"events": events}).collect()
+    }
+    stream_in = with_event_time(
+        spark.readStream.schema(sentinel.schema).parquet(src)
+    ).withWatermark("ts", "0 seconds")
+    per_session = stream_in.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"),
+        F.col("user_id"),
+    ).agg(F.count(F.lit(1)).alias("sess_events"))
+    ckpt = str(tmp_path / "sess_ck")
+    q = (
+        per_session.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_win")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "SELECT user_id, sess_events FROM sess_win "
+        f"WHERE sw.start <= timestamp'{max_ts}'"
+    ).collect()
+    agg = {}
+    for r in rows:
+        n_sess, n_ev = agg.get(r["user_id"], (0, 0))
+        agg[r["user_id"]] = (n_sess + 1, n_ev + r["sess_events"])
+    streamed = {(u, s, ev) for u, (s, ev) in agg.items()}
+    assert streamed == batch
+    shutil.rmtree(ckpt, ignore_errors=True)
