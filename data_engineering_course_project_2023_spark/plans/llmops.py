@@ -2054,3 +2054,121 @@ SELECT COUNT(*) AS n_docs,
        1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / COUNT(*) AS dup_ratio
 FROM documents
 """
+
+
+# --- X4k: end-to-end curation funnel -------------------------------------------
+def curation_funnel(t: Tables) -> DataFrame:
+    """X4k: the whole curation pipeline — quality filter → exact dedup
+    (keep-first) → benchmark decontamination — composed as ONE lazy
+    plan, reporting the survivor count after each stage. This is the
+    query a data lead actually runs before a training launch ("where
+    did my documents go?"), and it demonstrates the engine's real
+    product shape: stages are DataFrame→DataFrame functions, so the
+    composition is a single Catalyst plan with pushdown/broadcast
+    across stage boundaries, not three materialized intermediate
+    tables. Counts reuse the oracled stage semantics (gopher_quality
+    rules, md5 keep-first, 8-gram eval overlap vs broadcast src0)."""
+    from pyspark.sql import Window
+
+    docs = spread(t["documents"])
+    pool = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    flags = gopher_quality(
+        {"documents": docs.filter(F.col("source") != "src0")}
+    ).select("doc_id", "keep")
+    q = pool.join(flags.filter(F.col("keep")), "doc_id").select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    eval_sh = (
+        dedup.shingles(docs.filter(F.col("source") == "src0"), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        dedup.shingles(d, n=8)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    c = d.join(contaminated, "doc_id", "left_anti")
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    return (
+        stage(0, "pool", pool)
+        .unionByName(stage(1, "quality", q))
+        .unionByName(stage(2, "dedup", d))
+        .unionByName(stage(3, "decontaminated", c))
+    )
+
+
+CURATION_FUNNEL_SQL = f"""
+WITH pool AS (
+  SELECT doc_id, text FROM documents WHERE source <> 'src0'
+),
+ptoks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM pool
+),
+pm AS (
+  SELECT doc_id,
+         CAST(len(w) AS INTEGER) AS n_words,
+         CAST(length(COALESCE(array_to_string(w, ''), '')) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS mean_word_len,
+         CAST(len(list_filter(w, x -> lower(x) IN ({_STOPS}))) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS stop_ratio,
+         CAST(len(list_distinct(w)) AS DOUBLE)
+           / CAST(len(w) AS DOUBLE) AS unique_ratio
+  FROM ptoks
+),
+q AS (
+  SELECT p.doc_id, p.text
+  FROM pool p JOIN pm ON p.doc_id = pm.doc_id
+  WHERE pm.n_words >= 20 AND pm.n_words <= 100000
+    AND pm.mean_word_len >= 2.0 AND pm.mean_word_len <= 10.0
+    AND pm.stop_ratio >= 0.02 AND pm.unique_ratio >= 0.30
+),
+d AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn = 1
+),
+ev AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE source = 'src0'
+),
+evidx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM ev),
+evsh AS (
+  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           AS shingle
+  FROM evidx
+),
+dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM d),
+dtidx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM dt),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+         || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           AS shingle
+  FROM dtidx
+),
+contaminated AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN evsh USING (shingle)),
+c AS (
+  SELECT d.doc_id FROM d
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = d.doc_id)
+)
+SELECT 0 AS stage_idx, 'pool' AS stage, COUNT(*) AS n_docs FROM pool
+UNION ALL SELECT 1, 'quality', COUNT(*) FROM q
+UNION ALL SELECT 2, 'dedup', COUNT(*) FROM d
+UNION ALL SELECT 3, 'decontaminated', COUNT(*) FROM c
+"""

@@ -881,6 +881,12 @@ REGISTRY: dict[str, Query] = {
         ("part",),
         "A15 2-D skyline via sort + running max (no quadratic dominance join)",
     ),
+    "curation_funnel": Query(
+        llmops.curation_funnel,
+        llmops.CURATION_FUNNEL_SQL,
+        ("documents",),
+        "X4k end-to-end curation pipeline as one plan, stage survivor counts",
+    ),
 }
 
 
