@@ -140,3 +140,51 @@ def test_stream_to_jdbc_loads_warehouse(spark, tmp_path):
     q2 = joins.stream_to_jdbc(stream2, "fact_events", url, ckpt, properties=props)
     q2.awaitTermination(120)
     assert read_back() == [1, 2]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-STATIC join: a streaming fact enriched against a static
+    dimension (the broadcast-enrichment pattern at ingest time) lands
+    on the same result as the batch join — and the static side needs no
+    watermark/state at all."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.streaming import with_event_time
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    dim = (
+        events.select("user_id").distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 3 == 0, "gold")
+                    .otherwise("standard"))
+    )
+    batch = {
+        (r["tier"], r["n"]) for r in
+        events.join(dim, "user_id").groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    src = str(tmp_path / "ss_src")
+    events.repartition(2).write.parquet(src)
+    stream_in = with_event_time(
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    agg = (
+        stream_in.join(F.broadcast(dim), "user_id")
+        .groupBy("tier").agg(F.count(F.lit(1)).alias("n"))
+    )
+    ckpt = str(tmp_path / "ss_ck")
+    q = (
+        agg.writeStream.outputMode("complete").format("memory")
+        .queryName("ss_join").option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["tier"], r["n"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(ckpt, ignore_errors=True)
