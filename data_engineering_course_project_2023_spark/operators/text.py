@@ -203,3 +203,37 @@ def redact_pii(
     return df.withColumn(out_col, redacted).withColumn(
         "n_redactions", n_total.cast("int")
     )
+
+
+# --- §2.7 UDTF surface --------------------------------------------------------
+def sentence_split_udtf():
+    """Python UDTF (table function) seam — the §2.7 surface for
+    row→rows expansions whose logic genuinely needs Python (the
+    reference has no UDTF surface at all; SURVEY §2.7). Demonstrated
+    with sentence segmentation; the suite pins it against the built-in
+    split+posexplode spelling on the shared simple grammar, which is
+    also the engine's UDF policy in one line: built-ins when the
+    semantics fit, the UDTF seam when they don't.
+
+    Returns the udtf object; register with
+    ``spark.udtf.register("sentence_split", sentence_split_udtf())`` or
+    call directly over a lateral join.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, doc_id, text):  # noqa: ANN001 — UDTF contract
+            if text is None:
+                return
+            parts = [
+                s.strip()
+                for s in re.split(r"(?<=[.!?])\s+", text.strip())
+                if s.strip()
+            ]
+            for i, s in enumerate(parts):
+                yield i, s
+
+    return SentenceSplit

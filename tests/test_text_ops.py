@@ -416,3 +416,53 @@ def test_bloom_bitmap_bits_match_positions(spark):
         if (word >> b) & 1
     }
     assert got_bits == expect
+
+
+def test_sentence_split_udtf_matches_builtin_spelling(spark):
+    """§2.7 UDTF: the Python table function agrees with the built-in
+    split+posexplode spelling on the shared simple grammar — pinning
+    both the UDTF seam's mechanics (lateral row expansion, multiple
+    output rows per input) and the engine's built-ins-first policy."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.operators.text import (
+        sentence_split_udtf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "First sentence. Second one! Third?"),
+            (2, "Only one sentence"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    spark.udtf.register("sentence_split", sentence_split_udtf())
+    docs.createOrReplaceTempView("udtf_docs")
+    got = {
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in spark.sql(
+            "SELECT d.doc_id, s.sent_idx, s.sentence "
+            "FROM udtf_docs d, LATERAL sentence_split(d.doc_id, d.text) s"
+        ).collect()
+    }
+    builtin = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.transform(
+                        F.split(F.trim("text"), r"(?<=[.!?])\s+"),
+                        lambda s: F.trim(s),
+                    ),
+                    lambda s: s != "",
+                )
+            ).alias("sent_idx", "sentence"),
+        )
+    )
+    want = {
+        (r["doc_id"], r["sent_idx"], r["sentence"]) for r in builtin.collect()
+    }
+    assert got == want
+    assert (1, 1, "Second one!") in got
