@@ -1927,3 +1927,98 @@ SELECT p_brand, p_size, p_retailprice, p_partkey
 FROM run
 WHERE prevmax IS NULL OR p_retailprice > prevmax
 """
+
+
+# --- A16: k-core peeling -------------------------------------------------------
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def kcore_nodes(t: Tables) -> DataFrame:
+    """A16: k-core decomposition (k={k}) of the part co-order graph by
+    iterative peeling — {r} FIXED rounds of "drop every node whose
+    current degree < k", the dense-subgraph extraction used to find the
+    stable heart of a collaboration/co-purchase network.
+
+    Fixed rounds (not loop-until-fixpoint) keep the query a TOTAL
+    function of the input — semantics are "{r} peels", which the
+    unrolled DuckDB twin reproduces exactly; on both test SFs the graph
+    converges well before round {r} (sf0.01: 2 rounds), so the result
+    IS the 2-core there, and the fixed bound is the honest contract
+    everywhere else. Per round: one degree agg + one semi-join, both
+    keyed — no all-pairs anything; survivors are localCheckpoint-ed so
+    the plan stays flat (per-round frames only shrink).
+
+    Output: (l_partkey, core_degree) for surviving nodes.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    spark = edges.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
+    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
+    try:
+        cur = edges
+        for _ in range(_KCORE_ROUNDS):
+            deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.filter(F.col("deg") >= _KCORE_K).select("src")
+            cur = (
+                cur.join(keep, "src", "left_semi")
+                .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+                .localCheckpoint()
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+    return (
+        cur.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("src").alias("l_partkey"), "core_degree")
+    )
+
+
+kcore_nodes.__doc__ = kcore_nodes.__doc__.format(k=_KCORE_K, r=_KCORE_ROUNDS)
+
+
+def _kcore_round_sql(r: int) -> str:
+    prev = f"e_{r - 1}"
+    return f"""
+deg_{r} AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY 1),
+keep_{r} AS MATERIALIZED (SELECT src FROM deg_{r} WHERE deg >= {_KCORE_K}),
+e_{r} AS MATERIALIZED (
+  SELECT e.src, e.dst
+  FROM {prev} e
+  JOIN keep_{r} k1 ON e.src = k1.src
+  JOIN keep_{r} k2 ON e.dst = k2.src
+)"""
+
+
+KCORE_NODES_SQL = (
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+e_0 AS MATERIALIZED (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),"""
+    + ",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))
+    + f"""
+SELECT src AS l_partkey, COUNT(*) AS core_degree
+FROM e_{_KCORE_ROUNDS} GROUP BY 1
+"""
+)

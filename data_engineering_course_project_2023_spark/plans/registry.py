@@ -887,6 +887,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4k end-to-end curation pipeline as one plan, stage survivor counts",
     ),
+    "kcore_nodes": Query(
+        analytics.kcore_nodes,
+        analytics.KCORE_NODES_SQL,
+        ("lineitem",),
+        "A16 k-core peeling (fixed rounds, unrolled exact twin)",
+    ),
 }
 
 
