@@ -726,3 +726,61 @@ def ivfpq_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(topk)
     )
+
+
+# --- §2.7 grouped-map: per-label dominant eigenvector --------------------------
+def label_top_eigvec(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_power_iter: int = 100,
+) -> DataFrame:
+    """Per-label dominant eigenvector of the embedding covariance — the
+    1-component PCA a SemDeDup-style pipeline uses to orient each
+    cluster. This is the sanctioned ``applyInPandas`` (grouped-map)
+    seam: an eigen-solve is genuinely inexpressible in Spark SQL
+    expressions, each group's solve is independent, and the group
+    payload (one label's vectors) fits an executor by construction —
+    exactly the contract grouped-map is for.
+
+    Determinism: each group is sorted by ``id_col`` before the solve
+    (fp sums are order-sensitive, and grouped-map hands rows over in
+    partition order), then a fixed-iteration power method from an
+    all-ones start, float64 throughout, sign fixed by the first nonzero
+    component — BIT-identical output on any partitioning (pinned
+    against straight numpy in pytest).
+    Output: (label, n_vecs, eigval, eigvec).
+    """
+    import numpy as np
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        cov = centered.T @ centered / len(mat)
+        v = np.ones(cov.shape[0], dtype=np.float64)
+        for _ in range(n_power_iter):
+            v = cov @ v
+            n = np.linalg.norm(v)
+            if n == 0.0:
+                break
+            v = v / n
+        nz = np.nonzero(v)[0]
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        eigval = float(v @ cov @ v)
+        return pd.DataFrame(
+            {
+                "label": [pdf[label_col].iloc[0]],
+                "n_vecs": [len(mat)],
+                "eigval": [eigval],
+                "eigvec": [v.tolist()],
+            }
+        )
+
+    return df.groupBy(label_col).applyInPandas(
+        solve,
+        schema="label int, n_vecs long, eigval double, eigvec array<double>",
+    )
