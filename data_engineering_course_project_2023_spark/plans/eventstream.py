@@ -957,3 +957,56 @@ SELECT event_type, COUNT(*) AS n,
        MIN(p05) AS p05, MIN(p95) AS p95
 FROM clamped GROUP BY 1
 """
+
+
+# --- TS rolling distinct (WAU) ------------------------------------------------
+def rolling_active_users(t: Tables) -> DataFrame:
+    """Trailing-7-day distinct active users per day (the WAU curve).
+
+    A rolling COUNT(DISTINCT) has no partial aggregate, and the naive
+    spelling — a GLOBAL ordered window with a set-collecting frame —
+    funnels the whole table through one sort partition. The scale-right
+    spelling inverts it: each (user, active-day) pair CONTRIBUTES to the
+    7 report days it falls inside (a 7-element sequence explode,
+    map-side), and the count is then an ordinary keyed distinct-agg on
+    report_day — fully parallel, two-phase, no global sort anywhere.
+    Report days with trailing-window activity but no same-day events
+    are included (that is what "active in the last 7 days" means).
+    """
+    from ..functions.expr import spread
+
+    ev = t["events"]
+    pairs = (
+        spread(ev)
+        .select(F.to_date("ts").alias("day"), "user_id")
+        .distinct()
+    )
+    contrib = pairs.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("report_day"),
+        "user_id",
+    )
+    return (
+        contrib.groupBy(
+            F.date_format("report_day", "yyyy-MM-dd").alias("report_day")
+        )
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+
+
+ROLLING_ACTIVE_USERS_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+contrib AS (
+  SELECT strftime(CAST(day + CAST(i AS INTEGER) AS DATE), '%Y-%m-%d')
+           AS report_day,
+         user_id
+  FROM pairs, unnest(range(0, 7)) AS t(i)
+)
+SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM contrib GROUP BY 1
+"""

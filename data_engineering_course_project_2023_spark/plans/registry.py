@@ -893,6 +893,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "A16 k-core peeling (fixed rounds, unrolled exact twin)",
     ),
+    "rolling_active_users": Query(
+        eventstream.rolling_active_users,
+        eventstream.ROLLING_ACTIVE_USERS_SQL,
+        ("events",),
+        "TS trailing-7d distinct users via contribution explode (no global window)",
+    ),
 }
 
 
