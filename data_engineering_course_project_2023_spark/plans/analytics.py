@@ -2022,3 +2022,54 @@ SELECT src AS l_partkey, COUNT(*) AS core_degree
 FROM e_{_KCORE_ROUNDS} GROUP BY 1
 """
 )
+
+
+# --- A17: RFM segmentation -----------------------------------------------------
+def customer_rfm(t: Tables) -> DataFrame:
+    """A17: recency/frequency/monetary segmentation — the classic
+    customer-base health matrix. One keyed agg builds the per-customer
+    (R, F, M) triple; three ntile(4) windows band them (customer-sized
+    data — same single-sort caveat and fix as customer_ltv_deciles);
+    deterministic tiebreak by custkey everywhere. Output: one row per
+    (r_band, f_band, m_band) cell with its population and value."""
+    o = t["orders"]
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    banded = per_cust.select(
+        "o_custkey",
+        "monetary",
+        F.ntile(4).over(w_r).alias("r_band"),
+        F.ntile(4).over(w_f).alias("f_band"),
+        F.ntile(4).over(w_m).alias("m_band"),
+    )
+    return banded.groupBy("r_band", "f_band", "m_band").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast("double").alias("total_value"),
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY 1
+),
+banded AS (
+  SELECT o_custkey, monetary,
+         NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_band,
+         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_band,
+         NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_band
+  FROM per_cust
+)
+SELECT r_band, f_band, m_band, COUNT(*) AS n_customers,
+       CAST(SUM(monetary) AS DOUBLE) AS total_value
+FROM banded GROUP BY 1, 2, 3
+"""

@@ -899,6 +899,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "TS trailing-7d distinct users via contribution explode (no global window)",
     ),
+    "customer_rfm": Query(
+        analytics.customer_rfm,
+        analytics.CUSTOMER_RFM_SQL,
+        ("orders",),
+        "A17 RFM segmentation matrix (deterministic ntile bands)",
+    ),
 }
 
 
