@@ -2073,3 +2073,86 @@ SELECT r_band, f_band, m_band, COUNT(*) AS n_customers,
        CAST(SUM(monetary) AS DOUBLE) AS total_value
 FROM banded GROUP BY 1, 2, 3
 """
+
+
+# --- A18: market concentration (HHI) ------------------------------------------
+def nation_supplier_hhi(t: Tables) -> DataFrame:
+    """A18: Herfindahl–Hirschman concentration of supplier revenue
+    within each nation — the market-structure metric (10000·Σ share²).
+
+    Determinism, the hard way (both naive spellings fail): summing
+    per-supplier ``share²`` doubles is partition-order dependent, and
+    even exact decimal moments diverge at the final DECIMAL(38)→DOUBLE
+    cast (engines round that conversion differently, and ROUND(…,6)
+    still flips when a value lands on the half-digit boundary — seen
+    live at sf0.01). So the metric is integer end-to-end, the
+    pagerank_trade micro-unit discipline: exact cent sums Σrev·100 and
+    Σ(rev·100)² in DECIMAL(38,0), then
+    hhi_micro = (Σrev²·10¹⁰) div (Σrev)² — integer div, exact on both
+    engines; hhi = hhi_micro/1e6 is derived from an int < 2^53, so even
+    the double is bit-identical. Two keyed aggs; nation dim broadcasts."""
+    li = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+    s = t["supplier"].select("s_suppkey", "s_nationkey")
+    n = t["nation"].select("n_nationkey", "n_name")
+    rev = (
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_suppkey", "s_nationkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,2)")
+            ).alias("supp_rev")
+        )
+    )
+    cents = (F.col("supp_rev") * 100).cast("decimal(38,0)")
+    hhi = (
+        rev.select("s_nationkey", cents.alias("rev_c"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum("rev_c").alias("nrev_c"),
+            F.sum(
+                (F.col("rev_c") * F.col("rev_c")).cast("decimal(38,0)")
+            ).alias("sumsq_c2"),
+        )
+        .withColumn(
+            "hhi_micro",
+            F.expr(
+                "(sumsq_c2 * CAST(10000000000 AS DECIMAL(38,0)))"
+                " div (nrev_c * nrev_c)"
+            ).cast("long"),
+        )
+        .withColumn("hhi", F.col("hhi_micro").cast("double") / 1000000.0)
+    )
+    return (
+        hhi.join(F.broadcast(n), hhi["s_nationkey"] == n["n_nationkey"])
+        .select("n_name", "n_suppliers", "hhi_micro", "hhi")
+    )
+
+
+NATION_SUPPLIER_HHI_SQL = """
+WITH rev AS (
+  SELECT s_suppkey, s_nationkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+           AS supp_rev
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  GROUP BY 1, 2
+),
+cents AS (
+  SELECT s_nationkey, CAST(supp_rev * 100 AS HUGEINT) AS rev_c FROM rev
+),
+hhi AS (
+  SELECT s_nationkey,
+         COUNT(*) AS n_suppliers,
+         SUM(rev_c) AS nrev_c,
+         SUM(rev_c * rev_c) AS sumsq_c2
+  FROM cents GROUP BY 1
+)
+SELECT n_name, n_suppliers,
+       CAST((sumsq_c2 * CAST(10000000000 AS HUGEINT))
+            // (nrev_c * nrev_c) AS BIGINT) AS hhi_micro,
+       CAST(CAST((sumsq_c2 * CAST(10000000000 AS HUGEINT))
+                 // (nrev_c * nrev_c) AS BIGINT) AS DOUBLE) / 1000000.0
+         AS hhi
+FROM hhi JOIN nation ON s_nationkey = n_nationkey
+"""

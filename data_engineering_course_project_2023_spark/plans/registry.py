@@ -905,6 +905,12 @@ REGISTRY: dict[str, Query] = {
         ("orders",),
         "A17 RFM segmentation matrix (deterministic ntile bands)",
     ),
+    "nation_supplier_hhi": Query(
+        analytics.nation_supplier_hhi,
+        analytics.NATION_SUPPLIER_HHI_SQL,
+        ("lineitem", "supplier", "nation"),
+        "A18 Herfindahl revenue concentration per nation",
+    ),
 }
 
 
