@@ -183,3 +183,15 @@ def test_runtime_bloom_filter_injected_on_selective_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bloom_probe_plan_is_map_only(spark):
+    """novel_docs_bloom's PROBE contract: no Join and no aggregation
+    anywhere in the plan — the history is consulted only through the
+    bitmap literal, so the probe is scan → filter → project (plus the
+    documented spread() rebalance). A Join appearing here would mean
+    the operator regressed to shuffling the history."""
+    plan = plan_of(registry.run_query("novel_docs_bloom", spark, SF_CORRECT))
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+    assert "PushedFilters" in plan
