@@ -187,3 +187,58 @@ def test_label_top_eigvec_matches_numpy_and_partitioning(spark):
         # contract under test is determinism + numpy equality)
         w = np.linalg.eigvalsh(cov).max()
         assert abs(out1[lbl]["eigval"] - w) / w < 1e-2
+
+
+def test_snapshot_diff_statuses_on_constructed_versions(spark):
+    """All four diff statuses materialize correctly: the id-hash split
+    plus the bucket-5 marker edit must classify every doc_id into
+    exactly one status, and the spark statuses must equal a pure-Python
+    replay of the same split rule."""
+    import hashlib
+
+    from data_engineering_course_project_2023_spark.plans import llmops
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: r["status"]
+        for r in llmops.snapshot_diff({"documents": docs}).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    expect = {}
+    for r in rows:
+        b = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16) % 10
+        in_v1, in_v2 = b < 9, b >= 1
+        if in_v1 and not in_v2:
+            expect[r["doc_id"]] = "removed"
+        elif in_v2 and not in_v1:
+            expect[r["doc_id"]] = "added"
+        elif b == 5:
+            expect[r["doc_id"]] = "changed"
+        else:
+            expect[r["doc_id"]] = "unchanged"
+    assert got == expect
+    assert set(expect.values()) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_source_overlap_extremes(spark):
+    """Union-MinHash overlap: two sources with identical corpora match
+    on all 8 components (est_jaccard = 1.0); fully disjoint vocabularies
+    share none (pair absent from the report)."""
+    from data_engineering_course_project_2023_spark.plans import llmops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, base, "l", "sA", 1),
+            (2, base, "l", "sB", 1),   # sB mirrors sA exactly
+            (3, other, "l", "sC", 1),  # sC shares no shingles
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in llmops.source_overlap({"documents": df}).collect()
+    }
+    assert rows == {("sA", "sB"): 1.0}
