@@ -266,16 +266,28 @@ def _kmeans_list_uncached(
     cent_list = [(i + 1, list(r["centroid"])) for i, r in enumerate(init)]
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).localCheckpoint()
     for _ in range(n_iter):
+        # Mean recompute in exact integer nano-units: a float sum's
+        # value depends on partial-aggregate merge order (shuffle fetch
+        # order is not deterministic), so avg() could wiggle in the
+        # last ulp between runs and move a near-tied argmin. Summing
+        # round(val*1e9) as BIGINT is order-independent and exact, so
+        # the trained centroids are bit-identical on every run — which
+        # is what lets a trained codebook be pinned as a constant.
         rows = (
             vecs.withColumn("centroid_id", _argmin_expr(cent_list))
             .select("centroid_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("centroid_id", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(
+                F.sum(F.round(F.col("val") * 1e9).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         means: dict[int, dict[int, float]] = {}
         for r in rows:
-            means.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = float(r["m"])
+            means.setdefault(int(r["centroid_id"]), {})[int(r["pos"])] = (
+                float(r["s"]) / (int(r["n"]) * 1e9)
+            )
         # clusters that lost every member drop out (matches r1 groupBy)
         cent_list = sorted(
             (cid, [vals[p] for p in range(dim_probe)]) for cid, vals in means.items()
@@ -428,18 +440,27 @@ def _pq_train_uncached(
     ]
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("v")).localCheckpoint()
     for _ in range(n_iter):
+        # Exact integer nano-unit sums for the same reason as
+        # :func:`_kmeans_list_uncached`: order-independent means make
+        # training bit-deterministic run-to-run, so the sf0.01-trained
+        # codebook can be embedded as constants in the DuckDB oracle.
         rows = (
             vecs.withColumn("codes", _pq_assign_expr(cents, d_sub))
             .select("codes", F.posexplode("v").alias("pos", "val"))
             .withColumn("sub", (F.col("pos") / d_sub).cast("int"))
             .withColumn("code", F.element_at("codes", F.col("sub") + 1))
             .groupBy("sub", "code", (F.col("pos") % d_sub).alias("p"))
-            .agg(F.avg("val").alias("mval"))
+            .agg(
+                F.sum(F.round(F.col("val") * 1e9).cast("long")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
         means: dict[tuple[int, int], dict[int, float]] = {}
         for r in rows:
-            means.setdefault((int(r["sub"]), int(r["code"])), {})[int(r["p"])] = float(r["mval"])
+            means.setdefault((int(r["sub"]), int(r["code"])), {})[int(r["p"])] = (
+                float(r["s"]) / (int(r["n"]) * 1e9)
+            )
         for (j, c), vals in means.items():
             cents[j][c] = [vals[p] for p in range(d_sub)]
     return cents

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.expr import spread
 from ..operators import dedup, similarity, text as textops
+from . import pq_fixture
 
 Tables = dict[str, DataFrame]
 
@@ -449,11 +450,23 @@ def minhash_ml(t: Tables) -> DataFrame:
 
 # --- X3c: IVF (k-means) approximate search — rows-only -----------------------
 def pq_codes_query(t: Tables) -> DataFrame:
-    """X3e: PQ compression codes (8 subspaces × 4-bit) per vector.
-    Codebook is data-dependent k-means → not static-SQL-expressible;
-    driver records rows-only, code-range + determinism pinned in
-    pytest."""
-    return similarity.pq_codes(t["embeddings"])
+    """X3e: PQ compression codes (8 subspaces × 4-bit) per vector,
+    joined to a csv string (array<int> is unhashable in the driver
+    canonicalizer). Training is bit-deterministic (exact nano-unit
+    mean sums), so the sf0.01 codebook is pinned as a constant in
+    :mod:`.pq_fixture` and the DuckDB oracle replicates the encode with
+    the identical fold order — the full train+encode path is
+    value-checked, not just row-counted."""
+    codes = similarity.pq_codes(t["embeddings"])
+    return codes.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda c: c.cast("string"))
+        ).alias("codes_csv"),
+    )
+
+
+PQ_CODES_SQL = pq_fixture.pq_codes_oracle_sql()
 
 
 def pq_topk_query(t: Tables) -> DataFrame:
@@ -873,7 +886,17 @@ def embedding_quantize(t: Tables) -> DataFrame:
                 lambda s: s.code,
             ).alias("codes")
         )
-        .select("vec_id", F.size("codes").alias("n_dims"), "codes")
+        # Flattened to a CSV string: the driver's pandas canonicalizer
+        # hashes every output column and array<int> is unhashable there
+        # (r2 driver-err); a joined string carries the identical
+        # information and round-trips through both harnesses.
+        .select(
+            "vec_id",
+            F.size("codes").alias("n_dims"),
+            F.concat_ws(
+                ",", F.transform("codes", lambda c: c.cast("string"))
+            ).alias("codes_csv"),
+        )
     )
 
 
@@ -892,7 +915,7 @@ WITH ex AS (
 )
 SELECT vec_id,
        CAST(COUNT(*) AS INTEGER) AS n_dims,
-       list(code ORDER BY pos) AS codes
+       string_agg(CAST(code AS VARCHAR), ',' ORDER BY pos) AS codes_csv
 FROM coded
 GROUP BY vec_id
 """
@@ -1422,6 +1445,17 @@ def vocab_encode(t: Tables) -> DataFrame:
             .cast("int")
             .alias("n_oov"),
         )
+        # CSV string, not array<int>: the driver canonicalizer cannot
+        # hash list cells (r2 driver-err) and the joined form is
+        # information-identical.
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",", F.transform("token_ids", lambda i: i.cast("string"))
+            ).alias("token_ids_csv"),
+            "n_tokens",
+            "n_oov",
+        )
     )
     return enc
 
@@ -1444,7 +1478,8 @@ WITH base AS (
   QUALIFY ROW_NUMBER() OVER (ORDER BY freq DESC, term) <= {VOCAB_SIZE}
 )
 SELECT doc_id,
-       list(COALESCE(v.id, 0) ORDER BY pos) AS token_ids,
+       string_agg(CAST(COALESCE(v.id, 0) AS VARCHAR), ',' ORDER BY pos)
+         AS token_ids_csv,
        CAST(COUNT(*) AS INTEGER) AS n_tokens,
        CAST(SUM(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS INTEGER)
          AS n_oov

@@ -110,7 +110,10 @@ def test_ivf_recall_vs_brute_force(spark):
     ]
     assert len(ivf) == 10
     recall = len(set(exact) & set(ivf)) / 10
-    assert recall >= 0.2, f"recall {recall}"
+    # Measured 0.9 on this fixture with the exact-integer-mean trainer
+    # (r2 advice: the old 0.2 pin was far weaker than COVERAGE.md's
+    # claim); 0.7 matches the documented contract with headroom.
+    assert recall >= 0.7, f"recall {recall}"
     # determinism: re-run gives identical ranking
     ivf2 = [
         r["vec_id"]
@@ -209,6 +212,23 @@ def test_pq_codes_and_adc_recall(spark):
         r["vec_id"] for r in similarity.pq_topk(emb, query_vec_id=0, topk=10).collect()
     ]
     assert pq == pq2
+
+
+def test_pq_codebook_pinned_sf001(spark):
+    """The sf0.01-trained codebook must equal the constant embedded in
+    the DuckDB oracle (``plans/pq_fixture.py``) — training drift would
+    silently invalidate the pq_codes oracle, so re-train and compare.
+    Training is bit-deterministic (exact nano-unit mean sums), so this
+    is an equality check, not a tolerance check."""
+    from data_engineering_course_project_2023_spark.operators import similarity
+    from data_engineering_course_project_2023_spark.plans import pq_fixture
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = similarity._pq_train_uncached(
+        emb, similarity.PQ_M, similarity.PQ_K, 2, "vec_id", "embedding"
+    )
+    assert cents == pq_fixture.PQ_CODEBOOK_SF001
 
 
 def test_ivfpq_recall_and_determinism(spark):

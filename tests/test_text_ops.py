@@ -359,9 +359,9 @@ def test_vocab_encode_ids_and_oov(spark):
     finally:
         llmops.VOCAB_SIZE = orig
     # a and b both appear 3× → tie broken by term: a=1, b=2; c/rare OOV
-    assert got[1]["token_ids"] == [2, 2, 1, 1, 0]
+    assert got[1]["token_ids_csv"] == "2,2,1,1,0"
     assert got[1]["n_tokens"] == 5 and got[1]["n_oov"] == 1
-    assert got[2]["token_ids"] == [1, 2, 0]
+    assert got[2]["token_ids_csv"] == "1,2,0"
     assert got[2]["n_oov"] == 1
 
 
