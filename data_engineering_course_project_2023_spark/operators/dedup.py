@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.expr import spread
+from ..session import iterative_shuffle_parts
 
 # MinHash: k hash functions derived by slicing md5 digests — md5(seed|s)
 # yields four independent 32-bit slices, so k=8 costs only two md5 calls
@@ -32,8 +33,51 @@ N_MINHASH = 8
 SLICES_PER_MD5 = 4
 BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 with high prob
 
-# shingle-stage memo: (input files, params, stage_dir) → staged?
-_STAGE_CACHE: dict[tuple, bool] = {}
+# shingle-stage memo: stage_dir → the key (file fingerprints + params)
+# last staged there. Keying BY DIRECTORY (not by key) means a second
+# call with a different input or params over the same dir observes the
+# mismatch and re-stages — the r2 shape (key → staged?) silently served
+# input A's cache entry while the directory held input B's shingles.
+_STAGE_CACHE: dict[str, tuple] = {}
+
+# Bounded memo size: these are per-session conveniences, not a real
+# cache layer; a runaway sweep over many inputs must not pin unbounded
+# driver memory (each Bloom bitmap is m/64 longs).
+_CACHE_MAX_ENTRIES = 32
+
+
+def _files_fingerprint(df: DataFrame) -> tuple:
+    """Identity of a frame's file inputs: (path, mtime_ns, size) per
+    file. inputFiles alone cannot see an in-place overwrite (same path,
+    new bytes); stat'ing mtime+size catches that. Non-local paths fall
+    back to the bare URI (cluster object stores are immutable-by-
+    convention; overwrite-in-place is a local-test phenomenon)."""
+    import os
+    from urllib.parse import urlparse
+
+    out = []
+    for uri in sorted(df.inputFiles()):
+        p = urlparse(uri)
+        if p.scheme in ("", "file") and p.path:
+            try:
+                st = os.stat(p.path)
+                out.append((p.path, st.st_mtime_ns, st.st_size))
+                continue
+            except OSError:
+                pass
+        out.append((uri, 0, 0))
+    return tuple(out)
+
+
+def _lru_put(cache: dict, key, value) -> None:
+    """Insert with a hard size bound (evict oldest insertion — plain
+    dicts preserve insertion order, which is LRU-enough for a memo that
+    is almost always hit on the most recent key)."""
+    if key in cache:
+        del cache[key]
+    elif len(cache) >= _CACHE_MAX_ENTRIES:
+        del cache[next(iter(cache))]
+    cache[key] = value
 
 
 def _md5_int60(c: Column, seed: int | None = None) -> Column:
@@ -129,16 +173,21 @@ def ngram_jaccard_pairs(
         # stage BEFORE the df-count pass: the explode/tokenize work runs
         # exactly once; df_counts, the anti-join probe, sizes and both
         # self-join sides all scan the cheap 2-column parquet stage.
-        # The stage is a pure function of (input files, params), so a
-        # repeated build in the same session reuses the parquet already
-        # on disk instead of re-tokenizing — same memo discipline as the
-        # PQ codebook; in-memory inputs (no files) always re-stage.
-        files = tuple(sorted(df.inputFiles()))
-        stage_key = (files, text_col, id_col, n, stage_dir)
-        if not (files and _STAGE_CACHE.get(stage_key)):
+        # The stage is a pure function of (input file fingerprints,
+        # params), so a repeated build in the same session reuses the
+        # parquet already on disk instead of re-tokenizing — same memo
+        # discipline as the PQ codebook. The memo is keyed BY DIRECTORY
+        # and stores the last-staged key: a different input (including
+        # the same path overwritten in place — fingerprints carry
+        # mtime+size) or different params over the same dir re-stages
+        # instead of serving the other input's shingles. In-memory
+        # inputs (no files) always re-stage.
+        files = _files_fingerprint(df)
+        stage_key = (files, text_col, id_col, n)
+        if not (files and _STAGE_CACHE.get(stage_dir) == stage_key):
             sh.write.mode("overwrite").parquet(stage_dir)
             if files:
-                _STAGE_CACHE[stage_key] = True
+                _lru_put(_STAGE_CACHE, stage_dir, stage_key)
         sh = df.sparkSession.read.parquet(stage_dir)
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -362,15 +411,11 @@ def connected_components(
     ).localCheckpoint()
     labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    # iterative-stage reducer sizing, same rule as copair_components:
-    # per-round joins move edge-sized data, so size reducers to the
-    # materialized edge frame (~500k rows each, floor 8), never above
-    # the caller's scan-sized setting; restore after the loop.
+    # iterative-stage reducer sizing, same scoped rule as
+    # copair_components (see session.iterative_shuffle_parts for why
+    # the conf spelling beats explicit repartition here).
     spark = labels.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-    try:
+    with iterative_shuffle_parts(spark, edges.count()):
         for _ in range(max_iter):
             msgs = edges.join(labels, edges.src == labels.node).select(
                 F.col("dst").alias("node"), "lbl"
@@ -385,8 +430,6 @@ def connected_components(
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     return labels
 
 
@@ -471,11 +514,17 @@ def bloom_build_bitmap(
 ) -> list[int]:
     """Build the filter over the historical side: one distributed pass
     (explode k positions → per-word bit_or), then collect the ≤ m/64
-    words to the driver. Memoized per (input files, params, cache_tag)
-    so repeated plan builds in one session train once — same discipline
-    as the PQ codebook. Callers that pass a FILTERED frame must supply a
-    distinct cache_tag (inputFiles alone can't see the predicate)."""
-    files = tuple(sorted(df.inputFiles()))
+    words to the driver. Memoized per (input file fingerprints, params,
+    cache_tag) so repeated plan builds in one session train once — same
+    discipline as the PQ codebook. File fingerprints carry mtime+size,
+    so overwriting an input path in place invalidates the memo; but ANY
+    transformation between the scan and this call — filter, limit,
+    sample, union, a prior dedup stage — leaves the fingerprints
+    unchanged, so callers passing a DERIVED frame (anything that is not
+    a bare scan) must supply a distinct cache_tag or they get the bare
+    scan's bitmap. The memo is LRU-bounded (each bitmap is m/64 longs
+    of driver memory)."""
+    files = _files_fingerprint(df)
     cache_key = (files, key_col, m, k, cache_tag)
     if files and cache_key in _BLOOM_CACHE:
         return _BLOOM_CACHE[cache_key]
@@ -496,7 +545,7 @@ def bloom_build_bitmap(
     for r in words.collect():
         bitmap[r["w"]] = r["word"]
     if files:
-        _BLOOM_CACHE[cache_key] = bitmap
+        _lru_put(_BLOOM_CACHE, cache_key, bitmap)
     return bitmap
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.expr import MONEY, money, revenue
+from ..session import iterative_shuffle_parts as _iterative_shuffle_parts
 
 Tables = dict[str, DataFrame]
 
@@ -735,17 +736,7 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
     # DECREASES labels, so sum(lbl) is strictly monotone until fixpoint —
     # a single cheap agg replaces a join-based changed-row count.
     prev_sum = labels.agg(F.sum("lbl")).first()[0]
-    # Size the ITERATIVE stage's reducers to the (materialized) edge
-    # frame, not the input scan: the registry's input-byte sizing is
-    # right for the corpus-sized build above, but the per-round joins
-    # move only edge/node-sized data, and on tiny frames per-task
-    # scheduling dominates (measured 5.7 s @ 32 reducers vs 3.7 s @ 8
-    # at sf0.1). ~500k edges per reducer, floor 8, never above the
-    # scan sizing — at cluster scale the same rule yields thousands.
     spark = labels.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
     # NOTE: plain per-round propagation, NOT pointer jumping — measured
     # here, the extra label-of-label join per round costs more than the
     # rounds it saves (8 → ~5 on this graph). On a 1000-executor cluster
@@ -755,7 +746,7 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
     # double-stepping: labels feeds the next step TWICE (union side +
     # join side), so skipping the materialization makes Spark recompute
     # the grouped frame and costs more than the barrier it saves.
-    try:
+    with _iterative_shuffle_parts(spark, edges.count()):
         for _ in range(max_iter):
             msgs = (
                 edges.join(labels, edges.src == labels.node)
@@ -771,10 +762,8 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
-    finally:
-        # labels is materialized, so consumers never replan under the
-        # iterative setting
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
+    # labels is materialized, so consumers never replan under the
+    # iterative setting
     return labels.select(F.col("node").alias("l_partkey"), F.col("lbl").alias("component"))
 
 
@@ -1583,13 +1572,10 @@ def trade_hops(t: Tables) -> DataFrame:
     visited = seed
     frontier = seed
     # per-level reducer sizing: the expand/distinct/anti-join chain
-    # moves edge/frontier-sized data — same iterative clamp as
-    # copair_components (restore after).
+    # moves edge/frontier-sized data — same scoped iterative clamp as
+    # copair_components.
     spark = edges.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-    try:
+    with _iterative_shuffle_parts(spark, edges.count()):
         for h in range(1, 5):
             nxt = (
                 edges.join(frontier, edges["src"] == frontier["node"])
@@ -1601,8 +1587,6 @@ def trade_hops(t: Tables) -> DataFrame:
             )
             visited = visited.unionByName(nxt)
             frontier = nxt
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     return visited
 
 
@@ -1968,10 +1952,7 @@ def kcore_nodes(t: Tables) -> DataFrame:
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint()
     spark = edges.sparkSession
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    iter_parts = max(8, min(conf_parts, -(-edges.count() // 500_000)))
-    spark.conf.set("spark.sql.shuffle.partitions", str(iter_parts))
-    try:
+    with _iterative_shuffle_parts(spark, edges.count()):
         cur = edges
         for _ in range(_KCORE_ROUNDS):
             deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -1981,8 +1962,6 @@ def kcore_nodes(t: Tables) -> DataFrame:
                 .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
                 .localCheckpoint()
             )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(conf_parts))
     return (
         cur.groupBy("src")
         .agg(F.count(F.lit(1)).alias("core_degree"))

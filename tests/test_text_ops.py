@@ -466,3 +466,62 @@ def test_sentence_split_udtf_matches_builtin_spelling(spark):
     }
     assert got == want
     assert (1, 1, "Second one!") in got
+
+
+def test_stage_and_bloom_memos_see_inplace_overwrite(spark, tmp_path):
+    """r2 defect: both memos keyed on inputFiles (paths) only, so
+    overwriting an input file in place — or pointing a second input at
+    the same stage_dir — silently served the previous input's stage or
+    bitmap. Keys now carry (mtime_ns, size) fingerprints and the stage
+    memo is keyed per directory, so both rewrites re-derive."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from data_engineering_course_project_2023_spark.operators import dedup
+
+    p = str(tmp_path / "docs.parquet")
+    stage = str(tmp_path / "stage")
+
+    def write(texts):
+        pq.write_table(
+            pa.table(
+                {"doc_id": list(range(len(texts))), "text": texts}
+            ),
+            p,
+        )
+
+    near_a = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+    ]
+    write(near_a)
+    df = spark.read.parquet(p)
+    pairs_a = dedup.ngram_jaccard_pairs(
+        df, threshold=0.5, stage_dir=stage
+    ).count()
+    bitmap_a = dedup.bloom_build_bitmap(df, "text")
+    assert pairs_a == 1
+
+    # in-place overwrite: same path, disjoint content (sleep covers
+    # filesystems with coarse mtime granularity; size also differs)
+    time.sleep(0.05)
+    write(["alpha bravo charlie delta echo", "foxtrot golf hotel india juliet"])
+    df2 = spark.read.parquet(p)
+    pairs_b = dedup.ngram_jaccard_pairs(
+        df2, threshold=0.5, stage_dir=stage
+    ).count()
+    bitmap_b = dedup.bloom_build_bitmap(df2, "text")
+    assert pairs_b == 0  # re-staged: B has no near-dup pair
+    assert bitmap_b != bitmap_a  # bloom memo invalidated too
+
+    # same stage_dir fed from a different input path: must re-stage
+    p2 = str(tmp_path / "docs2.parquet")
+    pq.write_table(
+        pa.table({"doc_id": [0, 1], "text": near_a}), p2
+    )
+    pairs_c = dedup.ngram_jaccard_pairs(
+        spark.read.parquet(p2), threshold=0.5, stage_dir=stage
+    ).count()
+    assert pairs_c == 1
