@@ -373,7 +373,12 @@ def minhash_ml_pairs(
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=1 << 18, binary=True
     )
-    feats = tf.transform(sh)
+    # Materialize the featurized frame ONCE: it feeds three scans (the
+    # LSH fit plus BOTH approxSimilarityJoin sides), and without
+    # truncation each rescan re-runs tokenize+explode+collect_list —
+    # the r2 bench showed the retokenization as a +20% drift. Bounded:
+    # one sparse vector per doc.
+    feats = tf.transform(sh).localCheckpoint()
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
     )

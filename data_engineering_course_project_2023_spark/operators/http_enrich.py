@@ -96,3 +96,58 @@ def enrich_by_key(
             )
 
     return df.select(key_col).mapInPandas(run, schema=schema)
+
+
+def make_json_post_fetcher(
+    url: str,
+    timeout: float = 10.0,
+    max_retries: int = 3,
+    backoff: float = 0.2,
+) -> Fetcher:
+    """Real-socket transport over stdlib urllib — the deployment
+    counterpart of the injectable test fakes, mirroring the reference
+    fetchers' operational semantics (ref: src/utils/api.py:139-180):
+    one batched POST per chunk ({"ids": [...]}), bounded retries with
+    exponential backoff, and 429/503 honoring ``Retry-After`` before
+    the generic backoff. The returned closure captures only plain
+    constants, so it ships cleanly to executor Python workers.
+
+    Response contract: a JSON object {key: {field: value, ...}, ...};
+    null entries are treated as misses (dropped so the caller's
+    fallback logic sees a plain miss)."""
+
+    def fetch(keys: list[str]) -> dict[str, dict]:
+        import json
+        import urllib.error
+        import urllib.request
+
+        body = json.dumps({"ids": keys}).encode()
+        delay = backoff
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={"Content-Type": "application/json"},
+                )
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    payload = json.loads(resp.read().decode("utf-8"))
+                    return {k: v for k, v in payload.items() if v is not None}
+            except urllib.error.HTTPError as e:
+                if e.code in (429, 503) and attempt < max_retries:
+                    retry_after = e.headers.get("Retry-After")
+                    time.sleep(
+                        float(retry_after) if retry_after else delay
+                    )
+                    delay *= 2
+                    continue
+                raise
+            except (urllib.error.URLError, TimeoutError):
+                if attempt < max_retries:
+                    time.sleep(delay)
+                    delay *= 2
+                    continue
+                raise
+        raise RuntimeError("unreachable")  # pragma: no cover
+
+    return fetch

@@ -2069,7 +2069,18 @@ def nation_supplier_hhi(t: Tables) -> DataFrame:
     Σ(rev·100)² in DECIMAL(38,0), then
     hhi_micro = (Σrev²·10¹⁰) div (Σrev)² — integer div, exact on both
     engines; hhi = hhi_micro/1e6 is derived from an int < 2^53, so even
-    the double is bit-identical. Two keyed aggs; nation dim broadcasts."""
+    the double is bit-identical. Two keyed aggs; nation dim broadcasts.
+
+    Precision ceiling (decimal(38,0) vs DuckDB's 128-bit HUGEINT): the
+    Σ(rev_c²)·10¹⁰ intermediate caps Σ(rev_c²) at 10²⁸, i.e. per-nation
+    Σ over suppliers of (cents)². TPC-H-shaped data fits through
+    SF ≈ 100k (~$20M/supplier → 4·10¹⁸ per term; 4·10⁷ suppliers/nation
+    → ~2·10²⁶), but a single supplier above ~$10¹² revenue breaks it.
+    Spark 4 runs ANSI mode by default (and session.py keeps it on), so
+    an overflow FAILS LOUDLY rather than silently diverging from the
+    HUGEINT oracle as legacy non-ANSI NULL-on-overflow would; past the
+    ceiling, pre-divide rev_c to a coarser per-nation unit before
+    squaring (costs one extra agg to pick the scale)."""
     li = t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
     s = t["supplier"].select("s_suppkey", "s_nationkey")
     n = t["nation"].select("n_nationkey", "n_name")

@@ -54,3 +54,83 @@ def test_fetcher_exception_is_all_miss(spark):
     df = spark.createDataFrame([("a",)], "k string")
     out = http_enrich.enrich_by_key(df, "k", broken, ["v"], rps=1000).collect()
     assert out[0]["v"] is None  # job survives; miss is relational
+
+
+def test_live_socket_enrichment_with_retry(spark):
+    """End-to-end over a REAL socket: an in-process stdlib HTTP server
+    plays the metadata API (deterministic responses, first request
+    rejected 429 + Retry-After), and the urllib transport runs inside
+    the executor's Python worker — exercising serialization of the
+    fetcher closure, actual POST framing, rate pacing, retry, and the
+    miss path, mirroring the reference fetchers' semantics
+    (ref: src/utils/api.py:139-180)."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_engineering_course_project_2023_spark.operators.http_enrich import (
+        make_json_post_fetcher,
+    )
+
+    state = {"requests": 0, "batch_sizes": [], "rejected": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            ids = json.loads(self.rfile.read(n))["ids"]
+            with lock:
+                state["requests"] += 1
+                first = state["requests"] == 1
+                if first:
+                    state["rejected"] += 1
+                else:
+                    state["batch_sizes"].append(len(ids))
+            if first:
+                self.send_response(429)
+                self.send_header("Retry-After", "0.05")
+                self.end_headers()
+                return
+            out = {
+                k: ({"title": f"T-{k}", "year": str(2000 + len(k))}
+                    if k != "missing-doi" else None)
+                for k in ids
+            }
+            body = json.dumps(out).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        fetcher = make_json_post_fetcher(
+            f"http://127.0.0.1:{port}/meta", max_retries=2, backoff=0.05
+        )
+        df = spark.createDataFrame(
+            [("10.1/a",), ("10.1/bb",), ("missing-doi",), ("10.1/a",)],
+            "doi string",
+        ).coalesce(1)
+        out = http_enrich.enrich_by_key(
+            df, "doi", fetcher, ["title", "year"], rps=50, batch_size=2
+        ).collect()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+    got = {r["doi"]: (r["title"], r["year"]) for r in out}
+    assert got["10.1/a"] == ("T-10.1/a", "2006")
+    assert got["10.1/bb"] == ("T-10.1/bb", "2007")
+    assert got["missing-doi"] == (None, None)  # null entry → miss
+    assert len(out) == 4  # row-preserving
+    # 3 unique keys at batch_size=2 → 2 successful requests, plus the
+    # 429 replay of the first chunk
+    assert state["rejected"] == 1
+    assert sorted(state["batch_sizes"]) == [1, 2]
