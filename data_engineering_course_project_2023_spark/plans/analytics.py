@@ -2146,3 +2146,82 @@ SELECT n_name, n_suppliers,
          AS hhi
 FROM hhi JOIN nation ON s_nationkey = n_nationkey
 """
+
+
+# --- A19: neighborhood Jaccard (link-prediction similarity) -------------------
+def node_jaccard(t: Tables) -> DataFrame:
+    """A19: Jaccard similarity of co-order graph neighborhoods — the
+    classic link-prediction / entity-similarity score ("parts bought
+    alongside the same parts"), over the same edge build as
+    copair_components.
+
+    Scale shape: common-neighbor counts come from an INVERTED-INDEX
+    self-join on the shared neighbor (hash-partitioned equi-join, the
+    ngram_jaccard pattern on graph adjacency) — never an all-pairs
+    product; degrees are one keyed agg; jaccard = i/(da+db−i) is exact
+    int counts + one correctly-rounded division, so the 0.5 threshold
+    is bit-stable cross-engine.
+    """
+    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+    adj = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumnsRenamed({"src": "node", "dst": "nb"})
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    x, y = adj.alias("x"), adj.alias("y")
+    inter = (
+        x.join(y, "nb")
+        .filter(F.col("x.node") < F.col("y.node"))
+        .groupBy(
+            F.col("x.node").alias("node_a"), F.col("y.node").alias("node_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("d").alias("db"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(da, "node_a")
+        .join(db, "node_b")
+        .select("node_a", "node_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+NODE_JACCARD_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+),
+adj AS (SELECT src AS node, dst AS nb FROM und
+        UNION ALL SELECT dst, src FROM und),
+deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+inter AS (
+  SELECT x.node AS node_a, y.node AS node_b, COUNT(*) AS n_common
+  FROM adj x JOIN adj y ON x.nb = y.nb AND x.node < y.node
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(da.d + db.d - n_common AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN deg da ON inter.node_a = da.node
+JOIN deg db ON inter.node_b = db.node
+WHERE CAST(n_common AS DOUBLE) / CAST(da.d + db.d - n_common AS DOUBLE) >= 0.5
+"""

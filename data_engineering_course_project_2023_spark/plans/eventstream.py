@@ -1010,3 +1010,48 @@ contrib AS (
 SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
 FROM contrib GROUP BY 1
 """
+
+
+# --- E: VARIANT ingest (Spark 4 open-variant type) ---------------------------
+def variant_props_profile(t: Tables) -> DataFrame:
+    """Semi-structured ingest through the VARIANT type (Spark 4's
+    binary-encoded open JSON format): props is parsed ONCE into a
+    variant column, then fields come out with typed ``variant_get``
+    paths — the modern replacement for repeated get_json_object
+    string re-parses when many fields are extracted from one payload.
+
+    Per event_type: row count, missing-k count, distinct k, and the
+    exact integer second moment Σk² (bigint — k is bounded, no
+    overflow).  Oracle: DuckDB json_extract on the same strings; the
+    VARIANT encode/decode must be semantically invisible.
+    """
+    v = F.parse_json("props")
+    k = F.expr("variant_get(v, '$.k', 'long')")
+    return (
+        t["events"]
+        .select("event_type", v.alias("v"))
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias(
+                "n_missing_k"
+            ),
+            F.count_distinct(F.col("k")).alias("n_distinct_k"),
+            F.sum(F.col("k") * F.col("k")).alias("sum_k2"),
+        )
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(*) FILTER (json_extract_string(props, '$.k') IS NULL)
+            AS BIGINT) AS n_missing_k,
+       CAST(COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                * CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k2
+FROM events GROUP BY 1
+"""

@@ -2207,3 +2207,178 @@ UNION ALL SELECT 1, 'quality', COUNT(*) FROM q
 UNION ALL SELECT 2, 'dedup', COUNT(*) FROM d
 UNION ALL SELECT 3, 'decontaminated', COUNT(*) FROM c
 """
+
+
+# --- X2/X3: lexical TF-cosine near-dup pairs ---------------------------------
+# Heavy-token cut is RELATIVE: tokens present in more than 1/COSINE_DF_DIV
+# of all documents are dropped (df·DIV > n_docs — exact integer compare, no
+# float fraction). An absolute cut like ngram's max_df=1000 breaks under SF
+# scaling: at sf0.1 every token shared by near-dup pairs also rides in >100
+# template docs, so absolute-100 emptied the candidate set entirely.
+COSINE_DF_DIV = 5
+
+
+def doc_cosine_pairs(t: Tables) -> DataFrame:
+    """Lexical cosine similarity pairs over raw term-frequency vectors
+    via an inverted index — the sparse-vector sibling of ngram_jaccard
+    (set overlap) and embedding_neardup (dense cosine): candidate pairs
+    come ONLY from shared non-ubiquitous tokens, never from an
+    all-pairs product.
+
+    Exactness: dot products and squared norms are exact BIGINT sums of
+    term-frequency products; the final cosine = dot/sqrt(na2*nb2) uses
+    only IEEE-correctly-rounded ops (sqrt, /), so the double — and the
+    0.5 threshold filter — is bit-identical cross-engine (ln/exp/pow
+    would not be; they never appear).
+
+    Scale shape: tokens present in more than a fifth of all documents
+    are dropped before the self-join (stopwords pair everything with
+    everything — the skew/noise cut, like CountVectorizer's relative
+    maxDF); norms are computed from the SAME pruned token set so the
+    metric is self-consistent. The inverted-index join is
+    hash-partitioned on token; per-token fan-out is bounded by
+    (n_docs/5)² per token but the CANDIDATE set only contains pairs
+    sharing sub-ubiquitous tokens, which is what keeps it far from
+    all-pairs on real text. The doc total is a 1-row scalar broadcast.
+    """
+    tf = (
+        spread(t["documents"])
+        .select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    heavy = (
+        dfc.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * COSINE_DF_DIV > F.col("n_docs"))
+        .select("tok")
+    )
+    kept = tf.join(F.broadcast(heavy), "tok", "left_anti")
+    norms = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    a, b = kept.alias("a"), kept.alias("b")
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na2") * F.col("nb2")).cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+DOC_COSINE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+kept AS (
+  SELECT tf.doc_id, tf.tok, tf.tf FROM tf
+  JOIN dfc USING (tok) CROSS JOIN tot
+  WHERE dfc.df * {COSINE_DF_DIV} <= tot.n_docs
+),
+norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf * b.tf) AS dot
+  FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, dot,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.5
+"""
+
+
+# --- X4: out-of-vocabulary rate (tokenizer / vocab governance) ---------------
+OOV_VOCAB_SIZE = 100
+
+
+def oov_rate(t: Tables) -> DataFrame:
+    """Vocabulary-coverage governance: build the top-V corpus vocabulary
+    (count desc, token asc — a total order, so the V boundary is
+    deterministic cross-engine) and score every document's
+    out-of-vocab token rate — the signal that decides whether a
+    tokenizer's vocab fits a new corpus before a training run.
+
+    Scale shape: the vocabulary is V rows — broadcast to the token
+    stream (map-side membership test, no shuffle of the corpus by
+    token); per-doc aggregation is one keyed agg. The rank window runs
+    over the token-count frame (vocabulary-sized), not the corpus.
+    oov = exact int counts; rate = int/int division (correctly
+    rounded).
+    """
+    from pyspark.sql.window import Window
+
+    toks = (
+        spread(t["documents"])
+        .select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+            ),
+        )
+        .filter(F.col("rk") <= OOV_VOCAB_SIZE)
+        .select("tok")
+    )
+    scored = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), "tok", "left"
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"),
+        )
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY 1),
+vocab AS (
+  SELECT tok FROM counts
+  QUALIFY ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) <= {OOV_VOCAB_SIZE}
+)
+SELECT t.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+       CAST(COUNT(*) FILTER (v.tok IS NULL) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS oov_rate
+FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+GROUP BY 1
+"""

@@ -911,6 +911,30 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "supplier", "nation"),
         "A18 Herfindahl revenue concentration per nation",
     ),
+    "doc_cosine_pairs": Query(
+        llmops.doc_cosine_pairs,
+        llmops.DOC_COSINE_PAIRS_SQL,
+        ("documents",),
+        "X2/X3 lexical TF-cosine near-dup pairs via inverted index",
+    ),
+    "oov_rate": Query(
+        llmops.oov_rate,
+        llmops.OOV_RATE_SQL,
+        ("documents",),
+        "X4 per-doc out-of-vocab rate vs top-V corpus vocabulary",
+    ),
+    "node_jaccard": Query(
+        analytics.node_jaccard,
+        analytics.NODE_JACCARD_SQL,
+        ("lineitem",),
+        "A19 neighborhood Jaccard link-prediction similarity",
+    ),
+    "variant_props_profile": Query(
+        eventstream.variant_props_profile,
+        eventstream.VARIANT_PROPS_SQL,
+        ("events",),
+        "E VARIANT-typed ingest + typed extraction profile",
+    ),
 }
 
 
@@ -919,12 +943,13 @@ REGISTRY: dict[str, Query] = {
 # entries (insertion order) per round and stops. Hedge against the cap:
 # every query that ALREADY holds a green driver row (r1 or r2) moves to
 # the back, so the front of the registry is exactly the set still
-# awaiting a driver verdict. After r2 that front is 46 queries: the 44
-# never-checked ones plus embedding_quantize / vocab_encode, whose r2
-# rows ERRORED in the driver harness (array<int> outputs — now
-# flattened to csv strings) and therefore need a fresh green row. All
-# 46 fit under the 50-row cap, so r1 ∪ r2 ∪ r3 covers the whole
-# registry. The mapping is documented in NOTES.md.
+# awaiting a driver verdict. After r2 that front is 50 queries: the 44
+# never-checked ones, embedding_quantize / vocab_encode (whose r2 rows
+# ERRORED in the driver harness — array<int> outputs, now flattened to
+# csv strings — and therefore need a fresh green row), and the 4
+# queries new in r3 (doc_cosine_pairs, oov_rate, node_jaccard,
+# variant_props_profile). Exactly the 50-row cap, so r1 ∪ r2 ∪ r3
+# covers the whole registry. The mapping is documented in NOTES.md.
 _R2_DRIVER_VERIFIED = [
     "ann_lsh_topk", "arxiv_clean_silver", "attribution_join",
     "brand_bulk_revenue", "bulk_red_suppliers", "chunk_dedup_spans",
