@@ -2382,3 +2382,124 @@ SELECT t.doc_id,
 FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
 GROUP BY 1
 """
+
+
+# --- X4: deterministic epoch shuffle → training batch assembly ---------------
+EPOCH_SEED = 1
+BATCH_SIZE_DOCS = 64
+_RANK_BUCKETS = 256
+
+
+def epoch_batches(t: Tables) -> DataFrame:
+    """Per-epoch deterministic shuffle + fixed-size batch assembly —
+    the data-ordering step of a training pipeline: every doc gets a
+    pseudo-random but reproducible position (md5 of doc_id × epoch
+    seed), then positions are cut into BATCH_SIZE_DOCS batches.
+
+    The global rank is computed the DISTRIBUTED way, not with a naive
+    un-partitioned window (``row_number() over (order by …)`` collapses
+    the whole table onto one task — the classic window scale-killer):
+    rows hash into 256 ORDERED buckets (first md5 byte, so bucket
+    order == key order); ranks are per-bucket windows; bucket offsets
+    are a 256-row cumulative sum broadcast back. Wall-clock is two
+    keyed shuffles + a dim-table window, identical at 100 TB with more
+    buckets. The DuckDB oracle uses the plain ROW_NUMBER spelling —
+    same answer, which is exactly the point of the contract.
+    """
+    from pyspark.sql.window import Window
+
+    key = F.md5(
+        F.concat(F.col("doc_id").cast("string"), F.lit(f":{EPOCH_SEED}"))
+    )
+    docs = t["documents"].select(
+        "doc_id",
+        key.alias("okey"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("bucket"),
+    )
+    local = docs.withColumn(
+        "lrn",
+        F.row_number().over(
+            Window.partitionBy("bucket").orderBy("okey", "doc_id")
+        ),
+    )
+    # 256-row frame: cumulative count of all STRICTLY EARLIER buckets
+    offsets = (
+        docs.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "offset")
+    )
+    ranked = local.join(F.broadcast(offsets), "bucket").withColumn(
+        "rn", (F.col("offset") + F.col("lrn")).cast("long")
+    )
+    return ranked.select(
+        "doc_id",
+        "rn",
+        F.expr(f"(rn - 1) div {BATCH_SIZE_DOCS}").alias("batch_id"),
+        ((F.col("rn") - 1) % BATCH_SIZE_DOCS).cast("long").alias("pos_in_batch"),
+    )
+
+
+EPOCH_BATCHES_SQL = f"""
+WITH ranked AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':{EPOCH_SEED}'), doc_id
+         ) AS BIGINT) AS rn
+  FROM documents
+)
+SELECT doc_id, rn,
+       CAST((rn - 1) // {BATCH_SIZE_DOCS} AS BIGINT) AS batch_id,
+       CAST((rn - 1) % {BATCH_SIZE_DOCS} AS BIGINT) AS pos_in_batch
+FROM ranked
+"""
+
+
+# --- X4: quality-weighted deterministic sampling -----------------------------
+WEIGHT_DENOM = 4
+
+
+def weighted_doc_sample(t: Tables) -> DataFrame:
+    """Quality-weighted reproducible subsampling: longer documents get
+    a higher integer keep-weight w ∈ {1,2,3} (length as the quality
+    proxy), and a doc survives iff md5(doc_id) mod 4 < w — per-doc
+    Bernoulli with p = w/4, the integer-exact spelling of importance
+    sampling (the float Efraimidis–Spirakis exp/pow form is NOT
+    cross-engine exact; this is). Map-side filter only — the sample
+    never shuffles."""
+    w = F.least(
+        F.lit(3), 1 + (F.col("n_chars") / 500).cast("long")
+    ).alias("w")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                       F.lit(":ws"))), 1, 8),
+            16, 10,
+        )
+        % WEIGHT_DENOM
+    )
+    return (
+        t["documents"]
+        .select("doc_id", "source", "n_chars", w)
+        .filter(bucket < F.col("w"))
+    )
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, source, n_chars,
+       LEAST(3, 1 + n_chars // 500) AS w
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
+           AS BIGINT) % {WEIGHT_DENOM}
+      < LEAST(3, 1 + n_chars // 500)
+"""

@@ -73,6 +73,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "token_pmi",
         # iterative: plan built per checkpointed round; pair graph only
         "neardup_clusters",
+        # one-row n_docs scalar broadcast feeding the relative df cut
+        "doc_cosine_pairs",
+        # one-row corpus-total scalar broadcast for the heavy-hitter cut
+        "cms_token_counts",
     }
     offenders = {}
     for name in registry.REGISTRY:
