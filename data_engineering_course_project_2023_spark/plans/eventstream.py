@@ -1055,3 +1055,75 @@ SELECT event_type,
             AS BIGINT) AS sum_k2
 FROM events GROUP BY 1
 """
+
+
+# --- TS: sweep-line peak concurrency -----------------------------------------
+def concurrent_users_peak(t: Tables) -> DataFrame:
+    """Per-day peak concurrent users by the classic SWEEP-LINE: each
+    user's daily activity interval [first event, last event] emits a
+    +1/−1 delta pair; a running sum over (ts, delta DESC, user_id)
+    order — starts before ends at the same instant, so touching
+    intervals count as overlapping — peaks at the day's max
+    concurrency. The O(n log n) interval-overlap pattern that replaces
+    the quadratic self-join ``a.s <= b.e AND b.s <= a.e``.
+
+    Scale shape: intervals are built by one (day,user) keyed agg; the
+    sweep window partitions by day — 2·users rows per partition. At
+    100 TB a single hot day would sub-partition the sweep by a hash
+    shard with broadcast offset correction (the epoch_batches two-pass
+    rank pattern); the per-day spelling keeps the plan one window. The
+    daily PEAK is invariant to tie order inside an equal (ts, delta)
+    run, and the explicit user_id tiebreak makes even the intermediate
+    running sums deterministic."""
+    from pyspark.sql.window import Window
+
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    iv = (
+        t["events"]
+        .groupBy(day, "user_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    )
+    pts = iv.select(
+        "day", "user_id", F.col("s").alias("pt"), F.lit(1).alias("delta")
+    ).unionByName(
+        iv.select(
+            "day", "user_id", F.col("e").alias("pt"), F.lit(-1).alias("delta")
+        )
+    )
+    run = F.sum("delta").over(
+        Window.partitionBy("day")
+        .orderBy(F.col("pt"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pts.withColumn("running", run)
+        .groupBy("day")
+        .agg(
+            F.max("running").alias("peak_concurrent"),
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_users"),
+        )
+    )
+
+
+CONCURRENT_PEAK_SQL = """
+WITH iv AS (
+  SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, user_id,
+         MIN(ts) AS s, MAX(ts) AS e
+  FROM events GROUP BY 1, 2
+),
+pts AS (
+  SELECT day, user_id, s AS pt, 1 AS delta FROM iv
+  UNION ALL
+  SELECT day, user_id, e AS pt, -1 AS delta FROM iv
+),
+swept AS (
+  SELECT day,
+         SUM(delta) OVER (PARTITION BY day
+                          ORDER BY pt, delta DESC, user_id
+                          ROWS UNBOUNDED PRECEDING) AS running
+  FROM pts
+)
+SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_users
+FROM swept GROUP BY 1
+"""

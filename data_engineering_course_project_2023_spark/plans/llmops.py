@@ -2503,3 +2503,87 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
            AS BIGINT) % {WEIGHT_DENOM}
       < LEAST(3, 1 + n_chars // 500)
 """
+
+
+# --- X4: data repair — group-mode imputation with held-out eval --------------
+IMPUTE_MASK_MOD = 10  # mask 1/10th of labels deterministically
+
+
+def impute_lang_eval(t: Tables) -> DataFrame:
+    """Imputation-quality evaluation for categorical repair: 10% of
+    lang labels are MASKED by the reproducible-sampling hash
+    (md5(doc_id) mod 10 == 0), the per-source majority lang (count
+    desc, lang asc — total-order tie-break) is learned from the
+    UNMASKED rows only, and masked rows are scored against their true
+    label — the evaluate-before-you-repair discipline for pipeline
+    backfills. Per source: masked count, correct count, exact-division
+    accuracy.
+
+    Scale shape: the mode table is one keyed agg + a vocabulary-sized
+    window, broadcast back to the masked rows; nothing shuffles twice.
+    """
+    from pyspark.sql.window import Window
+
+    masked_flag = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10) % IMPUTE_MASK_MOD == 0
+    )
+    docs = t["documents"].select("doc_id", "source", "lang",
+                                 masked_flag.alias("is_masked"))
+    modes = (
+        docs.filter(~F.col("is_masked"))
+        .groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("n").desc(), F.col("lang").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("mode_lang"))
+    )
+    return (
+        docs.filter(F.col("is_masked"))
+        .join(F.broadcast(modes), "source")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_masked"),
+            F.sum(
+                F.when(F.col("lang") == F.col("mode_lang"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("n_correct").cast("double") / F.col("n_masked").cast("double"),
+        )
+    )
+
+
+IMPUTE_LANG_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source, lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {IMPUTE_MASK_MOD} = 0 AS is_masked
+  FROM documents
+),
+modes AS (
+  SELECT source, lang AS mode_lang FROM (
+    SELECT source, lang, COUNT(*) AS n,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY COUNT(*) DESC, lang ASC) AS rk
+    FROM docs WHERE NOT is_masked GROUP BY source, lang
+  ) WHERE rk = 1
+)
+SELECT d.source,
+       COUNT(*) AS n_masked,
+       CAST(SUM(CASE WHEN d.lang = m.mode_lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(SUM(CASE WHEN d.lang = m.mode_lang THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS accuracy
+FROM docs d JOIN modes m USING (source)
+WHERE d.is_masked
+GROUP BY 1
+"""

@@ -960,6 +960,18 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X5 Count-Min frequency sketch, exact-oracled build+probe",
     ),
+    "concurrent_users_peak": Query(
+        eventstream.concurrent_users_peak,
+        eventstream.CONCURRENT_PEAK_SQL,
+        ("events",),
+        "TS sweep-line per-day peak concurrency (no quadratic overlap join)",
+    ),
+    "impute_lang_eval": Query(
+        llmops.impute_lang_eval,
+        llmops.IMPUTE_LANG_SQL,
+        ("documents",),
+        "X4 group-mode imputation with deterministic held-out accuracy",
+    ),
 }
 
 
@@ -1022,6 +1034,7 @@ _DRIVER_VERIFIED = _R1_DRIVER_VERIFIED + _R2_DRIVER_VERIFIED
 _DEFERRED_TO_R4 = [
     "epoch_batches", "weighted_doc_sample",
     "kmv_distinct_users", "cms_token_counts",
+    "concurrent_users_peak", "impute_lang_eval",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
