@@ -179,3 +179,25 @@ def test_triangle_counts_enumeration(spark):
         for r in triangle_counts({"lineitem": li}).collect()
     }
     assert got == {1: 2, 2: 1, 3: 1, 4: 2}
+
+
+def test_kcore_adaptive_matches_fixed_round(spark):
+    """r2 verdict #10: the adaptive (loop-until-fixpoint) peeling must
+    equal the registered fixed-round query wherever the fixed rounds
+    have converged — which both test SFs have (≤3 peels). Also pins
+    that the session shuffle setting is restored after the loop."""
+    from data_engineering_course_project_2023_spark.plans import analytics, registry
+
+    sf = "/root/testdata/sf0.01"
+    t = registry.load_tables(spark, sf, ("lineitem",))
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    fixed = {
+        (r["l_partkey"], r["core_degree"])
+        for r in analytics.kcore_nodes(t).collect()
+    }
+    adaptive = {
+        (r["l_partkey"], r["core_degree"])
+        for r in analytics.kcore_nodes_adaptive(t).collect()
+    }
+    assert adaptive == fixed and len(fixed) > 0
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -199,3 +199,17 @@ def test_bloom_probe_plan_is_map_only(spark):
     assert "Join" not in plan
     assert "HashAggregate" not in plan
     assert "PushedFilters" in plan
+
+
+def test_epoch_batches_rank_is_distributed(spark):
+    """The global-rank spelling must stay two-pass: the only
+    single-partition exchange allowed is the 256-row bucket-offset
+    cumsum (a dim-table window); the corpus-side row_number window must
+    be hash-partitioned on the bucket. A naive global row_number would
+    show a second SinglePartition exchange feeding a Window over the
+    full doc frame — the one-task serialization this query exists to
+    avoid."""
+    df = registry.run_query("epoch_batches", spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert plan.count("SinglePartition") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan
