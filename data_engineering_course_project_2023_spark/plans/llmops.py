@@ -2218,7 +2218,7 @@ UNION ALL SELECT 3, 'decontaminated', COUNT(*) FROM c
 COSINE_DF_DIV = 5
 
 
-def doc_cosine_pairs(t: Tables) -> DataFrame:
+def doc_cosine_pairs(t: Tables, stage_dir: str | None = None) -> DataFrame:
     """Lexical cosine similarity pairs over raw term-frequency vectors
     via an inverted index — the sparse-vector sibling of ngram_jaccard
     (set overlap) and embedding_neardup (dense cosine): candidate pairs
@@ -2240,6 +2240,13 @@ def doc_cosine_pairs(t: Tables) -> DataFrame:
     (n_docs/5)² per token but the CANDIDATE set only contains pairs
     sharing sub-ubiquitous tokens, which is what keeps it far from
     all-pairs on real text. The doc total is a 1-row scalar broadcast.
+
+    The tf frame feeds FOUR consumers (df counts, norms, both join
+    sides); without staging each replans the tokenize+count subtree
+    (AQE exchange reuse covers it at test SF). ``stage_dir`` is the
+    100 TB spelling — tokenize once to parquet, every consumer scans
+    the 3-column stage; same per-directory memo discipline as
+    ngram_jaccard_pairs.
     """
     tf = (
         spread(t["documents"])
@@ -2247,6 +2254,14 @@ def doc_cosine_pairs(t: Tables) -> DataFrame:
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    if stage_dir is not None:
+        files = dedup._files_fingerprint(t["documents"])
+        stage_key = (files, "cosine_tf")
+        if not (files and dedup._STAGE_CACHE.get(stage_dir) == stage_key):
+            tf.write.mode("overwrite").parquet(stage_dir)
+            if files:
+                dedup._lru_put(dedup._STAGE_CACHE, stage_dir, stage_key)
+        tf = t["documents"].sparkSession.read.parquet(stage_dir)
     n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     heavy = (

@@ -56,6 +56,8 @@ def get_spark(
         # --- python interop (Pandas-UDF escape hatch) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Python DataSource filter pushdown (httpjson id-range scan)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # --- quieter local runs ---
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")

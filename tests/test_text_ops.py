@@ -525,3 +525,30 @@ def test_stage_and_bloom_memos_see_inplace_overwrite(spark, tmp_path):
         spark.read.parquet(p2), threshold=0.5, stage_dir=stage
     ).count()
     assert pairs_c == 1
+
+
+def test_doc_cosine_staged_matches_default(spark, tmp_path):
+    """doc_cosine_pairs with stage_dir (the tokenize-once 100 TB path)
+    must return identical pairs and scan the staged parquet."""
+    from data_engineering_course_project_2023_spark.plans import llmops
+    from data_engineering_course_project_2023_spark.plans.registry import (
+        load_tables,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    stage = str(tmp_path / "cosine_tf_stage")
+    default = {
+        (r["doc_a"], r["doc_b"], r["dot"], r["cosine"])
+        for r in llmops.doc_cosine_pairs(t).collect()
+    }
+    staged_df = llmops.doc_cosine_pairs(t, stage_dir=stage)
+    staged = {
+        (r["doc_a"], r["doc_b"], r["dot"], r["cosine"])
+        for r in staged_df.collect()
+    }
+    assert staged == default and len(staged) > 0
+    jvm = spark._jvm
+    plan = staged_df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "cosine_tf_stage" in plan
