@@ -470,16 +470,22 @@ PQ_CODES_SQL = pq_fixture.pq_codes_oracle_sql()
 
 
 def pq_topk_query(t: Tables) -> DataFrame:
-    """X3e: ADC search over PQ codes + exact rerank — rows-only (same
-    rationale); recall vs brute force pinned in pytest."""
+    """X3e: ADC search over PQ codes + exact rerank — oracled: the
+    pinned codebook reproduces codes, the query ADC table, the
+    j-ordered ADC fold, shortlist AND rerank bit-for-bit in DuckDB
+    (plans/pq_fixture.pq_topk_oracle_sql); recall vs brute force
+    stays pinned in pytest."""
     return similarity.pq_topk(t["embeddings"], query_vec_id=0, topk=10)
 
 
 def ivf_topk_query(t: Tables) -> DataFrame:
     """IVF coarse-quantizer search: deterministic k-means (fixed init +
-    iterations), probe 2 cells, exact rerank. Iterative float math makes
-    a cross-engine oracle impractical — driver records rows-only; recall
-    vs the oracled brute-force twin is asserted in pytest."""
+    iterations), probe 2 cells, exact rerank. Bit-deterministic training
+    (exact nano-unit mean sums) lets the sf0.01 centroids be pinned as a
+    constant and the WHOLE search — assignment argmin, probe selection,
+    cosine rerank — be value-checked against a DuckDB twin
+    (plans/ivf_fixture.py), graduating this from rows-only to oracled;
+    recall vs brute force stays pinned in pytest."""
     return similarity.ivf_topk(t["embeddings"], query_vec_id=0, k=10)
 
 

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_tables
-from . import analytics, approx, arxiv_clean, classic, eventstream, llmops, relational
+from . import analytics, approx, arxiv_clean, classic, eventstream, ivf_fixture, llmops, pq_fixture, relational
 
 Builder = Callable[[dict[str, DataFrame]], DataFrame]
 
@@ -475,9 +475,10 @@ REGISTRY: dict[str, Query] = {
     ),
     "ivf_topk": Query(
         llmops.ivf_topk_query,
-        None,
+        ivf_fixture.ivf_topk_sql(),
         ("embeddings",),
-        "X3c IVF (deterministic k-means) probe search — rows-only",
+        "X3c IVF (deterministic k-means) probe search — oracled via "
+        "pinned centroids (plans/ivf_fixture.py)",
     ),
     "ivfpq_topk": Query(
         llmops.ivfpq_topk_query,
@@ -610,9 +611,10 @@ REGISTRY: dict[str, Query] = {
     ),
     "pq_topk": Query(
         llmops.pq_topk_query,
-        None,
+        pq_fixture.pq_topk_oracle_sql(),
         ("embeddings",),
-        "X3e ADC search over PQ codes + exact rerank — rows-only",
+        "X3e ADC search over PQ codes + exact rerank — oracled via the "
+        "pinned codebook (plans/pq_fixture.py)",
     ),
     "neardup_clusters": Query(
         llmops.neardup_clusters_query,

@@ -461,3 +461,18 @@ def test_trade_hops_bfs_levels(spark):
     }
     # customer 3 / supplier 13 form a disconnected component
     assert 3 not in got and 13 + off not in got
+
+
+def test_ivf_centroids_pinned_sf001(spark):
+    """The sf0.01-trained IVF coarse centroids must equal the constant
+    embedded in the DuckDB oracle (plans/ivf_fixture.py) — same
+    discipline as the PQ codebook pin: bit-deterministic training
+    (exact nano-unit mean sums) makes this an equality check, and a
+    training drift would silently invalidate the ivf_topk oracle."""
+    from data_engineering_course_project_2023_spark.operators import similarity
+    from data_engineering_course_project_2023_spark.plans import ivf_fixture
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cents = similarity._kmeans_list_uncached(emb, k=8, n_iter=3)
+    assert cents == ivf_fixture.IVF_CENTROIDS_SF001
