@@ -1549,8 +1549,12 @@ QUALIFY PERCENT_RANK() OVER (PARTITION BY lang
 # --- X3g: IVF + PQ composite search -------------------------------------------
 def ivfpq_topk_query(t: Tables) -> DataFrame:
     """X3g: IVFADC — coarse probe + residual-PQ ADC shortlist + exact
-    rerank (rows-only: the two codebook trainings are engine-internal;
-    recall vs brute force and determinism are pinned in pytest)."""
+    rerank. Oracled end-to-end: BOTH trained codebooks are pinned
+    constants (bit-deterministic nano-unit training; re-train equality
+    in pytest) and the DuckDB twin replicates assignment, residuals,
+    per-cell ADC tables, fold order, shortlist tiebreaks and the
+    rerank (plans/ivf_fixture.ivfpq_topk_oracle_sql); recall vs brute
+    force and determinism stay pinned in pytest."""
     return similarity.ivfpq_topk(t["embeddings"])
 
 

@@ -482,11 +482,11 @@ REGISTRY: dict[str, Query] = {
     ),
     "ivfpq_topk": Query(
         llmops.ivfpq_topk_query,
-        None,
+        ivf_fixture.ivfpq_topk_oracle_sql(),
         ("embeddings",),
-        "X3g IVFADC: coarse probe + residual-PQ ADC + exact rerank — rows-only",
-    ),
-    # --- multimodal plumbing through mapInPandas, oracle-checked ---
+        "X3g IVFADC (coarse quantize + residual PQ + ADC + rerank) — "
+        "oracled via both pinned codebooks (plans/ivf_fixture.py)",
+    ),    # --- multimodal plumbing through mapInPandas, oracle-checked ---
     "multimodal_features": Query(
         llmops.multimodal_features,
         llmops.MULTIMODAL_SQL,

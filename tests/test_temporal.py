@@ -476,3 +476,39 @@ def test_ivf_centroids_pinned_sf001(spark):
     emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     cents = similarity._kmeans_list_uncached(emb, k=8, n_iter=3)
     assert cents == ivf_fixture.IVF_CENTROIDS_SF001
+
+
+def test_ivfpq_residual_codebook_pinned_sf001(spark):
+    """The residual-trained PQ codebook behind the ivfpq_topk oracle
+    must equal the pinned constant — re-derive the full path (pinned
+    IVF assignment → residuals → PQ train) and compare exactly."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.operators import similarity
+    from data_engineering_course_project_2023_spark.plans import ivf_fixture
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    cent_list = ivf_fixture.IVF_CENTROIDS_SF001
+    cent_lookup = ", ".join(
+        "struct({} AS cid, array({}) AS c)".format(
+            int(cid), ",".join(repr(float(x)) + "D" for x in c)
+        )
+        for cid, c in cent_list
+    )
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = vecs.withColumn(
+        "centroid_id", similarity._argmin_expr(cent_list)
+    ).withColumn(
+        "resid",
+        F.expr(
+            f"zip_with(v, filter(array({cent_lookup}),"
+            " s -> s.cid = centroid_id)[0].c, (a, b) -> a - b)"
+        ),
+    )
+    cents_pq = similarity._pq_train_uncached(
+        assigned.select("vec_id", "resid"), 8, 16, 2, "vec_id", "resid"
+    )
+    assert cents_pq == ivf_fixture.IVFPQ_RESID_CODEBOOK_SF001
