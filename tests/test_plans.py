@@ -213,3 +213,39 @@ def test_epoch_batches_rank_is_distributed(spark):
     plan = plan_of(df)
     assert plan.count("SinglePartition") == 1, plan
     assert "hashpartitioning(bucket" in plan, plan
+
+
+def test_all_queries_run_under_plain_driver_session():
+    """Driver-environment robustness: every registry query must run
+    under a PLAIN SparkSession in a separate JVM — default confs, no
+    session.py tuning (the external harness builds its own session, so
+    nothing may depend on AQE/broadcast/Arrow/timezone settings we
+    apply locally). Subprocess, not newSession(): builder-applied SQL
+    confs leak into every session that shares the context, which would
+    make an in-process check vacuous."""
+    import subprocess
+    import sys
+
+    script = """
+import sys; sys.path.insert(0, '/root/repo')
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+import __spark_entry__ as e
+bad = []
+for name, fn in e.queries().items():
+    try:
+        fn(spark, "/root/testdata/sf0.001").count()
+    except Exception as ex:
+        bad.append((name, str(ex)[:200]))
+assert not bad, bad
+print("PLAIN_SWEEP_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert "PLAIN_SWEEP_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
