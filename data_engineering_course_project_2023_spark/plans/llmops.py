@@ -2612,3 +2612,89 @@ FROM docs d JOIN modes m USING (source)
 WHERE d.is_masked
 GROUP BY 1
 """
+
+
+# --- X4: classifier-based quality filtering ----------------------------------
+# Pinned linear-model weights (a stand-in for a trained fastText/logreg
+# quality classifier — the standard classifier-filtering stage in data
+# curation). Integer features × double weights: every product is one
+# correctly-rounded IEEE op and the sum is an explicit left fold, so
+# the score — and the keep decision at score >= 0 — is bit-identical
+# cross-engine. Only the LINEAR score is emitted (sigmoid would drag in
+# libm exp, which is not correctly rounded and may differ per engine;
+# the sigmoid is monotone, so thresholding the linear score is the
+# same classifier).
+QUALITY_LOGIT_WEIGHTS = [
+    ("bias", -2.0),
+    ("n_tokens", 0.035),
+    ("n_stop", 0.25),
+    ("n_distinct", 0.015),
+    ("n_nonalpha", -0.08),
+]
+
+
+def quality_classifier(t: Tables) -> DataFrame:
+    """Classifier-based quality filter: integer per-doc features feed a
+    pinned linear model; keep = score >= 0. Map-side only — model
+    inference as a codegen'd column expression, no UDF, no ML runtime.
+
+    Features (all exact ints): whitespace token count, stopword count,
+    distinct-token count, non-[A-Za-z space] char count."""
+    toks = textops.tokens("text")
+    feats = [
+        F.lit(1).alias("bias"),
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x).isin(*textops.STOPWORDS))
+        ).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^A-Za-z ]", ""))
+        ).alias("n_nonalpha"),
+    ]
+    base = spread(t["documents"]).select("doc_id", *feats)
+    score = None
+    for name, w in QUALITY_LOGIT_WEIGHTS:
+        term = F.col(name).cast("double") * F.lit(float(w))
+        score = term if score is None else score + term
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        "n_stop",
+        "n_distinct",
+        "n_nonalpha",
+        score.alias("score"),
+        (score >= 0.0).alias("keep"),
+    )
+
+
+def _logit_terms_sql() -> str:
+    parts = []
+    for name, w in QUALITY_LOGIT_WEIGHTS:
+        parts.append(f"(CAST({name} AS DOUBLE) * ({float(w)!r}))")
+    return " + ".join(parts)
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         1 AS bias,
+         CAST(len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+              AS INTEGER) AS n_tokens,
+         CAST(len(list_filter(string_split(trim(text), ' '),
+                              x -> x <> '' AND lower(x) IN ({_STOPS})))
+              AS INTEGER) AS n_stop,
+         CAST(len(list_distinct(list_filter(string_split(trim(text), ' '),
+                                            x -> x <> '')))
+              AS INTEGER) AS n_distinct,
+         CAST(length(text)
+              - length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+              AS INTEGER) AS n_nonalpha
+  FROM documents
+)
+SELECT doc_id, n_tokens, n_stop, n_distinct, n_nonalpha,
+       {_logit_terms_sql()} AS score,
+       ({_logit_terms_sql()}) >= 0.0 AS keep
+FROM f
+"""

@@ -974,6 +974,13 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 group-mode imputation with deterministic held-out accuracy",
     ),
+    "quality_classifier": Query(
+        llmops.quality_classifier,
+        llmops.QUALITY_CLASSIFIER_SQL,
+        ("documents",),
+        "X4 classifier-based quality filter (pinned linear model, "
+        "bit-exact score)",
+    ),
 }
 
 
@@ -1036,7 +1043,7 @@ _DRIVER_VERIFIED = _R1_DRIVER_VERIFIED + _R2_DRIVER_VERIFIED
 _DEFERRED_TO_R4 = [
     "epoch_batches", "weighted_doc_sample",
     "kmv_distinct_users", "cms_token_counts",
-    "concurrent_users_peak", "impute_lang_eval",
+    "concurrent_users_peak", "impute_lang_eval", "quality_classifier",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
