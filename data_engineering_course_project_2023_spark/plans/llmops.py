@@ -2698,3 +2698,33 @@ SELECT doc_id, n_tokens, n_stop, n_distinct, n_nonalpha,
        ({_logit_terms_sql()}) >= 0.0 AS keep
 FROM f
 """
+
+
+# --- X2: prefix-filtered (PPJoin-style) similarity join ----------------------
+def prefix_jaccard(t: Tables) -> DataFrame:
+    """X2: PPJoin-style prefix-filtered Jaccard ≥ 0.8 — indexes only
+    each doc's rarest |x|−⌈0.8|x|⌉+1 shingles (lossless for the
+    threshold; ubiquitous shingles never enter a prefix, so skew
+    control falls out of the algorithm). The ORACLE is the naive full
+    inverted index (no df cap): the optimization's completeness is the
+    thing the parity gate checks."""
+    return dedup.prefix_jaccard_pairs(t["documents"])
+
+
+PREFIX_JACCARD_SQL = f"""
+WITH {_SHINGLE_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= 0.8
+"""

@@ -981,6 +981,13 @@ REGISTRY: dict[str, Query] = {
         "X4 classifier-based quality filter (pinned linear model, "
         "bit-exact score)",
     ),
+    "prefix_jaccard": Query(
+        llmops.prefix_jaccard,
+        llmops.PREFIX_JACCARD_SQL,
+        ("documents",),
+        "X2 PPJoin prefix-filtered similarity join; oracle = the naive "
+        "full inverted index (completeness under test)",
+    ),
 }
 
 
@@ -1044,6 +1051,7 @@ _DEFERRED_TO_R4 = [
     "epoch_batches", "weighted_doc_sample",
     "kmv_distinct_users", "cms_token_counts",
     "concurrent_users_peak", "impute_lang_eval", "quality_classifier",
+    "prefix_jaccard",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -552,3 +552,53 @@ def test_doc_cosine_staged_matches_default(spark, tmp_path):
         jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     )
     assert "cosine_tf_stage" in plan
+
+
+def test_prefix_jaccard_complete_and_prunes(spark):
+    """Prefix filtering must be LOSSLESS (exactly the naive result —
+    also enforced at sf0.01 by the parity gate, whose oracle is the
+    naive algorithm) and must actually prune: the prefix index must be
+    materially smaller than the full inverted index."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.operators import dedup
+    from data_engineering_course_project_2023_spark.plans.registry import (
+        load_tables,
+    )
+
+    t = load_tables(spark, "/root/testdata/sf0.001", ("documents",))
+    docs = t["documents"]
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.prefix_jaccard_pairs(docs).collect()
+    }
+    naive = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=None
+        ).collect()
+    }
+    assert got == naive and len(got) > 0
+
+    full_index = dedup.shingles(docs).count()
+    sh = dedup.shingles(docs)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    keyed = sh.join(freq, "shingle").select(
+        "doc_id", F.struct("df", "shingle").alias("ks")
+    )
+    prefix_index = (
+        keyed.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("ks")).alias("arr"))
+        .select(
+            F.size(
+                F.slice(
+                    "arr", 1,
+                    (F.size("arr") - F.expr(
+                        "(size(arr) * 4 + 4) div 5") + 1).cast("int"),
+                )
+            ).alias("p")
+        )
+        .agg(F.sum("p"))
+        .first()[0]
+    )
+    assert prefix_index * 3 < full_index  # >3x smaller index
