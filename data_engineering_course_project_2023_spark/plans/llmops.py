@@ -2728,3 +2728,99 @@ JOIN sizes sb ON doc_b = sb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
       >= 0.8
 """
+
+
+# --- X3: embedding outliers (distance to label centroid) ---------------------
+OUTLIERS_PER_LABEL = 3
+
+
+def embedding_outliers(t: Tables) -> DataFrame:
+    """X3: per-label embedding OUTLIERS — the farthest vectors from
+    their class centroid, the curation signal for mislabeled /
+    off-distribution vectors before training a classifier head.
+
+    Exactness discipline: centroids come from the label_centroids
+    micro-unit integer sums (order-independent), the per-vector
+    squared distance is an ARRAY FOLD over the dims in index order
+    (zip_with + aggregate — NOT a SUM over exploded rows, whose
+    accumulation order is partition-dependent), and every op on the
+    path (int→double casts, /n, /1e6, subtract, multiply, add) is
+    correctly rounded — so distances, and the (dist DESC, vec_id)
+    top-3 ranking, are bit-identical cross-engine.
+
+    Scale shape: centroids are a (labels × dims) dim table built with
+    one keyed shuffle and broadcast back; the distance is map-side; the
+    only other shuffle is the per-label top-k window over ranked rows.
+    """
+    from pyspark.sql.window import Window
+
+    ex = spread(t["embeddings"]).select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x"),
+    )
+    cent = (
+        ex.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("x") * 1000000).cast("bigint"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("c")
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s.getField("c"),
+            ).alias("carr")
+        )
+    )
+    v = t["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("va")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(va, carr, (a, b) -> (a-b)*(a-b)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+    ranked = (
+        v.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", dist.alias("dist"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.col("dist").desc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") <= OUTLIERS_PER_LABEL).select(
+        "label", "vec_id", "dist"
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH cent AS (
+  SELECT label, i AS pos,
+         CAST(SUM(CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+                       AS BIGINT)) AS DOUBLE) / COUNT(*) / 1000000.0 AS c
+  FROM embeddings, unnest(range(0, len(embedding))) AS t(i)
+  GROUP BY 1, 2
+),
+carr AS (SELECT label, list(c ORDER BY pos) AS carr FROM cent GROUP BY 1),
+v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS va
+      FROM embeddings),
+d AS (
+  SELECT label, vec_id,
+         list_reduce(
+           list_transform(range(1, len(va) + 1),
+                          i -> (va[i] - carr[i]) * (va[i] - carr[i])),
+           (a, b) -> a + b) AS dist
+  FROM v JOIN carr USING (label)
+)
+SELECT label, vec_id, dist FROM d
+QUALIFY ROW_NUMBER() OVER (PARTITION BY label
+                           ORDER BY dist DESC, vec_id ASC)
+        <= {OUTLIERS_PER_LABEL}
+"""

@@ -988,6 +988,12 @@ REGISTRY: dict[str, Query] = {
         "X2 PPJoin prefix-filtered similarity join; oracle = the naive "
         "full inverted index (completeness under test)",
     ),
+    "embedding_outliers": Query(
+        llmops.embedding_outliers,
+        llmops.EMBEDDING_OUTLIERS_SQL,
+        ("embeddings",),
+        "X3 per-label centroid-distance outliers (bit-exact array fold)",
+    ),
 }
 
 
@@ -1051,7 +1057,7 @@ _DEFERRED_TO_R4 = [
     "epoch_batches", "weighted_doc_sample",
     "kmv_distinct_users", "cms_token_counts",
     "concurrent_users_peak", "impute_lang_eval", "quality_classifier",
-    "prefix_jaccard",
+    "prefix_jaccard", "embedding_outliers",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
