@@ -1127,3 +1127,49 @@ SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
        CAST(COUNT(*) / 2 AS BIGINT) AS n_users
 FROM swept GROUP BY 1
 """
+
+
+# --- X5e: equi-depth histogram ------------------------------------------------
+HIST_BUCKETS = 10
+
+
+def value_equidepth_hist(t: Tables) -> DataFrame:
+    """Equi-DEPTH histogram of event value per type — the statistics
+    structure query optimizers keep (equal row counts per bucket,
+    data-driven boundaries), next to value_histogram's fixed-width
+    buckets. ntile assigns buckets over a TOTAL order (value,
+    event_id — ties must not float between buckets or the boundary
+    rows differ per engine); per bucket: row count + inclusive
+    [lo, hi] boundaries, all exact.
+
+    Scale shape: ntile is one per-group window (groups bound the sort);
+    at petabyte scale the same statistics come from approx quantile
+    CUTS instead (approx_value_quantiles is that path) — this is the
+    exact spelling that oracles it."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        t["events"]
+        .select("event_type", "value", "event_id")
+        .withColumn("bucket", F.ntile(HIST_BUCKETS).over(w))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+VALUE_EQUIDEPTH_SQL = f"""
+WITH b AS (
+  SELECT event_type, value,
+         NTILE({HIST_BUCKETS}) OVER (PARTITION BY event_type
+                                     ORDER BY value, event_id) AS bucket
+  FROM events
+)
+SELECT event_type, bucket, COUNT(*) AS n_rows,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM b GROUP BY 1, 2
+"""

@@ -2824,3 +2824,170 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY label
                            ORDER BY dist DESC, vec_id ASC)
         <= {OUTLIERS_PER_LABEL}
 """
+
+
+# --- X4: n-gram diversity (generative-data health metric) --------------------
+def ngram_diversity(t: Tables) -> DataFrame:
+    """X4: distinct-n-gram ratio for n ∈ {1,2,3} per source — the
+    corpus diversity metric (low ratios = templated/repetitive data,
+    the degenerate-generation signal self-BLEU approximates). All
+    exact integer counts from one tokenized scan; ratio is a single
+    correctly-rounded division."""
+    toks = t["documents"].select(
+        "source", F.col("doc_id"), textops.tokens("text").alias("w")
+    )
+    rows = []
+    for n in (1, 2, 3):
+        idx = F.when(
+            F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
+        ).otherwise(F.array().cast("array<int>"))
+        grams = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("w", i + k + 1) for k in range(n)]
+            ),
+        )
+        rows.append(
+            toks.select(
+                "source", F.lit(n).alias("n"), F.explode(grams).alias("g")
+            )
+        )
+    allg = rows[0].unionByName(rows[1]).unionByName(rows[2])
+    return (
+        allg.groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("total_ngrams"),
+            F.count_distinct("g").alias("distinct_ngrams"),
+        )
+        .withColumn(
+            "diversity",
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double"),
+        )
+    )
+
+
+NGRAM_DIVERSITY_SQL = """
+WITH toks AS (
+  SELECT source, doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT source, 1 AS n, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT source, 2 AS n, w[i] || ' ' || w[i+1] AS g
+  FROM toks, unnest(range(1, len(w))) AS t(i)
+  UNION ALL
+  SELECT source, 3 AS n, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+  FROM toks, unnest(range(1, len(w) - 1)) AS t(i)
+)
+SELECT source, n, COUNT(*) AS total_ngrams,
+       COUNT(DISTINCT g) AS distinct_ngrams,
+       CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS diversity
+FROM g GROUP BY 1, 2
+"""
+
+
+# --- X4: exact cross-source duplication matrix -------------------------------
+def source_dup_matrix(t: Tables) -> DataFrame:
+    """X4: exact shared-content matrix between sources — for each
+    source pair, how many distinct fingerprints appear in BOTH (the
+    exact companion to source_overlap's MinHash estimate; at governance
+    cardinality the exact join is cheap because it runs over the
+    DISTINCT (source, fp) frame, not the corpus)."""
+    fp = (
+        t["documents"]
+        .select("source", F.md5("text").alias("fp"))
+        .distinct()
+    )
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+SOURCE_DUP_MATRIX_SQL = """
+WITH fp AS (SELECT DISTINCT source, md5(text) AS fp FROM documents)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
+# --- X4: corpus distribution drift (integer-exact TVD) -----------------------
+DRIFT_BUCKET_WIDTH = 200
+
+
+def corpus_drift(t: Tables) -> DataFrame:
+    """X4: length-distribution DRIFT between the historical corpus and
+    the new batch (the same hash split as novel_docs): per-bucket doc
+    shares plus the total-variation distance. TVD's float spelling
+    (Σ|p−q|/2) sums doubles in partition order; here the numerator is
+    the exact integer Σ_b |n1_b·N2 − n2_b·N1| (order-free), and the
+    single division by 2·N1·N2 happens once at the end — drift is
+    bit-exact, scale-independent, and mergeable."""
+    buck = (F.col("n_chars") / DRIFT_BUCKET_WIDTH).cast("long").alias("bucket")
+    side = F.when(_split_expr() < 8, F.lit("hist")).otherwise(F.lit("new"))
+    counts = (
+        t["documents"]
+        .select(buck, side.alias("side"))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == "hist", 1).otherwise(0)).alias("n_hist"),
+            F.sum(F.when(F.col("side") == "new", 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_hist").alias("N1"), F.sum("n_new").alias("N2")
+    )
+    j = counts.crossJoin(F.broadcast(totals))
+    term = F.abs(F.col("n_hist") * F.col("N2") - F.col("n_new") * F.col("N1"))
+    return (
+        j.groupBy("N1", "N2")
+        .agg(F.sum(term).alias("tvd_num"))
+        .select(
+            F.col("N1").alias("n_hist_total"),
+            F.col("N2").alias("n_new_total"),
+            "tvd_num",
+            (
+                F.col("tvd_num").cast("double")
+                / (2.0 * F.col("N1") * F.col("N2")).cast("double")
+            ).alias("tvd"),
+        )
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+WITH sides AS (
+  SELECT n_chars // {DRIFT_BUCKET_WIDTH} AS bucket,
+         CASE WHEN {_SPLIT_SQL} < 8 THEN 'hist' ELSE 'new' END AS side
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN side = 'hist' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hist,
+         CAST(SUM(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM sides GROUP BY 1
+),
+totals AS (
+  SELECT CAST(SUM(n_hist) AS BIGINT) AS N1,
+         CAST(SUM(n_new) AS BIGINT) AS N2
+  FROM counts
+)
+SELECT N1 AS n_hist_total, N2 AS n_new_total,
+       CAST(SUM(abs(n_hist * N2 - n_new * N1)) AS BIGINT) AS tvd_num,
+       CAST(SUM(abs(n_hist * N2 - n_new * N1)) AS DOUBLE)
+         / CAST(2.0 * N1 * N2 AS DOUBLE) AS tvd
+FROM counts CROSS JOIN totals
+GROUP BY N1, N2
+"""

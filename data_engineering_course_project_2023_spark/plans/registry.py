@@ -994,6 +994,32 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X3 per-label centroid-distance outliers (bit-exact array fold)",
     ),
+    "value_equidepth_hist": Query(
+        eventstream.value_equidepth_hist,
+        eventstream.VALUE_EQUIDEPTH_SQL,
+        ("events",),
+        "X5 equi-depth histogram (optimizer-statistics structure, "
+        "total-order ntile)",
+    ),
+    "ngram_diversity": Query(
+        llmops.ngram_diversity,
+        llmops.NGRAM_DIVERSITY_SQL,
+        ("documents",),
+        "X4 distinct-n-gram diversity per source (self-BLEU-style "
+        "corpus health)",
+    ),
+    "source_dup_matrix": Query(
+        llmops.source_dup_matrix,
+        llmops.SOURCE_DUP_MATRIX_SQL,
+        ("documents",),
+        "X4 exact cross-source shared-fingerprint matrix",
+    ),
+    "corpus_drift": Query(
+        llmops.corpus_drift,
+        llmops.CORPUS_DRIFT_SQL,
+        ("documents",),
+        "X4 length-distribution drift, integer-exact total variation",
+    ),
 }
 
 
@@ -1057,7 +1083,8 @@ _DEFERRED_TO_R4 = [
     "epoch_batches", "weighted_doc_sample",
     "kmv_distinct_users", "cms_token_counts",
     "concurrent_users_peak", "impute_lang_eval", "quality_classifier",
-    "prefix_jaccard", "embedding_outliers",
+    "prefix_jaccard", "embedding_outliers", "value_equidepth_hist",
+    "ngram_diversity", "source_dup_matrix", "corpus_drift",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -77,6 +77,8 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "doc_cosine_pairs",
         # one-row corpus-total scalar broadcast for the heavy-hitter cut
         "cms_token_counts",
+        # one-row (N1, N2) totals broadcast for the exact-TVD division
+        "corpus_drift",
     }
     offenders = {}
     for name in registry.REGISTRY:
