@@ -2282,3 +2282,55 @@ JOIN deg da ON inter.node_a = da.node
 JOIN deg db ON inter.node_b = db.node
 WHERE CAST(n_common AS DOUBLE) / CAST(da.d + db.d - n_common AS DOUBLE) >= 0.5
 """
+
+
+# --- A20: 2-D skyline / Pareto frontier ----------------------------------
+def skyline_parts(t: Tables) -> DataFrame:
+    """Pareto-optimal parts: cheapest-for-their-size frontier (minimize
+    p_retailprice, maximize p_size). q dominates p iff q is no more
+    expensive AND no smaller, with at least one strict inequality.
+
+    Scale shape: the naive skyline is an all-pairs NOT EXISTS. Here the
+    dominance test collapses onto the per-price GROUP frame: a part is
+    dominated iff (max size at any strictly lower price) >= its size,
+    or (max size at its own price) > its size. The global window runs
+    over DISTINCT prices — dimension-sized (bounded by the part price
+    domain, ~50k values in TPC-H at any SF), not fact-sized — and the
+    result joins back broadcast-side, so no all-pairs comparison ever
+    exists in the plan."""
+    p = t["part"]
+    per_price = p.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("price_max_size")
+    )
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bounds = per_price.withColumn(
+        "cheaper_max_size", F.max("price_max_size").over(w)
+    )
+    dominated = (
+        F.coalesce(
+            F.col("cheaper_max_size") >= F.col("p_size"), F.lit(False)
+        )
+        | (F.col("price_max_size") > F.col("p_size"))
+    )
+    return (
+        p.join(F.broadcast(bounds), "p_retailprice")
+        .filter(~dominated)
+        .select("p_partkey", "p_name",
+                F.col("p_retailprice").alias("price"),
+                F.col("p_size").alias("size"))
+    )
+
+
+SKYLINE_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice AS price, p_size AS size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice <= p.p_retailprice
+    AND q.p_size >= p.p_size
+    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+)
+"""

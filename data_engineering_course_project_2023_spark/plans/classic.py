@@ -418,3 +418,121 @@ FROM supplier
 JOIN qualified ON s_suppkey = l_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 """
+
+
+# --- Q5: local supplier volume (same-nation customer/supplier) -----------
+def regional_sales(t: Tables) -> DataFrame:
+    """Q5 analog: 1996 revenue from EUROPE customers served by a
+    supplier in the customer's OWN nation, per nation. The only
+    fact-fact shuffle is lineitem⋈orders on orderkey; customer/
+    supplier/nation/region all attach broadcast-side at test scale
+    (at 100 TB AQE swaps customer to a shuffle join automatically —
+    nothing here pins a strategy). The same-nation requirement becomes
+    a plain equi-filter between the two attached nationkeys, so no
+    extra join is needed for it."""
+    li, o, c, s = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    n, r = t["nation"], t["region"]
+    europe_cust = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("c_custkey",
+                F.col("c_nationkey").alias("cust_nation_key"),
+                F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(F.broadcast(europe_cust),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") == F.col("cust_nation_key"))
+        .groupBy("nation")
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )
+
+
+REGIONAL_SALES_SQL = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY 1
+"""
+
+
+# --- Q7: bilateral volume shipping between two nations -------------------
+def bilateral_trade(t: Tables) -> DataFrame:
+    """Q7 analog: revenue flowing between NATION_3 and NATION_7 in
+    either direction, by supplier nation × customer nation × ship
+    year. The disjunctive nation-pair predicate applies AFTER both
+    nationkeys are broadcast-attached, so it is a cheap filter on the
+    joined stream rather than a join condition that would force a
+    nested loop; lineitem⋈orders stays the single shuffle."""
+    li, o, c, s = t["lineitem"], t["orders"], t["customer"], t["supplier"]
+    n = t["nation"]
+    supp = (
+        s.join(F.broadcast(n.select(F.col("n_nationkey").alias("snk"),
+                                    F.col("n_name").alias("supp_nation"))),
+               s.s_nationkey == F.col("snk"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        c.join(F.broadcast(n.select(F.col("n_nationkey").alias("cnk"),
+                                    F.col("n_name").alias("cust_nation"))),
+               c.c_nationkey == F.col("cnk"))
+        .select("c_custkey", "cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_3")
+         & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7")
+           & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == F.col("s_suppkey"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(revenue()).cast("double").alias("revenue"))
+    )
+
+
+BILATERAL_TRADE_SQL = """
+SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((n2.n_name = 'NATION_3' AND n1.n_name = 'NATION_7')
+    OR (n2.n_name = 'NATION_7' AND n1.n_name = 'NATION_3'))
+GROUP BY 1, 2, 3
+"""

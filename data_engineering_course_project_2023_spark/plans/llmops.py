@@ -2991,3 +2991,359 @@ SELECT N1 AS n_hist_total, N2 AS n_new_total,
 FROM counts CROSS JOIN totals
 GROUP BY N1, N2
 """
+
+
+# --- X2: asymmetric containment pairs ----------------------------------------
+CONTAIN_DF_DIV = 5  # shingles in more than 1/5 of docs are cut (skew/noise)
+
+
+def containment_pairs(t: Tables) -> DataFrame:
+    """X2: directed shingle-containment pairs — |S(a) ∩ S(b)| / |S(a)|
+    over distinct 3-token shingles. Jaccard misses the case where a
+    SHORT document is wholly contained in a long one (the union term
+    swamps it); containment is the asymmetric metric snippet-extraction
+    and quote dedup need. Emits ordered pairs: (doc_a contained-in
+    doc_b) and (b in a) are different rows.
+
+    Scale shape: identical inverted-index discipline as
+    doc_cosine_pairs — ubiquitous shingles (df · 5 > n_docs) are cut
+    BEFORE the self-join and per-doc sizes are computed from the same
+    pruned set (self-consistent metric); candidates come only from
+    shared sub-ubiquitous shingles, never an all-pairs product. The
+    containment test is exact int·2 ≥ int — no float in the filter."""
+    sh = (
+        spread(t["documents"])
+        .select(
+            "doc_id", textops.tokens("text").alias("w")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                        F.element_at("w", i + 3),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    heavy = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * CONTAIN_DF_DIV > F.col("n_docs"))
+        .select("s")
+    )
+    kept = sh.join(F.broadcast(heavy), "s", "left_anti")
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .filter(F.col("n_common") * 2 >= F.col("n_a"))
+        .select(
+            "doc_a", "doc_b", "n_common", "n_a",
+            (F.col("n_common").cast("double")
+             / F.col("n_a").cast("double")).alias("containment"),
+        )
+    )
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM idx),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN dfc USING (s) CROSS JOIN tot
+  WHERE dfc.df * {CONTAIN_DF_DIV} <= tot.n_docs
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sizes.n_sh AS n_a,
+       CAST(n_common AS DOUBLE) / CAST(sizes.n_sh AS DOUBLE) AS containment
+FROM inter JOIN sizes ON inter.doc_a = sizes.doc_id
+WHERE n_common * 2 >= sizes.n_sh
+"""
+
+
+# --- X2: affix (tail→head) stitching pairs -----------------------------------
+AFFIX_K = 4
+
+
+def affix_overlap(t: Tables) -> DataFrame:
+    """X2: document-stitching detection — doc_a's LAST 4 tokens equal
+    doc_b's FIRST 4 tokens, the signature of one source text split
+    across records (crawler pagination, chunked exports). Neither
+    Jaccard nor containment sees a 4-token seam; this is the targeted
+    probe.
+
+    Scale shape: one narrow map pass computes a head and a tail
+    fingerprint per document; candidates come from an equi-join of
+    tail-fp to head-fp (hash-partitioned on the fingerprint, fan-out
+    bounded by affix-value frequency). Docs shorter than 2k tokens are
+    excluded so head and tail never overlap within one document."""
+    toks = spread(t["documents"]).select(
+        "doc_id", textops.tokens("text").alias("w")
+    ).filter(F.size("w") >= 2 * AFFIX_K)
+    hx = toks.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("w", 1, AFFIX_K)).alias("head"),
+        F.concat_ws(
+            " ", F.slice("w", -AFFIX_K, AFFIX_K)
+        ).alias("tail"),
+    )
+    a = hx.select(F.col("doc_id").alias("doc_a"), F.col("tail").alias("affix"))
+    b = hx.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("affix"))
+    return (
+        a.join(b, "affix")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "affix")
+    )
+
+
+AFFIX_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+hx AS (
+  SELECT doc_id,
+         array_to_string(w[1:{AFFIX_K}], ' ') AS head,
+         array_to_string(w[-{AFFIX_K}:], ' ') AS tail
+  FROM toks WHERE len(w) >= {2 * AFFIX_K}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.tail AS affix
+FROM hx a JOIN hx b ON a.tail = b.head AND a.doc_id <> b.doc_id
+"""
+
+
+# --- X4: unigram surprisal (perplexity-proxy quality score) ------------------
+def unigram_surprisal(t: Tables) -> DataFrame:
+    """X4: per-document mean unigram surprisal −ln p(tok) under the
+    corpus's own unigram distribution — the cheapest member of the
+    perplexity-filter family (docs of nothing but ubiquitous tokens
+    score near 0; rare-token soup scores high). A real LM filter swaps
+    the probability table; the pipeline shape is identical.
+
+    Cross-engine exactness: ln is transcendental (last-ulp libm
+    differences between JVM and C are real), so each token's surprisal
+    is frozen to an INTEGER micro-nat value — round(ln(N/cnt)·1e6) —
+    once per VOCAB entry; per-doc sums are then exact integer sums
+    (order-free under any partitioning) and the final mean is a single
+    identically-spelled double division rounded to 6 dp.
+
+    Scale shape: the surprisal table is vocabulary-sized and joins the
+    token stream on tok (hash join; Spark broadcasts while the vocab
+    fits and AQE falls back to shuffle when it doesn't — nothing here
+    pins a strategy); the corpus total is a 1-row scalar broadcast."""
+    toks = spread(t["documents"]).select(
+        "doc_id", F.explode(textops.tokens("text")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    table = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("n_total").cast("double")
+                  / F.col("cnt").cast("double")) * 1e6
+        ).cast("bigint").alias("micro_nats"),
+    )
+    return (
+        toks.join(table, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("micro_nats").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_tokens").cast("double") * 1e6),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+UNIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1),
+tot AS (SELECT SUM(cnt) AS n_total FROM vocab),
+tbl AS (
+  SELECT tok,
+         CAST(round(ln(CAST(n_total AS DOUBLE) / CAST(cnt AS DOUBLE)) * 1e6)
+              AS BIGINT) AS micro_nats
+  FROM vocab CROSS JOIN tot
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       round(CAST(SUM(micro_nats) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_surprisal
+FROM toks JOIN tbl USING (tok)
+GROUP BY 1
+"""
+
+
+# --- X4: Zipf slope per source (corpus-shape governance) ---------------------
+ZIPF_TOP = 100
+
+
+def zipf_slope(t: Tables) -> DataFrame:
+    """X4: least-squares slope of ln(freq) on ln(rank) over each
+    source's top-100 tokens — natural text sits near −1; templated or
+    machine-generated sources drift toward 0 (flat head) or below −1.5
+    (degenerate repetition). A one-number corpus-shape alarm per
+    source.
+
+    Cross-engine exactness: both regression coordinates are frozen to
+    integer micro-nats (round(ln·1e6)) per (source, rank) row, the
+    four moment sums accumulate as exact BIGINTs (worst case n·x·y ≈
+    100·4.6e6·2e7 ≈ 1e16 — far inside BIGINT), and the closed-form
+    slope is one identically-spelled double expression rounded to
+    6 dp. Rank order is total (count desc, token asc).
+
+    Scale shape: token counting is the only corpus-sized shuffle; the
+    rank window and moment aggregation run on the top-100-per-source
+    frame (governance-sized)."""
+    from pyspark.sql.window import Window
+
+    cnts = (
+        spread(t["documents"])
+        .select("source", F.explode(textops.tokens("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("cnt").desc(), F.col("tok").asc()
+    )
+    top = (
+        cnts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP)
+        .select(
+            "source",
+            F.round(F.log(F.col("rank").cast("double")) * 1e6)
+            .cast("bigint").alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")) * 1e6)
+            .cast("bigint").alias("y"),
+        )
+    )
+    n = F.count(F.lit(1))
+    slope = (
+        (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+        .cast("double")
+        / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        .cast("double")
+    )
+    return top.groupBy("source").agg(
+        n.cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH cnts AS (
+  SELECT source, tok, COUNT(*) AS cnt
+  FROM (
+    SELECT source,
+           unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+             AS tok
+    FROM documents
+  )
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, tok ASC) AS rank,
+         cnt
+  FROM cnts
+),
+pts AS (
+  SELECT source,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+  FROM ranked WHERE rank <= {ZIPF_TOP}
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       round(
+         CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS DOUBLE)
+         / CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS DOUBLE),
+         6) AS zipf_slope
+FROM pts GROUP BY 1
+"""
+
+
+# --- X4: k-anonymity audit (privacy governance) ------------------------------
+KANON_K = 5
+KANON_BUCKET = 100
+
+
+def k_anonymity_audit(t: Tables) -> DataFrame:
+    """X4: k-anonymity over the quasi-identifier (lang, source,
+    length-bucket): every combination carried by fewer than k=5
+    documents is a re-identification risk the release checklist must
+    see. Output is the violating groups with their sizes (the
+    suppression worklist).
+
+    Scale shape: one keyed aggregation over the corpus — the group-by
+    IS the audit; no joins, no windows. At 100 TB the violating-group
+    output is tiny by construction (every row has count < k)."""
+    return (
+        t["documents"]
+        .groupBy(
+            "lang",
+            "source",
+            (F.floor(F.col("n_chars") / KANON_BUCKET))
+            .cast("bigint")
+            .alias("len_bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < KANON_K)
+    )
+
+
+K_ANONYMITY_SQL = f"""
+SELECT lang, source,
+       CAST(floor(n_chars / {KANON_BUCKET}) AS BIGINT) AS len_bucket,
+       COUNT(*) AS group_size
+FROM documents
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < {KANON_K}
+"""

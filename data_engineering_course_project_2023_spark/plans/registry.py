@@ -1020,6 +1020,54 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 length-distribution drift, integer-exact total variation",
     ),
+    "regional_sales": Query(
+        classic.regional_sales,
+        classic.REGIONAL_SALES_SQL,
+        ("lineitem", "orders", "customer", "supplier", "nation", "region"),
+        "Q5 same-nation customer/supplier revenue by nation",
+    ),
+    "bilateral_trade": Query(
+        classic.bilateral_trade,
+        classic.BILATERAL_TRADE_SQL,
+        ("lineitem", "orders", "customer", "supplier", "nation"),
+        "Q7 two-nation bilateral shipping volume by year",
+    ),
+    "skyline_parts": Query(
+        analytics.skyline_parts,
+        analytics.SKYLINE_PARTS_SQL,
+        ("part",),
+        "A20 2-D Pareto frontier via per-price window (no all-pairs)",
+    ),
+    "containment_pairs": Query(
+        llmops.containment_pairs,
+        llmops.CONTAINMENT_PAIRS_SQL,
+        ("documents",),
+        "X2 asymmetric shingle containment (short-in-long dedup)",
+    ),
+    "affix_overlap": Query(
+        llmops.affix_overlap,
+        llmops.AFFIX_OVERLAP_SQL,
+        ("documents",),
+        "X2 tail→head stitching pairs (split-document seams)",
+    ),
+    "unigram_surprisal": Query(
+        llmops.unigram_surprisal,
+        llmops.UNIGRAM_SURPRISAL_SQL,
+        ("documents",),
+        "X4 perplexity-proxy quality score, integer micro-nat exact",
+    ),
+    "zipf_slope": Query(
+        llmops.zipf_slope,
+        llmops.ZIPF_SLOPE_SQL,
+        ("documents",),
+        "X4 per-source Zipf slope (corpus-shape governance)",
+    ),
+    "k_anonymity_audit": Query(
+        llmops.k_anonymity_audit,
+        llmops.K_ANONYMITY_SQL,
+        ("documents",),
+        "X4 k-anonymity quasi-identifier audit (privacy governance)",
+    ),
 }
 
 
@@ -1085,6 +1133,9 @@ _DEFERRED_TO_R4 = [
     "concurrent_users_peak", "impute_lang_eval", "quality_classifier",
     "prefix_jaccard", "embedding_outliers", "value_equidepth_hist",
     "ngram_diversity", "source_dup_matrix", "corpus_drift",
+    "regional_sales", "bilateral_trade", "skyline_parts",
+    "containment_pairs", "affix_overlap", "unigram_surprisal",
+    "zipf_slope", "k_anonymity_audit",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -79,6 +79,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "cms_token_counts",
         # one-row (N1, N2) totals broadcast for the exact-TVD division
         "corpus_drift",
+        # one-row n_docs scalar broadcast feeding the relative df cut
+        "containment_pairs",
+        # one-row corpus-total scalar broadcast for the surprisal table
+        "unigram_surprisal",
     }
     offenders = {}
     for name in registry.REGISTRY:
