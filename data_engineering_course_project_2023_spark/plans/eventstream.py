@@ -1173,3 +1173,50 @@ SELECT event_type, bucket, COUNT(*) AS n_rows,
        MIN(value) AS lo, MAX(value) AS hi
 FROM b GROUP BY 1, 2
 """
+
+
+# --- §2.6: sliding-window aggregation (shared batch/stream transform) --------
+def sliding_counts_transform(events: DataFrame) -> DataFrame:
+    """Shared batch/stream transform: 3-day windows sliding by 1 day —
+    the overlapping-window shape (each event lands in exactly three
+    windows). Native ``F.window(slideDuration=...)`` so the SAME
+    expression runs under readStream with a watermark; the batch twin
+    is what the oracle checks. State per (window, type) row only —
+    trailing-window semantics without per-event state."""
+    return (
+        events.groupBy(
+            F.window("ts", "3 days", "1 day").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts(t: Tables) -> DataFrame:
+    """§2.6: batch twin of the sliding-window stream aggregation."""
+    return sliding_counts_transform(t["events"])
+
+
+# Spark aligns sliding windows to epoch multiples of the slide (1 day),
+# so the three windows containing ts start at day(ts)−2, −1, 0 days.
+SLIDING_EVENT_COUNTS_SQL = """
+SELECT strftime(date_trunc('day', ts) - INTERVAL (o.off) DAY,
+                '%Y-%m-%d') AS win_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o
+GROUP BY 1, 2
+"""

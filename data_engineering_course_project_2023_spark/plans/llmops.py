@@ -3347,3 +3347,136 @@ FROM documents
 GROUP BY 1, 2, 3
 HAVING COUNT(*) < {KANON_K}
 """
+
+
+# --- X4: temperature-scaled mixture weights ----------------------------------
+def mixture_temperature_weights(t: Tables) -> DataFrame:
+    """X4: per-source sampling weights under temperature α = 0.5 —
+    w_i = √n_i / Σ_j √n_j — the standard multilingual/multi-source
+    rebalancing rule (upweights small sources, tempers large ones).
+    mixture_resample_docs consumes rates like these; this query is the
+    stage that PRODUCES them from corpus counts.
+
+    Cross-engine exactness: sqrt is IEEE-correctly-rounded (unlike
+    ln/exp/pow), but a float SUM over sources is order-dependent — so
+    each √n_i is frozen to an integer micro-unit and the denominator
+    accumulates as an exact BIGINT; each weight is then one
+    identically-spelled double division. Also emits boost = w_i/p_i
+    (relative up/down-sampling factor vs the natural proportion p_i)
+    as a product of two such divisions — no big-int cross product, so
+    no overflow ceiling at any corpus size.
+
+    Scale shape: one keyed agg over the corpus; everything after runs
+    on the source-cardinality frame with a 1-row denominator
+    broadcast."""
+    counts = t["documents"].groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    s = F.round(F.sqrt(F.col("n_docs").cast("double")) * 1e6).cast("bigint")
+    scaled = counts.select("source", "n_docs", s.alias("s_micro"))
+    denom = scaled.agg(
+        F.sum("s_micro").alias("s_total"), F.sum("n_docs").alias("n_total")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(denom))
+        .select(
+            "source",
+            "n_docs",
+            F.round(
+                F.col("s_micro").cast("double")
+                / F.col("s_total").cast("double"),
+                6,
+            ).alias("weight"),
+            F.round(
+                (F.col("s_micro").cast("double")
+                 / F.col("s_total").cast("double"))
+                * (F.col("n_total").cast("double")
+                   / F.col("n_docs").cast("double")),
+                6,
+            ).alias("boost"),
+        )
+    )
+
+
+MIXTURE_TEMPERATURE_SQL = """
+WITH counts AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+scaled AS (
+  SELECT source, n_docs,
+         CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT) AS s_micro
+  FROM counts
+),
+denom AS (SELECT SUM(s_micro) AS s_total, SUM(n_docs) AS n_total FROM scaled)
+SELECT source, n_docs,
+       round(CAST(s_micro AS DOUBLE) / CAST(s_total AS DOUBLE), 6) AS weight,
+       round((CAST(s_micro AS DOUBLE) / CAST(s_total AS DOUBLE))
+             * (CAST(n_total AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+         AS boost
+FROM scaled CROSS JOIN denom
+"""
+
+
+# --- X3: per-dimension embedding statistics ----------------------------------
+def embedding_dim_stats(t: Tables) -> DataFrame:
+    """X3: per-dimension mean / variance / extremes over the embedding
+    matrix — the vector-QA card that catches dead dimensions (zero
+    variance), mis-scaled encoders, and train/serve skew before any
+    ANN index is built on the column.
+
+    Cross-engine exactness: each float component is frozen to an
+    integer micro-unit once (float→double widening is exact; one
+    identically-rounded multiply+round); the first moment sums as an
+    exact BIGINT and the second as an exact DECIMAL(38,0) (DuckDB's
+    BIGINT sum widens to HUGEINT — both 100%-exact, order-free, and
+    the Σm² ceiling moves from ~9e18 to 1e38, i.e. no practical vector
+    count hits it). mean/variance are then identically-spelled double
+    expressions (var = E[m²] − mean², same op order both engines);
+    min/max are exact on the raw doubles (no arithmetic).
+
+    Scale shape: posexplode fans out inside the scan stage (no
+    pre-shuffle); the single aggregation is keyed on the 64-value
+    dimension index — each reducer sees one dimension's stream, the
+    classic column-profile shape."""
+    comp = t["embeddings"].select(
+        F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "dim",
+        F.col("v").cast("double").alias("v"),
+        F.round(F.col("v").cast("double") * 1e6).cast("bigint").alias("m"),
+    )
+    n = F.count(F.lit(1))
+    mean = F.sum("m").cast("double") / (n.cast("double") * 1e6)
+    sum_sq = F.sum((F.col("m") * F.col("m")).cast("decimal(38,0)"))
+    var = (
+        sum_sq.cast("double") / n.cast("double") / 1e12
+        - mean * mean
+    )
+    return comp.groupBy("dim").agg(
+        n.cast("bigint").alias("n_vecs"),
+        F.round(mean, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = """
+WITH raw AS (
+  SELECT CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         unnest(embedding) AS val
+  FROM embeddings
+),
+comp AS (
+  SELECT dim, CAST(val AS DOUBLE) AS v,
+         CAST(round(CAST(val AS DOUBLE) * 1e6) AS BIGINT) AS m
+  FROM raw
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       round(CAST(SUM(m) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6)
+         AS mean,
+       round(CAST(SUM(m * m) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e12
+             - (CAST(SUM(m) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6))
+               * (CAST(SUM(m) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1e6)),
+             6) AS variance,
+       MIN(v) AS min_v, MAX(v) AS max_v
+FROM comp GROUP BY 1
+"""

@@ -1068,6 +1068,24 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 k-anonymity quasi-identifier audit (privacy governance)",
     ),
+    "mixture_temperature_weights": Query(
+        llmops.mixture_temperature_weights,
+        llmops.MIXTURE_TEMPERATURE_SQL,
+        ("documents",),
+        "X4 α=0.5 temperature mixture weights (integer-frozen sqrt)",
+    ),
+    "embedding_dim_stats": Query(
+        llmops.embedding_dim_stats,
+        llmops.EMBEDDING_DIM_STATS_SQL,
+        ("embeddings",),
+        "X3 per-dimension embedding QA card (exact decimal moments)",
+    ),
+    "sliding_event_counts": Query(
+        eventstream.sliding_event_counts,
+        eventstream.SLIDING_EVENT_COUNTS_SQL,
+        ("events",),
+        "§2.6 3d/1d sliding-window agg (batch twin of the stream op)",
+    ),
 }
 
 
@@ -1136,6 +1154,8 @@ _DEFERRED_TO_R4 = [
     "regional_sales", "bilateral_trade", "skyline_parts",
     "containment_pairs", "affix_overlap", "unigram_surprisal",
     "zipf_slope", "k_anonymity_audit",
+    "mixture_temperature_weights", "embedding_dim_stats",
+    "sliding_event_counts",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -467,3 +467,45 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     streamed = {(u, s, ev) for u, (s, ev) in agg.items()}
     assert streamed == batch
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_sliding_window_stream_twin_matches_batch(spark, tmp_path):
+    """The oracle-checked sliding_counts_transform (3d window / 1d
+    slide) produces identical results under readStream (availableNow)
+    — overlapping windows join tumbling/session in the stream==batch
+    contract."""
+    import shutil
+
+    from data_engineering_course_project_2023_spark.plans import eventstream
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.streaming import with_event_time
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src_dir = str(tmp_path / "events_src")
+    events.write.parquet(src_dir)
+    batch = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in eventstream.sliding_counts_transform(events).collect()
+    }
+    stream_in = with_event_time(
+        spark.readStream.schema(events.schema).parquet(src_dir)
+    )
+    agg = eventstream.sliding_counts_transform(
+        stream_in.withWatermark("ts", "1 hour")
+    )
+    ckpt = str(tmp_path / "ckpt_slide")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("events_sliding")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["win_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM events_sliding").collect()
+    }
+    assert streamed == batch
+    shutil.rmtree(ckpt, ignore_errors=True)
