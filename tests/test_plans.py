@@ -83,6 +83,8 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "containment_pairs",
         # one-row corpus-total scalar broadcast for the surprisal table
         "unigram_surprisal",
+        # one-row (Σ√n, Σn) denominator broadcast over the source frame
+        "mixture_temperature_weights",
     }
     offenders = {}
     for name in registry.REGISTRY:
