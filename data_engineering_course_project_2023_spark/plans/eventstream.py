@@ -1220,3 +1220,89 @@ FROM events
 CROSS JOIN (SELECT unnest([0, 1, 2]) AS off) o
 GROUP BY 1, 2
 """
+
+
+# --- A/B experiment readout: 2×2 chi-square ----------------------------------
+def ab_test_chi2(t: Tables) -> DataFrame:
+    """Experiment analysis: Pearson χ² of independence on the 2×2
+    (variant × converted) table — variant from the event's typed JSON
+    payload (k mod 2, the deterministic bucket a real assignment
+    service would have written), conversion = purchase event. One
+    aggregation pass produces the four cells; χ² and the B/A
+    conversion lift are single identically-spelled double expressions
+    over those exact integers (no transcendentals), so both engines
+    agree bit-for-bit. Events without a payload k are excluded (no
+    assignment — the honest denominator).
+
+    Scale shape: map-side conditional counts into ONE row; nothing
+    else moves."""
+    ev = t["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    variant = (k % 2).alias("variant")
+    conv = (F.col("event_type") == "purchase").cast("bigint")
+    cells = (
+        ev.filter(k.isNotNull())
+        .select(variant, conv.alias("conv"))
+        .agg(
+            F.sum(((F.col("variant") == 0) & (F.col("conv") == 1))
+                  .cast("bigint")).alias("a_conv"),
+            F.sum(((F.col("variant") == 0) & (F.col("conv") == 0))
+                  .cast("bigint")).alias("a_other"),
+            F.sum(((F.col("variant") == 1) & (F.col("conv") == 1))
+                  .cast("bigint")).alias("b_conv"),
+            F.sum(((F.col("variant") == 1) & (F.col("conv") == 0))
+                  .cast("bigint")).alias("b_other"),
+        )
+    )
+    ad = F.col("a_conv").cast("double")
+    ao = F.col("a_other").cast("double")
+    bd = F.col("b_conv").cast("double")
+    bo = F.col("b_other").cast("double")
+    n = ad + ao + bd + bo
+    d1 = ad * bo - ao * bd
+    chi2 = (n * d1 * d1) / (
+        ((ad + ao) * (bd + bo)) * ((ad + bd) * (ao + bo))
+    )
+    lift = (bd / (bd + bo)) / (ad / (ad + ao))
+    return cells.select(
+        "a_conv", "a_other", "b_conv", "b_other",
+        F.round(chi2, 6).alias("chi2"),
+        F.round(lift, 6).alias("lift"),
+    )
+
+
+AB_TEST_CHI2_SQL = """
+WITH cells AS (
+  SELECT
+    SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS a_conv,
+    SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+              AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS a_other,
+    SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+              AND event_type = 'purchase' THEN 1 ELSE 0 END) AS b_conv,
+    SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+              AND event_type <> 'purchase' THEN 1 ELSE 0 END) AS b_other
+  FROM events
+  WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
+)
+SELECT a_conv, a_other, b_conv, b_other,
+       round(
+         ((CAST(a_conv AS DOUBLE) + CAST(a_other AS DOUBLE)
+           + CAST(b_conv AS DOUBLE) + CAST(b_other AS DOUBLE))
+          * (CAST(a_conv AS DOUBLE) * CAST(b_other AS DOUBLE)
+             - CAST(a_other AS DOUBLE) * CAST(b_conv AS DOUBLE))
+          * (CAST(a_conv AS DOUBLE) * CAST(b_other AS DOUBLE)
+             - CAST(a_other AS DOUBLE) * CAST(b_conv AS DOUBLE)))
+         / (((CAST(a_conv AS DOUBLE) + CAST(a_other AS DOUBLE))
+             * (CAST(b_conv AS DOUBLE) + CAST(b_other AS DOUBLE)))
+            * ((CAST(a_conv AS DOUBLE) + CAST(b_conv AS DOUBLE))
+               * (CAST(a_other AS DOUBLE) + CAST(b_other AS DOUBLE)))),
+         6) AS chi2,
+       round(
+         (CAST(b_conv AS DOUBLE)
+          / (CAST(b_conv AS DOUBLE) + CAST(b_other AS DOUBLE)))
+         / (CAST(a_conv AS DOUBLE)
+            / (CAST(a_conv AS DOUBLE) + CAST(a_other AS DOUBLE))),
+         6) AS lift
+FROM cells
+"""

@@ -3480,3 +3480,255 @@ SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
        MIN(v) AS min_v, MAX(v) AS max_v
 FROM comp GROUP BY 1
 """
+
+
+# --- X3/X4: BM25 ranking (classic lexical retrieval) -------------------------
+BM25_QUERY = ("spark", "join", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_scored(t: Tables):
+    """Shared scorer for bm25_topk / hybrid_rrf: per-doc raw BM25 over
+    the fixed 3-term query, computed entirely MAP-SIDE — per-term tf
+    and doc length come from array ops on the token array (no explode,
+    no inverted index, no join); the only non-map work is the 1-row
+    corpus-stats aggregate broadcast back for idf/avgdl. At 100 TB the
+    stats row comes from catalog statistics instead and the scan is
+    unchanged — scoring stays embarrassingly parallel.
+
+    Cross-engine exactness: idf is transcendental (ln) so it is frozen
+    to integer micro-nats per term; every other factor is a division /
+    multiply chain spelled identically in both engines, and the three
+    term scores are added in FIXED textual order — no aggregation-order
+    ambiguity anywhere."""
+    w = textops.tokens("text")
+
+    def _matches(term: str):
+        # single-arg lambda factory: a default-arg closure would give the
+        # lambda arity 2, which F.filter interprets as (element, index)
+        return lambda x: x == F.lit(term)
+
+    base = spread(t["documents"]).select(
+        "doc_id",
+        F.size(w).alias("dl"),
+        *[
+            F.size(F.filter(w, _matches(q))).alias(f"tf{i}")
+            for i, q in enumerate(BM25_QUERY)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("n_toks"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
+            for i in range(len(BM25_QUERY))
+        ],
+    )
+    avgdl = F.col("n_toks").cast("double") / F.col("n_docs").cast("double")
+    terms = []
+    for i in range(len(BM25_QUERY)):
+        idf_micro = (
+            F.round(
+                F.log(
+                    (F.col("n_docs").cast("double")
+                     - F.col(f"df{i}").cast("double") + 0.5)
+                    / (F.col(f"df{i}").cast("double") + 0.5)
+                ) * 1e6
+            ).cast("bigint")
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0) - F.lit(BM25_B)
+            + F.lit(BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+        terms.append(
+            (idf_micro.cast("double") / F.lit(1e6))
+            * ((tf * F.lit(BM25_K1 + 1.0)) / denom)
+        )
+    score = terms[0] + terms[1] + terms[2]
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .filter((F.col("tf0") + F.col("tf1") + F.col("tf2")) > 0)
+        .select("doc_id", score.alias("score_raw"))
+    )
+
+
+def bm25_topk(t: Tables) -> DataFrame:
+    """X3/X4: top-10 documents by Okapi BM25 (k1=1.2, b=0.75) for the
+    fixed query — the classic lexical-retrieval operator, scored
+    map-side (see _bm25_scored). Global top-k runs as TakeOrdered
+    (driver-merged per-partition heads, no global sort shuffle)."""
+    return (
+        _bm25_scored(t)
+        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("score_raw", 6).alias("bm25"))
+    )
+
+
+_BM25_TERMS_SQL = []
+for _i, _q in enumerate(BM25_QUERY):
+    _BM25_TERMS_SQL.append(
+        f"(CAST(CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df{_i} AS DOUBLE)"
+        f" + 0.5) / (CAST(df{_i} AS DOUBLE) + 0.5)) * 1e6) AS BIGINT)"
+        f" AS DOUBLE) / 1e6)"
+        f" * ((CAST(tf{_i} AS DOUBLE) * {BM25_K1 + 1.0})"
+        f" / (CAST(tf{_i} AS DOUBLE) + {BM25_K1} * (1.0 - {BM25_B}"
+        f" + {BM25_B} * (CAST(dl AS DOUBLE)"
+        f" / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
+    )
+
+_BM25_SCORED_CTE = f"""
+base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS dl,
+         {", ".join(
+            f"len(list_filter(list_filter(string_split(trim(text), ' '),"
+            f" x -> x <> ''), x -> x = '{q}')) AS tf{i}"
+            for i, q in enumerate(BM25_QUERY)
+         )}
+  FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS n_toks,
+         {", ".join(
+            f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(BM25_QUERY))
+         )}
+  FROM base
+),
+scored AS (
+  SELECT doc_id,
+         {" + ".join(_BM25_TERMS_SQL)} AS score_raw
+  FROM base CROSS JOIN stats
+  WHERE tf0 + tf1 + tf2 > 0
+)
+"""
+
+BM25_TOPK_SQL = f"""
+WITH {_BM25_SCORED_CTE.strip().lstrip()}
+SELECT doc_id, round(score_raw, 6) AS bm25
+FROM scored
+ORDER BY score_raw DESC, doc_id ASC
+LIMIT 10
+"""
+
+
+# --- X3: hybrid lexical+vector retrieval (reciprocal-rank fusion) ------------
+RRF_K = 60
+RRF_SHORTLIST = 100
+
+
+def hybrid_rrf(t: Tables) -> DataFrame:
+    """X3: reciprocal-rank fusion of a lexical shortlist (BM25 over the
+    fixed query) and a vector shortlist (cosine to stored query vector
+    0) — the standard two-tower hybrid-retrieval merge:
+    rrf(d) = Σ_signals 1/(60 + rank_signal(d)), missing signal = 0.
+
+    Rank-based fusion is what makes this cross-engine exact: ranks are
+    integers from total orders (score desc, id asc — BM25 scores are
+    bit-identical by construction, cosine rounded to 6 dp first), and
+    the fused score is two small-integer divisions added in fixed
+    order.
+
+    Scale shape: each signal contributes a SHORTLIST (top-100 via
+    TakeOrdered — per-partition heads merged on the driver, no global
+    sort shuffle); ranking + fusion then run on 100-row frames. That
+    is the production shape — fusion always consumes candidate lists,
+    never corpus-wide rankings."""
+    from pyspark.sql.window import Window
+
+    lex_short = (
+        _bm25_scored(t)
+        .orderBy(F.desc("score_raw"), F.asc("doc_id"))
+        .limit(RRF_SHORTLIST)
+    )
+    lex = lex_short.select(
+        F.col("doc_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_raw"), F.asc("doc_id")))
+        .alias("lex_rank"),
+    )
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    vec_short = (
+        spread(emb)
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("query_vec")), 6
+            ).alias("cos6"),
+        )
+        .orderBy(F.desc("cos6"), F.asc("vec_id"))
+        .limit(RRF_SHORTLIST)
+    )
+    vec = vec_short.select(
+        F.col("vec_id").alias("id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos6"), F.asc("vec_id")))
+        .alias("vec_rank"),
+    )
+    rrf = (
+        F.coalesce(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("lex_rank").cast("double")),
+            F.lit(0.0),
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("vec_rank").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    return (
+        lex.join(vec, "id", "full_outer")
+        .select("id", "lex_rank", "vec_rank", rrf.alias("rrf_raw"))
+        .orderBy(F.desc("rrf_raw"), F.asc("id"))
+        .limit(10)
+        .select(
+            "id", "lex_rank", "vec_rank",
+            F.round("rrf_raw", 6).alias("rrf"),
+        )
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH {_BM25_SCORED_CTE.strip().lstrip()},
+lex_short AS (
+  SELECT doc_id, score_raw FROM scored
+  ORDER BY score_raw DESC, doc_id ASC LIMIT {RRF_SHORTLIST}
+),
+lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS lex_rank
+  FROM lex_short
+),
+qv AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+vec_short AS (
+  SELECT vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      CAST(query_vec AS DOUBLE[])), 6) AS cos6
+  FROM embeddings, qv
+  WHERE vec_id <> 0
+  ORDER BY cos6 DESC, vec_id ASC LIMIT {RRF_SHORTLIST}
+),
+vec AS (
+  SELECT vec_id AS id,
+         row_number() OVER (ORDER BY cos6 DESC, vec_id ASC) AS vec_rank
+  FROM vec_short
+),
+fused AS (
+  SELECT COALESCE(lex.id, vec.id) AS id, lex_rank, vec_rank,
+         COALESCE(1.0 / ({RRF_K}.0 + CAST(lex_rank AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({RRF_K}.0 + CAST(vec_rank AS DOUBLE)), 0.0)
+           AS rrf_raw
+  FROM lex FULL OUTER JOIN vec ON lex.id = vec.id
+)
+SELECT id, lex_rank, vec_rank, round(rrf_raw, 6) AS rrf
+FROM fused
+ORDER BY rrf_raw DESC, id ASC
+LIMIT 10
+"""

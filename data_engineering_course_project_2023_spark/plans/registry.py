@@ -1086,6 +1086,24 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "§2.6 3d/1d sliding-window agg (batch twin of the stream op)",
     ),
+    "bm25_topk": Query(
+        llmops.bm25_topk,
+        llmops.BM25_TOPK_SQL,
+        ("documents",),
+        "X3/X4 Okapi BM25 top-10, fully map-side scoring",
+    ),
+    "hybrid_rrf": Query(
+        llmops.hybrid_rrf,
+        llmops.HYBRID_RRF_SQL,
+        ("documents", "embeddings"),
+        "X3 lexical+vector reciprocal-rank fusion over shortlists",
+    ),
+    "ab_test_chi2": Query(
+        eventstream.ab_test_chi2,
+        eventstream.AB_TEST_CHI2_SQL,
+        ("events",),
+        "A/B 2×2 chi-square + conversion lift, one agg pass",
+    ),
 }
 
 
@@ -1154,7 +1172,7 @@ _DEFERRED_TO_R4 = [
     "containment_pairs", "affix_overlap", "unigram_surprisal",
     "zipf_slope", "k_anonymity_audit",
     "mixture_temperature_weights", "embedding_dim_stats",
-    "sliding_event_counts",
+    "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

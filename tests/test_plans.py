@@ -85,6 +85,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "unigram_surprisal",
         # one-row (Σ√n, Σn) denominator broadcast over the source frame
         "mixture_temperature_weights",
+        # one-row corpus-stats broadcast (idf/avgdl) for map-side BM25
+        "bm25_topk",
+        # same stats row + the 1-row query-vector broadcast
+        "hybrid_rrf",
     }
     offenders = {}
     for name in registry.REGISTRY:
