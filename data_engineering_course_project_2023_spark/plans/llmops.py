@@ -3509,7 +3509,10 @@ def _bm25_scored(t: Tables):
         # lambda arity 2, which F.filter interprets as (element, index)
         return lambda x: x == F.lit(term)
 
-    base = spread(t["documents"]).select(
+    # no spread(): the per-row work is three array filters — cheap even
+    # single-partition locally, and at scale the scan is already wide.
+    # Keeping the scan un-repartitioned is what makes "map-side" true.
+    base = t["documents"].select(
         "doc_id",
         F.size(w).alias("dl"),
         *[
