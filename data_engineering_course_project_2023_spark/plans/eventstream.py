@@ -1306,3 +1306,46 @@ SELECT a_conv, a_other, b_conv, b_other,
          6) AS lift
 FROM cells
 """
+
+
+# --- privacy governance: right-to-erasure run audit --------------------------
+def gdpr_erasure_audit(t: Tables) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) run audit: how many events each
+    forget-request batch removes, per event type — the compliance
+    evidence a deletion job must emit. The forget set here is the
+    deterministic stand-in ``user_id % 97 == 0`` (a real run broadcasts
+    the request list); the erasure itself is one map-side anti-filter,
+    and the audit is the same scan's conditional counts — before,
+    removed, after — so evidence and deletion cost a single pass. On a
+    partitioned lake the filter prunes to affected partitions and the
+    rewrite touches only those files.
+
+    Companion to k_anonymity_audit: one measures re-identification
+    risk, this one proves the deletion pipeline ran to completion
+    (n_after + n_removed == n_before, checkable per row)."""
+    forget = (F.col("user_id") % 97 == 0).cast("bigint")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_before"),
+            F.sum(forget).alias("n_removed"),
+            (F.count(F.lit(1)) - F.sum(forget)).alias("n_after"),
+            F.count_distinct(
+                F.when(F.col("user_id") % 97 == 0, F.col("user_id"))
+            ).alias("n_users_forgotten"),
+        )
+    )
+
+
+GDPR_ERASURE_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_before,
+       CAST(SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       CAST(COUNT(*) - SUM(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_after,
+       COUNT(DISTINCT CASE WHEN user_id % 97 = 0 THEN user_id END)
+         AS n_users_forgotten
+FROM events GROUP BY 1
+"""

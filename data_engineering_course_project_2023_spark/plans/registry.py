@@ -1104,6 +1104,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "A/B 2×2 chi-square + conversion lift, one agg pass",
     ),
+    "gdpr_erasure_audit": Query(
+        eventstream.gdpr_erasure_audit,
+        eventstream.GDPR_ERASURE_SQL,
+        ("events",),
+        "privacy right-to-erasure run audit (one-pass evidence)",
+    ),
 }
 
 
@@ -1173,6 +1179,7 @@ _DEFERRED_TO_R4 = [
     "zipf_slope", "k_anonymity_audit",
     "mixture_temperature_weights", "embedding_dim_stats",
     "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
+    "gdpr_erasure_audit",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
