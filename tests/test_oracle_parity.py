@@ -12,11 +12,21 @@ from .conftest import SF_CORRECT
 from .parity import compare
 
 
+# Oracles whose SQL embeds constants TRAINED on the sf0.01 fixture
+# (IVF centroids / PQ codebooks — data-dependent by nature; see
+# plans/pq_fixture.py, plans/ivf_fixture.py). They are exact at the
+# driver's gate SF and meaningless at any other; the SF-sweep skips
+# them loudly instead of failing on a known-pinned artifact.
+_SF001_PINNED = {"ivf_topk", "pq_codes", "pq_topk", "ivfpq_topk"}
+
+
 @pytest.mark.parametrize(
     "name",
     [n for n, q in registry.REGISTRY.items() if q.oracle is not None],
 )
 def test_query_matches_oracle(spark, name):
+    if name in _SF001_PINNED and not SF_CORRECT.rstrip("/").endswith("sf0.01"):
+        pytest.skip(f"{name}: oracle codebook pinned to the sf0.01 fixture")
     q = registry.REGISTRY[name]
     df = registry.run_query(name, spark, SF_CORRECT)
     problems = compare(df, q.oracle, SF_CORRECT)

@@ -261,3 +261,59 @@ print("PLAIN_SWEEP_OK")
         timeout=600,
     )
     assert "PLAIN_SWEEP_OK" in out.stdout, out.stdout[-2000:] + out.stderr[-2000:]
+
+
+def test_bm25_plan_is_map_side_plus_takeordered(spark):
+    """BM25 contract: no inverted index means no corpus shuffle — the
+    only Exchanges belong to the 1-row stats aggregate; top-k is
+    TakeOrderedAndProject, never a global Sort."""
+    from data_engineering_course_project_2023_spark.plans import registry
+
+    import re
+
+    df = registry.run_query("bm25_topk", spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one shuffle (the 1-row stats aggregate) + its broadcast
+    # back to the scan side ("(n) Exchange" counts each node once —
+    # formatted output repeats node names in the detail section)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+    assert len(re.findall(r"\(\d+\) BroadcastExchange\b", plan)) == 1
+
+
+def test_skyline_plan_windows_distinct_prices_only(spark):
+    """Skyline contract: the dominance test runs as a window over the
+    per-price aggregate joined back broadcast-side — no SortMergeJoin,
+    no all-pairs join of the part table against itself."""
+    from data_engineering_course_project_2023_spark.plans import registry
+
+    df = registry.run_query("skyline_parts", spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sliding_window_plan_single_aggregation(spark):
+    """Sliding windows expand map-side (the 3-window explode happens in
+    the expand operator inside the scan stage); ONE shuffle feeds the
+    final aggregation."""
+    from data_engineering_course_project_2023_spark.plans import registry
+
+    import re
+
+    df = registry.run_query("sliding_event_counts", spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_gdpr_audit_plan_one_pass(spark):
+    """Erasure audit contract: evidence comes from the same single scan
+    as the deletion filter — one aggregation exchange, no joins."""
+    from data_engineering_course_project_2023_spark.plans import registry
+
+    df = registry.run_query("gdpr_erasure_audit", spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "Join" not in plan
+    assert plan.count("Scan") <= 2  # data scan (+ possible reused subquery)
