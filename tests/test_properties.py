@@ -144,3 +144,46 @@ def test_bloom_never_false_negative(spark, hist, fresh):
         r["text"] for r in dedup.bloom_novel(probe, bitmap, "text").collect()
     }
     assert surviving.isdisjoint(set(hist))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 12)),
+        min_size=1, max_size=60,
+    ),
+)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_coorder_pair_stream_equals_self_join(spark, rows):
+    """PROPERTY: the map-side array pair build is EXACTLY the distinct
+    items self-join it replaced — same (src, dst, count) multiset for
+    any (order, part) multiset, duplicates and singleton orders
+    included. Guards the graph-family refactor forever."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans.analytics import (
+        coorder_pair_stream,
+    )
+
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    got = {
+        (r["src"], r["dst"], r["n"])
+        for r in coorder_pair_stream(li)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    want = {
+        (r["src"], r["dst"], r["n"])
+        for r in a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
