@@ -122,37 +122,20 @@ def coorder_edges(li: DataFrame) -> DataFrame:
 
 
 def coorder_adjacency(li: DataFrame) -> DataFrame:
-    """Directed adjacency (both directions of every weight-≥2 edge) in
-    ONE subtree: the pair stream emits (x,y) AND (y,x) map-side, so
-    the aggregation produces the adjacency directly — no
-    union-of-two-reads of the edge build (und ∪ flip(und) re-computes
-    the whole pair aggregation per branch: measured 6.0 s cold vs
-    2.9 s for this build at sf0.1; warm times converge because AQE
-    reuses the exchange, but the doubled subtree stays in every plan
-    and the cold path is what a fresh cluster stage pays). Each
-    ordered pair (x, y), y ≠ x, comes straight out of the per-order
-    sorted set."""
-    sets = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    both = sets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    F.col("ps"),
-                    lambda x: F.transform(
-                        F.filter(F.col("ps"), lambda y: y != x),
-                        lambda y: F.struct(x.alias("src"), y.alias("dst")),
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select(F.col("p.src").alias("src"), F.col("p.dst").alias("dst"))
-    return (
-        both.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= 2)
-        .select("src", "dst")
+    """Directed adjacency (both directions of every weight-≥2 edge):
+    the CANONICAL edge list is aggregated once from the map-side pair
+    stream, materialized (it is graph-sized — 3.5k rows at sf0.1, KB
+    not GB), and the reverse direction is a projection of that
+    in-memory frame. The naive und ∪ flip(und) spelling re-computed
+    the whole pair aggregation per union branch (6.0 s cold at sf0.1);
+    aggregating a doubled (x,y)+(y,x) pair stream avoids that but
+    pushes 2× the rows through the aggregate — strictly worse than
+    flipping the aggregated result. Materializing here also means
+    every iterative caller's own localCheckpoint starts from an
+    in-memory frame."""
+    und = coorder_edges(li).localCheckpoint()
+    return und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
