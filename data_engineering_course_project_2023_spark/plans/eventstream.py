@@ -1349,3 +1349,109 @@ SELECT event_type,
          AS n_users_forgotten
 FROM events GROUP BY 1
 """
+
+
+# --- experiment × funnel: per-variant strict-order conversion ----------------
+def funnel_by_variant(t: Tables) -> DataFrame:
+    """The A/B readout a growth team actually ships: the strict-order
+    view → click → purchase funnel (conversion_funnel semantics —
+    earliest qualifying event per stage, 24 h windows) split by
+    experiment arm. Assignment is per-USER (user_id mod 2 — the
+    deterministic stand-in for the bucketing hash an assignment
+    service persists), so every stage of one user's journey lands in
+    one arm by construction.
+
+    Same scale shape as conversion_funnel: every stage joins and
+    aggregates on user_id (one reused partitioning); the variant is a
+    map-side derivation of that same key, so the split adds ZERO extra
+    shuffle — the final conditional aggregate just gains a 2-value
+    group key. Rates are int/int double divisions (exact both
+    engines)."""
+    ev = t["events"].select("user_id", "event_type", "ts")
+    first_view = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(first_view, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+
+    def tag(df: DataFrame, stage: str) -> DataFrame:
+        return df.select(
+            (F.col("user_id") % 2).alias("variant"),
+            F.lit(stage).alias("stage"),
+        )
+
+    stages = (
+        tag(first_view, "view")
+        .unionByName(tag(first_click, "click"))
+        .unionByName(tag(first_purchase, "purchase"))
+    )
+    return (
+        stages.groupBy("variant")
+        .agg(
+            F.count(F.when(F.col("stage") == "view", 1)).alias("n_view"),
+            F.count(F.when(F.col("stage") == "click", 1)).alias("n_click"),
+            F.count(F.when(F.col("stage") == "purchase", 1)).alias(
+                "n_purchase"
+            ),
+        )
+        .select(
+            "variant", "n_view", "n_click", "n_purchase",
+            (F.col("n_click").cast("double")
+             / F.col("n_view").cast("double")).alias("view_to_click"),
+            (F.col("n_purchase").cast("double")
+             / F.col("n_click").cast("double")).alias("click_to_purchase"),
+        )
+    )
+
+
+FUNNEL_BY_VARIANT_SQL = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), fc AS (
+  SELECT e.user_id, MIN(ts) AS t_click
+  FROM events e JOIN fv USING (user_id)
+  WHERE event_type = 'click' AND ts > t_view
+    AND ts <= t_view + INTERVAL '24 hours' GROUP BY 1
+), fp AS (
+  SELECT e.user_id, MIN(ts) AS t_purchase
+  FROM events e JOIN fc USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t_click
+    AND ts <= t_click + INTERVAL '24 hours' GROUP BY 1
+), stages AS (
+  SELECT user_id % 2 AS variant, 'view' AS stage FROM fv
+  UNION ALL SELECT user_id % 2, 'click' FROM fc
+  UNION ALL SELECT user_id % 2, 'purchase' FROM fp
+), counts AS (
+  SELECT variant,
+         COUNT(CASE WHEN stage = 'view' THEN 1 END) AS n_view,
+         COUNT(CASE WHEN stage = 'click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN stage = 'purchase' THEN 1 END) AS n_purchase
+  FROM stages GROUP BY 1
+)
+SELECT variant, n_view, n_click, n_purchase,
+       CAST(n_click AS DOUBLE) / CAST(n_view AS DOUBLE) AS view_to_click,
+       CAST(n_purchase AS DOUBLE) / CAST(n_click AS DOUBLE)
+         AS click_to_purchase
+FROM counts
+"""

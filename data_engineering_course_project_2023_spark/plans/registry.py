@@ -1110,6 +1110,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "privacy right-to-erasure run audit (one-pass evidence)",
     ),
+    "funnel_by_variant": Query(
+        eventstream.funnel_by_variant,
+        eventstream.FUNNEL_BY_VARIANT_SQL,
+        ("events",),
+        "A/B × strict-order funnel: per-arm stage counts + rates",
+    ),
 }
 
 
@@ -1179,7 +1185,7 @@ _DEFERRED_TO_R4 = [
     "zipf_slope", "k_anonymity_audit",
     "mixture_temperature_weights", "embedding_dim_stats",
     "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
-    "gdpr_erasure_audit",
+    "gdpr_erasure_audit", "funnel_by_variant",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
