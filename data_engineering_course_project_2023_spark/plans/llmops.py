@@ -3735,3 +3735,213 @@ FROM fused
 ORDER BY rrf_raw DESC, id ASC
 LIMIT 10
 """
+
+
+# --- X3m: MMR diversified rerank (shortlist → greedy top-k) ------------------
+MMR_SHORTLIST = 20
+MMR_K = 5
+
+
+def mmr_rerank(t: Tables) -> DataFrame:
+    """X3: Maximal Marginal Relevance rerank — the diversification stage a
+    production retrieval stack runs AFTER candidate generation: from the
+    cosine top-``MMR_SHORTLIST`` shortlist, greedily pick ``MMR_K`` items
+    maximizing ``0.5·rel − 0.5·max_sim_to_already_picked`` (λ = 0.5).
+
+    Scale shape: the corpus-wide work is exactly one broadcast scalar
+    attach + TakeOrdered shortlist (same as ``cosine_topk``); the greedy
+    loop then runs over a CHECKPOINTED 20-row frame with the ≤5 selected
+    vectors embedded as literals — bounded driver state (MLlib
+    discipline), zero corpus rescans, no candidate×candidate join.
+
+    Cross-engine exactness: rel and every pairwise sim are rounded to
+    6 dp before the identically-spelled ``0.5·rel − 0.5·maxsim`` double
+    arithmetic; ranks/tiebreaks are (score desc, vec_id asc). The oracle
+    unrolls the same greedy loop as 5 chained CTEs.
+    """
+    emb = t["embeddings"]
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    cand = (
+        spread(emb)
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.round(
+                similarity.cosine(F.col("embedding"), F.col("query_vec")), 6
+            ).alias("rel"),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(MMR_SHORTLIST)
+        .localCheckpoint()  # 20 rows; the greedy loop rescans it K times
+    )
+    selected: list[tuple] = []  # (vec_id, rel, mmr, embedding) — ≤ MMR_K
+    for _ in range(MMR_K):
+        if not selected:
+            score = F.col("rel")
+        else:
+            sims = [
+                F.round(
+                    similarity.cosine(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                    ),
+                    6,
+                )
+                for (_vid, _rel, _mmr, vec) in selected
+            ]
+            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+            score = F.round(
+                F.lit(0.5) * F.col("rel") - F.lit(0.5) * maxsim, 6
+            )
+        pick = (
+            cand.filter(
+                ~F.col("vec_id").isin([s[0] for s in selected])
+                if selected
+                else F.lit(True)
+            )
+            .select("vec_id", "rel", score.alias("mmr"), "embedding")
+            .orderBy(F.desc("mmr"), F.asc("vec_id"))
+            .first()
+        )
+        selected.append(
+            (pick["vec_id"], pick["rel"], pick["mmr"], pick["embedding"])
+        )
+    rank_map = F.create_map(
+        *[
+            lit
+            for i, (vid, _rel, _mmr, _vec) in enumerate(selected)
+            for lit in (F.lit(vid), F.lit(i + 1))
+        ]
+    )
+    mmr_map = F.create_map(
+        *[
+            lit
+            for (vid, _rel, mmr, _vec) in selected
+            for lit in (F.lit(vid), F.lit(float(mmr)))
+        ]
+    )
+    return (
+        cand.filter(F.col("vec_id").isin([s[0] for s in selected]))
+        .select(
+            rank_map[F.col("vec_id")].cast("int").alias("rank"),
+            "vec_id",
+            "rel",
+            mmr_map[F.col("vec_id")].alias("mmr"),
+        )
+        .orderBy("rank")
+    )
+
+
+def _mmr_step_sql(step: int) -> str:
+    """CTE pair (p{step}, s{step}) for greedy MMR step ``step`` ≥ 2:
+    score every unpicked candidate against the union of prior picks,
+    keep the argmax."""
+    prev_union = " UNION ALL ".join(
+        f"SELECT vec_id FROM s{j}" for j in range(1, step)
+    )
+    return f"""
+p{step} AS (
+  SELECT c.vec_id, c.rel,
+         ROUND(CAST(0.5 AS DOUBLE) * c.rel
+               - CAST(0.5 AS DOUBLE)
+                 * MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 6)),
+               6) AS mmr
+  FROM cand c
+  JOIN cand s ON s.vec_id IN ({prev_union})
+  WHERE c.vec_id NOT IN ({prev_union})
+  GROUP BY c.vec_id, c.rel
+),
+s{step} AS (SELECT vec_id, rel, mmr FROM p{step}
+            ORDER BY mmr DESC, vec_id ASC LIMIT 1)"""
+
+
+MMR_RERANK_SQL = f"""
+WITH qv AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+cand AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                      CAST(query_vec AS DOUBLE[])), 6) AS rel
+  FROM embeddings, qv
+  WHERE vec_id <> 0
+  ORDER BY rel DESC, vec_id ASC LIMIT {MMR_SHORTLIST}
+),
+s1 AS (SELECT vec_id, rel, rel AS mmr FROM cand
+       ORDER BY rel DESC, vec_id ASC LIMIT 1),
+{",".join(_mmr_step_sql(j) for j in range(2, MMR_K + 1))}
+SELECT * FROM (
+{" UNION ALL ".join(f"SELECT {j} AS rank, vec_id, rel, mmr FROM s{j}" for j in range(1, MMR_K + 1))}
+) ORDER BY rank
+"""
+
+
+# --- X2h: quality-aware near-dup canonical selection -------------------------
+def neardup_keep_best(t: Tables) -> DataFrame:
+    """X2: keep-BEST-per-cluster — real dedup pipelines rarely keep the
+    min-id member; they keep the highest-quality one. Clusters come from
+    the oracled LSH→connected-components path
+    (:func:`dedup.neardup_clusters`); within each cluster the kept row is
+    the LONGEST document (``n_chars`` desc, tie → min doc_id) — the
+    standard keep-longest heuristic.
+
+    Cost over cluster resolution: one broadcast-able join back to
+    ``(doc_id, n_chars)`` plus a window over clusters — cluster frames
+    are corpus-sized rows but the partition key (cluster_id) is the
+    dedup key itself, so the window shuffle is the same shape as the
+    dedup group-by. Oracle: the same recursive-CTE component SQL + the
+    same window.
+    """
+    from pyspark.sql.window import Window
+
+    docs = spread(t["documents"])
+    clusters = dedup.neardup_clusters(docs).select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_chars",
+            (F.row_number().over(w) == 1).alias("keep"),
+        )
+    )
+
+
+NEARDUP_KEEP_BEST_SQL = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, {_mh_cols()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_band_union()}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM cand
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM cand
+),
+walk(node, lbl) AS (
+  SELECT doc_id AS node, doc_id AS lbl FROM documents
+  UNION
+  SELECT e.dst AS node, w.lbl
+  FROM walk w JOIN edges e ON w.node = e.src
+),
+lab AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY 1)
+SELECT d.doc_id, lab.cluster_id, d.n_chars,
+       (row_number() OVER (PARTITION BY lab.cluster_id
+                           ORDER BY d.n_chars DESC, d.doc_id ASC) = 1)
+         AS keep
+FROM lab JOIN documents d ON lab.doc_id = d.doc_id
+"""

@@ -1116,6 +1116,18 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "A/B × strict-order funnel: per-arm stage counts + rates",
     ),
+    "mmr_rerank": Query(
+        llmops.mmr_rerank,
+        llmops.MMR_RERANK_SQL,
+        ("embeddings",),
+        "X3 MMR diversified rerank of the cosine shortlist (λ=0.5)",
+    ),
+    "neardup_keep_best": Query(
+        llmops.neardup_keep_best,
+        llmops.NEARDUP_KEEP_BEST_SQL,
+        ("documents",),
+        "X2 keep-longest-per-cluster canonical selection",
+    ),
 }
 
 
@@ -1185,7 +1197,8 @@ _DEFERRED_TO_R4 = [
     "zipf_slope", "k_anonymity_audit",
     "mixture_temperature_weights", "embedding_dim_stats",
     "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
-    "gdpr_erasure_audit", "funnel_by_variant",
+    "gdpr_erasure_audit", "funnel_by_variant", "mmr_rerank",
+    "neardup_keep_best",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
