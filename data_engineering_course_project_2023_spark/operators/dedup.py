@@ -19,7 +19,7 @@ Design for 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..functions.expr import spread
@@ -421,17 +421,22 @@ def connected_components(
     # the conf spelling beats explicit repartition here).
     spark = labels.sparkSession
     with iterative_shuffle_parts(spark, edges.count()):
-        for _ in range(max_iter):
+        for i in range(max_iter):
             msgs = edges.join(labels, edges.src == labels.node).select(
                 F.col("dst").alias("node"), "lbl"
             )
+            # convergence probe folded into the checkpoint job via
+            # observe() — one job per round, not two (measured ~25%
+            # of CC wall-clock; see plans/analytics.copair_components)
+            obs = Observation(f"ccg_sum_{i}")
             labels = (
                 labels.unionByName(msgs)
                 .groupBy("node")
                 .agg(F.min("lbl").alias("lbl"))
+                .observe(obs, F.sum("lbl").alias("s"))
                 .localCheckpoint()
             )
-            new_sum = labels.agg(F.sum("lbl")).first()[0]
+            new_sum = obs.get["s"]
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
