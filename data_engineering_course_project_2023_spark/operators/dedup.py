@@ -237,6 +237,41 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def lsh_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, band, band_key) rows — the LSH banding of each doc's
+    MinHash signature, emitted with ONE explode (a union of
+    k/band_size selects would recompute the signature aggregation per
+    band). Shared by the self-join pair builder and the incremental
+    batch-vs-history novelty probe."""
+    sig = minhash_signatures(df, text_col, id_col, n, k)
+    band_structs = []
+    for b in range(k // band_size):
+        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
+                    "band_key"
+                ),
+            )
+        )
+    return (
+        sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            "doc_id",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -252,23 +287,7 @@ def minhash_lsh_pairs(
     keyed by (band_idx, band_hash); no all-pairs comparison anywhere.
     Output: distinct candidate (doc_a < doc_b) pairs.
     """
-    sig = minhash_signatures(df, text_col, id_col, n, k)
-    # emit all bands with one explode (a union of k/band_size selects
-    # would recompute the signature aggregation per band)
-    band_structs = []
-    for b in range(k // band_size):
-        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
-        band_structs.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws("_", *[F.col(c).cast("string") for c in cols]).alias(
-                    "band_key"
-                ),
-            )
-        )
-    allb = sig.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
-    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    allb = lsh_bands(df, text_col, id_col, n, k, band_size)
     a, b2 = allb.alias("a"), allb.alias("b")
     return (
         a.join(b2, ["band", "band_key"])
@@ -441,6 +460,96 @@ def connected_components(
                 break
             prev_sum = new_sum
     return labels
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round: every node u connects its LARGER neighbors
+    to m(u) = min(Γ(u) ∪ {u}). Keyed agg + keyed join only."""
+    b = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mn = b.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return (
+        b.filter(F.col("dst") > F.col("src"))
+        .join(mn, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge big→small; every node u
+    connects its smaller neighbors AND itself to m(u) = min of them."""
+    o = e.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    mn = o.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        o.join(mn, "src")
+        .select(F.col("dst").alias("v"), "m")
+        .unionByName(mn.select(F.col("src").alias("v"), "m"))
+    )
+    return (
+        out.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def connected_components_star(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Alternating large-star / small-star connected components — the
+    O(log n)-ROUND scale path next to :func:`connected_components`
+    (whose round count is the component DIAMETER). On a 1000-executor
+    cluster every round is a full synchronization barrier, so a
+    long-chain graph (diameter ≫ log n) pays for it under label
+    propagation; star contraction converges in O(log n) rounds
+    regardless of diameter (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm). Per round:
+    two keyed aggregations + two keyed joins, nothing all-pairs; hub
+    nodes make the min-neighbor agg skew-prone, which partial
+    aggregation (map-side combine on the groupBy) absorbs.
+
+    Kept as an internal variant behind the registered propagation
+    queries (same contract discipline as ``kcore_nodes_adaptive``):
+    results are IDENTICAL — pinned in pytest on both the co-order
+    graph and randomized small graphs — so the registered oracle
+    semantics stay the simple spelling.
+
+    Convergence: the star-edge set is a fixpoint of large∘small; exact
+    set-equality is checked per round via ``exceptAll`` on the two
+    materialized edge frames (edge-sized, keyed — the per-round cost
+    the O(log n) round count amortizes).
+    """
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    spark = cur.sparkSession
+    with iterative_shuffle_parts(spark, cur.count()):
+        for _ in range(max_rounds):
+            nxt = _small_star(_large_star(cur)).localCheckpoint()
+            changed = (
+                nxt.exceptAll(cur).unionByName(cur.exceptAll(nxt))
+                .limit(1)
+                .count()
+            )
+            cur = nxt
+            if changed == 0:
+                break
+    # cur is now a star forest: (member, root). Labels: members point to
+    # their root, roots and isolated nodes to themselves.
+    return nodes.join(
+        cur.select(F.col("src").alias("node"), F.col("dst").alias("root")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("root", "node").alias("lbl"))
 
 
 def neardup_clusters(

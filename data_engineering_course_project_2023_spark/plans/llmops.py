@@ -3945,3 +3945,55 @@ SELECT d.doc_id, lab.cluster_id, d.n_chars,
          AS keep
 FROM lab JOIN documents d ON lab.doc_id = d.doc_id
 """
+
+
+# --- X1c/X2: incremental NEAR-dup novelty (batch vs history, LSH) ------------
+def novel_neardup(t: Tables) -> DataFrame:
+    """X1c/X2: the near-duplicate counterpart of :func:`novel_docs` —
+    an incremental crawl batch (split ≥ 8, same reproducible md5 split)
+    survives only if NO historical document (split < 8) shares ANY
+    MinHash LSH band with it. Exact-hash novelty misses re-crawls with
+    boilerplate edits; this is the probe real ingest pipelines run
+    next to it.
+
+    Scale shape: signatures aggregate per side in one keyed shuffle,
+    the probe is a band-keyed left-semi (seen) feeding a left-anti on
+    doc_id — history content never re-shuffles (only its band keys do),
+    and nothing is all-pairs. Docs too short to shingle (< n tokens)
+    have no bands and are trivially novel — the oracle reproduces that.
+    """
+    d = spread(t["documents"])
+    hist_b = dedup.lsh_bands(d.filter(_split_expr() < 8))
+    new = d.filter(_split_expr() >= 8)
+    seen = (
+        dedup.lsh_bands(new)
+        .join(hist_b, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return new.join(seen, "doc_id", "left_anti").select("doc_id", "source")
+
+
+NOVEL_NEARDUP_SQL = f"""
+WITH {_SHINGLE_CTE},
+sigs AS (
+  SELECT doc_id, {_mh_cols()}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{_band_union()}
+),
+hist_b AS (
+  SELECT band, band_key FROM bands
+  WHERE {_SPLIT_SQL.replace("doc_id", "bands.doc_id")} < 8
+),
+seen AS (
+  SELECT DISTINCT nb.doc_id
+  FROM bands nb JOIN hist_b h
+    ON nb.band = h.band AND nb.band_key = h.band_key
+  WHERE {_SPLIT_SQL.replace("doc_id", "nb.doc_id")} >= 8
+)
+SELECT doc_id, source FROM documents n
+WHERE {_SPLIT_SQL} >= 8
+  AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.doc_id = n.doc_id)
+"""

@@ -1128,6 +1128,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X2 keep-longest-per-cluster canonical selection",
     ),
+    "novel_neardup": Query(
+        llmops.novel_neardup,
+        llmops.NOVEL_NEARDUP_SQL,
+        ("documents",),
+        "X1c incremental near-dup novelty: batch vs history LSH bands",
+    ),
 }
 
 
@@ -1198,7 +1204,7 @@ _DEFERRED_TO_R4 = [
     "mixture_temperature_weights", "embedding_dim_stats",
     "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
     "gdpr_erasure_audit", "funnel_by_variant", "mmr_rerank",
-    "neardup_keep_best",
+    "neardup_keep_best", "novel_neardup",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -201,3 +201,74 @@ def test_kcore_adaptive_matches_fixed_round(spark):
     }
     assert adaptive == fixed and len(fixed) > 0
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_star_cc_matches_propagation(spark):
+    """connected_components_star (alternating large/small star — the
+    O(log n)-round scale path) must produce IDENTICAL labels to the
+    registered min-label propagation on: a chain + isolated nodes, a
+    batch of seeded random graphs (varied density incl. long chains),
+    and the real co-order graph at sf0.01."""
+    import random
+
+    from data_engineering_course_project_2023_spark.plans import (
+        analytics,
+        registry,
+    )
+
+    def labels(nodes, edges):
+        prop = {
+            r["node"]: r["lbl"]
+            for r in dedup.connected_components(nodes, edges).collect()
+        }
+        star = {
+            r["node"]: r["lbl"]
+            for r in dedup.connected_components_star(nodes, edges).collect()
+        }
+        return prop, star
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "node long")
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "src long, dst long")
+    prop, star = labels(nodes, edges)
+    assert star == prop == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+    rng = random.Random(42)
+    for n, m in [(12, 6), (20, 25), (30, 15)]:
+        es = [
+            (rng.randint(1, n), rng.randint(1, n)) for _ in range(m)
+        ]
+        es = [(a, b) for a, b in es if a != b] or [(1, 2)]
+        nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)], "node long")
+        edges = spark.createDataFrame(es, "src long, dst long")
+        prop, star = labels(nodes, edges)
+        assert star == prop, (n, m, es)
+    # a pure long chain — worst case for propagation (diameter rounds),
+    # the case star contraction exists for. Propagation needs its round
+    # cap RAISED past the 25-hop diameter to converge (at the default
+    # max_iter=20 it silently truncates — exactly the failure mode the
+    # O(log n) star rounds are immune to); star needs no tuning.
+    chain = [(i, i + 1) for i in range(1, 26)]
+    nodes = spark.createDataFrame([(i,) for i in range(1, 27)], "node long")
+    edges = spark.createDataFrame(chain, "src long, dst long")
+    prop = {
+        r["node"]: r["lbl"]
+        for r in dedup.connected_components(nodes, edges, max_iter=40).collect()
+    }
+    star = {
+        r["node"]: r["lbl"]
+        for r in dedup.connected_components_star(nodes, edges).collect()
+    }
+    assert star == prop and set(star.values()) == {1}
+
+    t = registry.load_tables(spark, "/root/testdata/sf0.01", ("lineitem",))
+    want = {
+        (r["l_partkey"], r["component"])
+        for r in analytics.copair_components(t).collect()
+    }
+    und = analytics.coorder_edges(t["lineitem"])
+    nodes = t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
+    got = {
+        (r["node"], r["lbl"])
+        for r in dedup.connected_components_star(nodes, und).collect()
+    }
+    assert got == want and len(got) > 0
