@@ -416,7 +416,7 @@ def minhash_ml_pairs(
 
 
 def connected_components(
-    nodes: DataFrame, edges: DataFrame, max_iter: int = 20
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 40
 ) -> DataFrame:
     """Min-label-propagation connected components over generic
     ``nodes('node')`` / ``edges('src','dst')`` frames — the DataFrame

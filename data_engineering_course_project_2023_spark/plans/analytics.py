@@ -755,7 +755,7 @@ FROM spend
 
 
 # --- iterative algorithm: connected components of the co-order graph -------
-def copair_components(t: Tables, max_iter: int = 20) -> DataFrame:
+def copair_components(t: Tables, max_iter: int = 40) -> DataFrame:
     """Connected components over the part co-order graph (edges =
     copair_counts pairs): iterative min-label propagation, the
     DataFrame spelling of GraphFrames/Pregel CC.

@@ -3997,3 +3997,56 @@ SELECT doc_id, source FROM documents n
 WHERE {_SPLIT_SQL} >= 8
   AND NOT EXISTS (SELECT 1 FROM seen WHERE seen.doc_id = n.doc_id)
 """
+
+
+# --- X4y: blocklist (bad-word) filtering -------------------------------------
+# Tiny spam/profanity-lite stand-in for the real (huge) blocklists the
+# public web-corpus pipelines apply; the operator shape — broadcast-able
+# term set, map-side token membership — is what matters at 100 TB.
+BLOCKLIST = ("damn", "hell", "kill", "drugs", "casino", "viagra", "xxx")
+
+
+def badword_filter(t: Tables) -> DataFrame:
+    """X4: blocklist filtering — the standard web-corpus hygiene pass
+    (drop documents containing any blocklisted token). Pure map-side
+    column expressions over one scan: token membership against a
+    literal set (a real blocklist would broadcast-join or compile to
+    an Aho-Corasick regex, still map-only). Output keeps every doc
+    with its hit count + ratio so the drop is auditable, like
+    gopher_quality's per-rule flags.
+    """
+    toks = textops.tokens("text")
+    lower = F.transform(toks, lambda x: F.lower(x))
+    n_bad = F.size(F.filter(lower, lambda x: x.isin(list(BLOCKLIST))))
+    n_tok = F.size(toks)
+    return spread(t["documents"]).select(
+        "doc_id",
+        n_bad.cast("int").alias("n_bad"),
+        F.when(n_tok > 0, n_bad.cast("double") / n_tok.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("bad_ratio"),
+        (n_bad == 0).alias("keep"),
+    )
+
+
+_BLOCK_SQL = ", ".join(f"'{w}'" for w in BLOCKLIST)
+
+BADWORD_FILTER_SQL = rf"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(list_filter(toks, x -> lower(x) IN ({_BLOCK_SQL})))
+              AS INTEGER) AS n_bad,
+         len(toks) AS n_tok
+  FROM base
+)
+SELECT doc_id, n_bad,
+       CASE WHEN n_tok > 0
+            THEN CAST(n_bad AS DOUBLE) / CAST(n_tok AS DOUBLE)
+            ELSE 0.0 END AS bad_ratio,
+       (n_bad = 0) AS keep
+FROM m
+"""

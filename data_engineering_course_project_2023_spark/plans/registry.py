@@ -1134,6 +1134,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X1c incremental near-dup novelty: batch vs history LSH bands",
     ),
+    "badword_filter": Query(
+        llmops.badword_filter,
+        llmops.BADWORD_FILTER_SQL,
+        ("documents",),
+        "X4 blocklist hygiene pass: map-side token membership + audit",
+    ),
 }
 
 
@@ -1204,7 +1210,7 @@ _DEFERRED_TO_R4 = [
     "mixture_temperature_weights", "embedding_dim_stats",
     "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
     "gdpr_erasure_audit", "funnel_by_variant", "mmr_rerank",
-    "neardup_keep_best", "novel_neardup",
+    "neardup_keep_best", "novel_neardup", "badword_filter",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

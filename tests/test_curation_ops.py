@@ -242,3 +242,29 @@ def test_source_overlap_extremes(spark):
         for r in llmops.source_overlap({"documents": df}).collect()
     }
     assert rows == {("sA", "sB"): 1.0}
+
+
+def test_badword_filter_rule(spark):
+    """Blocklist semantics on a constructed corpus (the synthetic
+    documents never trip the list, so the sf parity sweep alone would
+    leave the rule unexercised): case-insensitive token membership,
+    count + ratio + keep, empty docs kept with ratio 0."""
+    from data_engineering_course_project_2023_spark.plans import llmops
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean words only here", "l", "s", 1),
+            (2, "the CASINO took my money", "l", "s", 1),
+            (3, "Damn hell damn", "l", "s", 1),
+            (4, "", "l", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: (r["n_bad"], round(r["bad_ratio"], 6), r["keep"])
+        for r in llmops.badword_filter({"documents": df}).collect()
+    }
+    assert got[1] == (0, 0.0, True)
+    assert got[2] == (1, 0.2, False)
+    assert got[3] == (3, 1.0, False)
+    assert got[4] == (0, 0.0, True)
