@@ -16,8 +16,12 @@ beyond that:
   ``dropDuplicatesWithinWatermark`` keeps one row per event_id while
   watermark expiry bounds the dedup state — the streaming twin of the
   batch X1 exact-dedup path.
+- ``novelty_ingest_stream``: continuous document ingest deduplicated
+  against a STATIC history corpus (stateless stream-static anti join)
+  and against itself (watermarked fingerprint state) — the streaming
+  twin of the incremental-novelty batch path (novel_docs).
 
-Both have batch twins in this module; tests assert stream == batch
+All have batch twins in this module; tests assert stream == batch
 through a checkpointed ``availableNow`` run, matching the discipline of
 the other streaming twins (loganalytics/stateful/funnel).
 """
@@ -143,4 +147,42 @@ def stream_to_jdbc(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def novelty_ingest_stream(
+    docs_stream: DataFrame, history: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming twin of the incremental-novelty batch path
+    (``plans/llmops.novel_docs``): a continuous document feed is kept
+    only where its content fingerprint is (a) absent from the STATIC
+    history corpus and (b) not already seen in the stream itself.
+
+    Two stateful shapes compose here, each with the right cost model:
+    the history check is a stream-static LEFT ANTI join — stateless per
+    micro-batch, history never enters the state store (at scale the
+    static side is a bucketed fingerprint table, or the Bloom bitmap
+    variant when even that scan is too much); the within-stream replay
+    guard is ``dropDuplicatesWithinWatermark`` on the fingerprint, so
+    dedup state expires at the ingest-time watermark instead of growing
+    with the stream.
+    """
+    hist_fp = history.select(F.md5("text").alias("fp")).distinct()
+    return (
+        docs_stream.withColumn("fp", F.md5("text"))
+        .withWatermark("ingest_ts", watermark)
+        .join(hist_fp, "fp", "left_anti")
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+
+
+def novelty_ingest_batch(docs: DataFrame, history: DataFrame) -> DataFrame:
+    """Batch twin: anti-join on the content fingerprint, then one row
+    per fingerprint (replayed rows are value-identical, so the stream's
+    first-arrival pick and this dropDuplicates agree on values)."""
+    hist_fp = history.select(F.md5("text").alias("fp")).distinct()
+    return (
+        docs.withColumn("fp", F.md5("text"))
+        .join(hist_fp, "fp", "left_anti")
+        .dropDuplicates(["fp"])
     )

@@ -188,3 +188,68 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     }
     assert streamed == batch
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_novelty_ingest_stream_equals_batch(spark, tmp_path):
+    """Streaming incremental novelty: history hits dropped via the
+    stateless stream-static anti join, within-stream replays suppressed
+    by watermarked fingerprint state — including across a checkpointed
+    restart — and the surviving set equals the batch twin."""
+    from data_engineering_course_project_2023_spark.streaming.joins import (
+        novelty_ingest_batch,
+        novelty_ingest_stream,
+    )
+
+    doc_schema = "doc_id long, text string, source string, ingest_ts timestamp"
+    src, ckpt, out = (str(tmp_path / d) for d in ("nsrc", "nck", "nout"))
+    t = datetime(2024, 1, 1, 10, 0)
+
+    history = spark.createDataFrame(
+        [(100, "old doc alpha", "h"), (101, "old doc beta", "h")],
+        "doc_id long, text string, source string",
+    )
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        q = (
+            novelty_ingest_stream(stream, history)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: one history dup, one fresh doc replayed twice, one fresh
+    write_batch(
+        [
+            (1, "old doc alpha", "crawl", t),            # in history → drop
+            (2, "fresh doc one", "crawl", t),
+            (2, "fresh doc one", "crawl", t),            # replay → once
+            (3, "fresh doc two", "crawl", t.replace(minute=1)),
+        ]
+    )
+    run()
+    # batch 2 after restart: replay of doc 2 (state within watermark →
+    # suppressed), another history dup, one new doc
+    write_batch(
+        [
+            (2, "fresh doc one", "crawl", t.replace(minute=2)),
+            (4, "old doc beta", "crawl", t.replace(minute=2)),  # history
+            (5, "fresh doc three", "crawl", t.replace(minute=3)),
+        ]
+    )
+    run()
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [2, 3, 5]
+
+    batch = novelty_ingest_batch(spark.read.parquet(src), history)
+    assert sorted(r["doc_id"] for r in batch.collect()) == [2, 3, 5]
