@@ -170,12 +170,27 @@ FIXTURE_ROWS: list[tuple] = [
 
 
 def clean_fixture(spark) -> DataFrame:
+    # Inline VALUES instead of createDataFrame: the Python→JVM row
+    # serializer costs ~2 s of one-time warm-up for even 5 literal
+    # rows (profiled on local[8]); a SQL VALUES relation is built
+    # entirely JVM-side and makes this query's cold run cheap. Same
+    # literal rows feed the DuckDB oracle via _values_cte().
     cols = [
         "id", "submitter", "authors", "title", "comments",
         "journal-ref", "doi", "categories", "license", "update_date",
     ]
-    return spark.createDataFrame(
-        FIXTURE_ROWS, schema=", ".join(f"`{c}` string" for c in cols)
+    rows = []
+    for r in FIXTURE_ROWS:
+        vals = ", ".join(
+            "CAST(NULL AS STRING)" if v is None
+            else "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for v in r
+        )
+        rows.append(f"({vals})")
+    return spark.sql(
+        "SELECT * FROM VALUES {} AS t({})".format(
+            ", ".join(rows), ", ".join(f"`{c}`" for c in cols)
+        )
     )
 
 
