@@ -1285,7 +1285,14 @@ WITH cells AS (
   FROM events
   WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL
 )
-SELECT a_conv, a_other, b_conv, b_other,
+-- BIGINT casts on the cells: DuckDB's SUM over integers yields
+-- HUGEINT, which pandas renders as float64 — numerically equal to
+-- Spark's bigint but a different dtype/bit pattern under a
+-- pandas-layer hash (tools/driver_sim.py dtype probe).
+SELECT CAST(a_conv AS BIGINT) AS a_conv,
+       CAST(a_other AS BIGINT) AS a_other,
+       CAST(b_conv AS BIGINT) AS b_conv,
+       CAST(b_other AS BIGINT) AS b_other,
        round(
          ((CAST(a_conv AS DOUBLE) + CAST(a_other AS DOUBLE)
            + CAST(b_conv AS DOUBLE) + CAST(b_other AS DOUBLE))

@@ -2325,7 +2325,11 @@ dots AS (
   FROM kept a JOIN kept b ON a.tok = b.tok AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
-SELECT doc_a, doc_b, dot,
+SELECT doc_a, doc_b,
+       -- BIGINT cast: SUM(BIGINT) is HUGEINT in DuckDB → float64 in
+       -- pandas, a dtype mismatch vs Spark's bigint dot even though
+       -- every value is equal (tools/driver_sim.py dtype probe)
+       CAST(dot AS BIGINT) AS dot,
        CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
 FROM dots
 JOIN norms na ON dots.doc_a = na.doc_id
