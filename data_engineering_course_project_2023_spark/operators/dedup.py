@@ -363,6 +363,102 @@ def simhash_groups(
     return sh.join(sizes, "simhash").select("doc_id", "simhash", "bucket_size")
 
 
+SIMHASH60_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH60_BITS // SIMHASH_BANDS  # 15
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1  # pigeonhole-complete for ≤ 3
+
+
+def simhash60_frame(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash) with a 60-bit SimHash — wide enough that
+    15-bit band values (32k distinct) block the corpus instead of
+    pairing it (the 16-bit variant above is a hamming-0 bucketer; its
+    4-bit bands would collide every doc with 1/16 of the corpus).
+    Same one-groupBy shape: hash each token once, 60 conditional
+    bit-vote sums aggregate map-side."""
+    toks = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != "")
+    tok = spread(df).select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("w"))
+    th = tok.select("doc_id", _md5_int60(F.col("w")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH60_BITS)
+    ]
+    per_doc = th.groupBy("doc_id").agg(*votes)
+    acc = F.lit(0).cast("long")
+    for j in range(SIMHASH60_BITS):
+        acc = acc + F.when(
+            F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """X2 at-scale variant: near-dup PAIRS at hamming distance ≤ 3 on a
+    60-bit SimHash, via banded bit-block collision (Manku/Jain/Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07). Split the
+    fingerprint into 4 disjoint 15-bit bands; if hamming(a,b) ≤ 3 the
+    pigeonhole principle forces at least one band to match EXACTLY, so
+    an equi-join on (band_idx, band_value) is a lossless candidate
+    generator — never an all-pairs product. Verification is one
+    map-side ``bit_count(a XOR b)`` per candidate.
+
+    Scale shape: 4× map-side fan-out into the band index, one
+    hash-partitioned self-join on a 17-bit composite key, distinct on
+    the (a<b) pair, then a broadcast-free verify via join-back on the
+    tiny (doc, fingerprint) frame. Band-value skew is bounded by the
+    hash uniformity of SimHash itself; at 100 TB widen the fingerprint
+    (64/128 bits via more md5 slices) and keep bands ≥ 15 bits so
+    bucket occupancy stays sub-quadratic. The DuckDB oracle is the
+    NAIVE all-pairs hamming join, so the parity gate checks the
+    banding's completeness, not just its plumbing (same discipline as
+    prefix_jaccard)."""
+    assert max_hamming < SIMHASH_BANDS, "pigeonhole needs bands > max_hamming"
+    sh = simhash60_frame(df, text_col, id_col)
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(band_mask))
+                    .alias("bval"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.bval")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return (
+        cands.select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def minhash_ml_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -250,6 +250,45 @@ FROM sh JOIN sizes ON sh.simhash = sizes.simhash
 """
 
 
+# --- X2c': banded SimHash near-dup pairs (hamming ≤ 3) ------------------------
+def simhash_hamming_pairs(t: Tables) -> DataFrame:
+    """X2c at-scale sibling of simhash_buckets: near-dup PAIRS at
+    hamming distance ≤ 3 on a 60-bit SimHash via 4×15-bit band
+    collision (pigeonhole-lossless, never all-pairs — Manku et al.
+    WWW'07). The ORACLE is the naive all-pairs hamming join, so the
+    parity gate proves the banding finds every qualifying pair."""
+    return dedup.simhash_hamming_pairs(t["documents"])
+
+
+def _simhash60_sql_expr() -> str:
+    bits = [
+        f"(CASE WHEN SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(dedup.SIMHASH60_BITS)
+    ]
+    return " + ".join(bits)
+
+
+SIMHASH_HAMMING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(string_split(trim(text), ' '),
+                                    x -> x <> '')) AS w
+  FROM documents
+), th AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h
+  FROM tok
+), sh AS (
+  SELECT doc_id, {_simhash60_sql_expr()} AS simhash
+  FROM th GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dedup.SIMHASH_MAX_HAMMING}
+"""
+
+
 # --- X3: cosine top-k (brute force + LSH) ------------------------------------------
 def cosine_topk(t: Tables) -> DataFrame:
     """X3 baseline: exact cosine top-10 neighbors of vec_id=0."""
@@ -4053,4 +4092,108 @@ SELECT doc_id, n_bad,
             ELSE 0.0 END AS bad_ratio,
        (n_bad = 0) AS keep
 FROM m
+"""
+
+
+# --- X4: PII scrubbing audit --------------------------------------------------
+def pii_scrub(t: Tables) -> DataFrame:
+    """X4: PII redaction audit over the corpus — the scrubbing pass a
+    training pipeline runs before tokenization (emails / SSNs / IPv4s /
+    phone runs → ``[TAG]``), emitting per-doc redaction counts and the
+    md5 of the scrubbed text so the redaction itself is value-checked
+    without shipping full documents through the gate.
+
+    The synthetic corpus carries no PII, so deterministic PII is
+    INJECTED first (doc_id-keyed email/SSN/IP suffixes, mirrored
+    byte-for-byte in the oracle SQL) — the regex engines, the
+    progressive most-specific-first replacement order, and the
+    no-double-count discipline of :func:`operators.text.redact_pii`
+    are all under test against DuckDB's RE2 on the same strings.
+
+    Scale shape: one codegen'd regexp chain per row, zero shuffles —
+    the whole query is a map over the scan."""
+    injected = spread(t["documents"]).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" contact u"), F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0,
+                   F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 13 == 0,
+                   F.lit(" host 192.168.0.1")).otherwise(F.lit("")),
+        ),
+    )
+    out = textops.redact_pii(injected)
+    return out.select(
+        "doc_id",
+        "n_redactions",
+        F.md5("redacted").alias("redacted_md5"),
+        (F.col("n_redactions") == 0).alias("clean"),
+    )
+
+
+def _pii_chain_sql(col: str) -> tuple[str, str]:
+    """(count_expr, redacted_expr): the progressive redact chain in
+    DuckDB, pattern order identical to operators.text.PII_PATTERNS."""
+    redacted = col
+    counts = []
+    for tag, pat in textops.PII_PATTERNS:
+        esc = pat.replace("'", "''")
+        counts.append(f"len(regexp_extract_all({redacted}, '{esc}'))")
+        redacted = f"regexp_replace({redacted}, '{esc}', '[{tag}]', 'g')"
+    return " + ".join(counts), redacted
+
+
+_PII_COUNT_EXPR, _PII_REDACTED_EXPR = _pii_chain_sql("text")
+
+PII_SCRUB_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' host 192.168.0.1' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_PII_COUNT_EXPR} AS INTEGER) AS n_redactions,
+       md5({_PII_REDACTED_EXPR}) AS redacted_md5,
+       ({_PII_COUNT_EXPR} = 0) AS clean
+FROM injected
+"""
+
+
+# --- X3/X4: corpus ↔ embedding reconciliation audit ---------------------------
+def corpus_embedding_reconcile(t: Tables) -> DataFrame:
+    """Parallel-asset drift audit: one row per key present in the
+    document corpus or the embedding store, with status ∈ {both,
+    doc_only, embedding_only} — the per-key integrity check a pipeline
+    runs after an embedding backfill or an erasure pass. Gaps are
+    INJECTED deterministically (embeddings dropped at vec_id % 5 = 0,
+    docs at doc_id % 9 = 0, mirrored in the oracle) since the synthetic
+    fixtures are perfectly aligned. One full-outer hash join on the
+    key; the cogrouped-map twin (operators/reconcile.reconcile_cogroup,
+    the §2.7 cogroup seam) is pinned bit-identical in pytest."""
+    from ..operators import reconcile
+
+    docs = spread(t["documents"]).filter(F.col("doc_id") % 9 != 0)
+    embs = spread(t["embeddings"]).filter(F.col("vec_id") % 5 != 0)
+    return reconcile.reconcile_relational(docs, embs)
+
+
+CORPUS_EMBEDDING_RECONCILE_SQL = """
+WITH d AS (SELECT doc_id, n_chars FROM documents WHERE doc_id % 9 <> 0),
+     e AS (SELECT vec_id, label FROM embeddings WHERE vec_id % 5 <> 0)
+SELECT COALESCE(d.doc_id, e.vec_id) AS key,
+       CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'
+            WHEN d.doc_id IS NOT NULL THEN 'doc_only'
+            ELSE 'embedding_only' END AS status,
+       d.n_chars,
+       e.label
+FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id
 """

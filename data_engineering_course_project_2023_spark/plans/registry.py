@@ -1140,6 +1140,28 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 blocklist hygiene pass: map-side token membership + audit",
     ),
+    # --- round-3 additions ---
+    "simhash_hamming_pairs": Query(
+        llmops.simhash_hamming_pairs,
+        llmops.SIMHASH_HAMMING_SQL,
+        ("documents",),
+        "X2c banded 60-bit SimHash near-dup pairs at hamming ≤ 3 "
+        "(pigeonhole-lossless band join; oracle = naive all-pairs)",
+    ),
+    "pii_scrub": Query(
+        llmops.pii_scrub,
+        llmops.PII_SCRUB_SQL,
+        ("documents",),
+        "X4 PII redaction audit (email/SSN/IP/phone regex chain, "
+        "injected fixtures, md5-checked scrubbed text)",
+    ),
+    "corpus_embedding_reconcile": Query(
+        llmops.corpus_embedding_reconcile,
+        llmops.CORPUS_EMBEDDING_RECONCILE_SQL,
+        ("documents", "embeddings"),
+        "X3/X4 parallel-asset reconcile audit (full-outer status join; "
+        "cogroup seam twin pinned in pytest)",
+    ),
 }
 
 
@@ -1211,6 +1233,8 @@ _DEFERRED_TO_R4 = [
     "sliding_event_counts", "bm25_topk", "hybrid_rrf", "ab_test_chi2",
     "gdpr_erasure_audit", "funnel_by_variant", "mmr_rerank",
     "neardup_keep_best", "novel_neardup", "badword_filter",
+    # round-3 additions: behind the original gap for the same reason
+    "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -229,3 +229,82 @@ def test_sliding_window_three_windows_per_event(spark):
         for r in eventstream.sliding_event_counts({"events": ev}).collect()
     }
     assert rows == {"2024-01-08": 1, "2024-01-09": 1, "2024-01-10": 1}
+
+
+def test_simhash_hamming_banding_is_complete_vs_naive(spark):
+    """The banded candidate generator must find EVERY pair the naive
+    all-pairs hamming join finds (pigeonhole: hamming ≤ 3 over 4
+    disjoint bands forces one exact band match). Brute-force the
+    fingerprints on a corpus with engineered near-dups and compare."""
+    from data_engineering_course_project_2023_spark.operators import dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base),  # identical → hamming 0
+        (3, base + " extra"),  # one-token drift → small hamming
+        (4, "totally different words entirely unrelated content here"),
+        (5, base.replace("alpha", "alpah")),  # typo drift
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash60_frame(docs).collect()
+    }
+    naive = {
+        (a, b)
+        for a in sh
+        for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= dedup.SIMHASH_MAX_HAMMING
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_hamming_pairs(docs).collect()
+    }
+    assert (1, 2) in naive  # identical docs must qualify
+    assert banded == naive
+
+
+def test_simhash_hamming_distances_are_exact(spark):
+    """Reported hamming equals the true popcount of the fingerprint
+    XOR for every emitted pair."""
+    from data_engineering_course_project_2023_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three four five six"),
+            (2, "one two three four five six"),
+            (3, "one two three four five seven"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = {
+        r["doc_id"]: r["simhash"]
+        for r in dedup.simhash60_frame(docs).collect()
+    }
+    for r in dedup.simhash_hamming_pairs(docs).collect():
+        expect = bin(sh[r["doc_a"]] ^ sh[r["doc_b"]]).count("1")
+        assert r["hamming"] == expect
+
+
+def test_cogroup_reconcile_equals_relational(spark):
+    """The §2.7 cogrouped-map seam must agree row-for-row with the
+    relational full-outer spelling on every status class."""
+    from data_engineering_course_project_2023_spark.operators import reconcile
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 200), (4, 400)], "doc_id long, n_chars long"
+    )
+    embs = spark.createDataFrame(
+        [(1, 7), (3, 8), (4, 9)], "vec_id long, label int"
+    )
+    rel = {
+        tuple(r) for r in reconcile.reconcile_relational(docs, embs).collect()
+    }
+    cog = {
+        tuple(r) for r in reconcile.reconcile_cogroup(docs, embs).collect()
+    }
+    assert rel == cog
+    assert {(1, "both", 100, 7), (2, "doc_only", 200, None),
+            (3, "embedding_only", None, 8), (4, "both", 400, 9)} == rel

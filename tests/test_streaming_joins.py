@@ -253,3 +253,45 @@ def test_novelty_ingest_stream_equals_batch(spark, tmp_path):
 
     batch = novelty_ingest_batch(spark.read.parquet(src), history)
     assert sorted(r["doc_id"] for r in batch.collect()) == [2, 3, 5]
+
+
+def test_streaming_topk_snapshot_equals_batch(spark, tmp_path):
+    """Heavy-hitters snapshot: the foreachBatch top-k overwrite must
+    equal the batch twin over everything ingested, including across a
+    checkpointed restart (complete-mode state survives; the snapshot
+    reflects ALL batches, not just the last)."""
+    from data_engineering_course_project_2023_spark.streaming.topk import (
+        topk_snapshot_stream,
+        topk_tokens_batch,
+    )
+
+    doc_schema = "doc_id long, text string"
+    src, ckpt, out = (str(tmp_path / d) for d in ("tsrc", "tck", "tout"))
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, doc_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(doc_schema).parquet(src)
+        q = topk_snapshot_stream(stream, out, ckpt, k=3)
+        q.awaitTermination(120)
+
+    write_batch([(1, "apple apple banana"), (2, "apple cherry cherry")])
+    run()
+    write_batch([(3, "banana banana banana date")])
+    run()  # restart from checkpoint; counts must accumulate
+
+    snap = [
+        (r["token"], r["n"])
+        for r in spark.read.parquet(out).orderBy("token").collect()
+    ]
+    batch = [
+        (r["token"], r["n"])
+        for r in topk_tokens_batch(spark.read.parquet(src), k=3)
+        .orderBy("token")
+        .collect()
+    ]
+    assert snap == batch
+    assert dict(snap) == {"apple": 3, "banana": 4, "cherry": 2}
