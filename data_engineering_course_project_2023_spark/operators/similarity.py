@@ -805,3 +805,54 @@ def label_top_eigvec(
         solve,
         schema="label int, n_vecs long, eigval double, eigvec array<double>",
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    n_queries: int = 5,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """X3 training-data op: HARD-NEGATIVE mining — for each query
+    vector, the k most-similar vectors with a DIFFERENT label (the
+    negatives that actually move a contrastive/triplet loss; random
+    negatives are trivially easy).
+
+    Scale shape: the query set (here the pinned ids < n_queries; in a
+    real run a sampled anchor set) is broadcast, the corpus is scanned
+    once map-side for the cosine, and one window per query id takes
+    the top-k — identical topology to brute_force_topk, times a small
+    constant. At billion-vector scale swap the scan for the IVF/LSH
+    probe and keep the same label-exclusion filter and window cut.
+    Scores round to 6 dp for cross-engine float agreement (~1 ulp).
+    """
+    from pyspark.sql.window import Window
+
+    q = df.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("query_vec"),
+        F.col(label_col).alias("query_label"),
+    )
+    scored = (
+        spread(df)
+        .crossJoin(F.broadcast(q))  # n_queries rows: O(N·|anchors|)
+        .filter(F.col(label_col) != F.col("query_label"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neg_id"),
+            F.col(label_col).alias("neg_label"),
+            F.round(cosine(F.col(vec_col), F.col("query_vec")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neg_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neg_id", "neg_label", "cos_sim")
+    )

@@ -4197,3 +4197,229 @@ SELECT COALESCE(d.doc_id, e.vec_id) AS key,
        e.label
 FROM d FULL OUTER JOIN e ON d.doc_id = e.vec_id
 """
+
+
+# --- X2j: line-level boilerplate removal --------------------------------------
+BOILERPLATE_MIN_DF = 3
+
+
+def boilerplate_strip(t: Tables) -> DataFrame:
+    """X2/X4: line-level boilerplate removal — the C4/RefinedWeb
+    hygiene pass that drops lines repeated across ≥ ``min_df`` docs of
+    the SAME source (site headers, nav text, footers, license
+    blurbs) and reassembles the surviving lines in document order.
+
+    The synthetic corpus is single-line, so the boilerplate is
+    INJECTED deterministically (a per-source header line + a global
+    footer line, mirrored in the oracle): the header repeats across
+    every doc of its source and the footer across the whole corpus,
+    both must be stripped; the body line is unique and must survive.
+
+    Scale shape: posexplode to (doc, pos, line), ONE groupBy on
+    (source, line_hash) for the document-frequency table (uniform
+    128-bit keys — no skew), join back, and a per-doc reassembly
+    groupBy. The df table is corpus-boilerplate-sized (repeated lines
+    only after the filter), so at 100 TB it broadcasts; the spelled
+    join here stays correct either way and AQE picks the strategy."""
+    injected = spread(t["documents"]).select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("HEADER "), F.col("source"), F.lit("\n"),
+            F.col("text"),
+            F.lit("\nFOOTER standard disclaimer"),
+        ).alias("text"),
+    )
+    lines = injected.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", r"\n")).alias("pos", "line"),
+    ).withColumn("line_hash", F.md5("line"))
+    dfreq = (
+        lines.groupBy("source", "line_hash")
+        .agg(F.countDistinct("doc_id").alias("line_df"))
+        .filter(F.col("line_df") >= BOILERPLATE_MIN_DF)
+        .select("source", "line_hash")
+    )
+    kept = lines.join(dfreq, ["source", "line_hash"], "left_anti")
+    return (
+        lines.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_lines_in"))
+        .join(
+            kept.groupBy("doc_id").agg(
+                F.count(F.lit(1)).alias("n_lines_kept"),
+                F.md5(
+                    F.concat_ws(
+                        "\n",
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("pos", "line"))
+                            ),
+                            lambda s: s["line"],
+                        ),
+                    )
+                ).alias("cleaned_md5"),
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "n_lines_in",
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
+BOILERPLATE_STRIP_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, source,
+         'HEADER ' || source || chr(10) || text
+           || chr(10) || 'FOOTER standard disclaimer' AS text
+  FROM documents
+), lines AS (
+  SELECT doc_id, source, i - 1 AS pos, ls[i] AS line, md5(ls[i]) AS line_hash
+  FROM (SELECT doc_id, source, string_split(text, chr(10)) AS ls
+        FROM injected), unnest(range(1, len(ls) + 1)) AS t(i)
+), boiler AS (
+  SELECT source, line_hash
+  FROM lines GROUP BY 1, 2
+  HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DF}
+), kept AS (
+  SELECT l.* FROM lines l
+  LEFT JOIN boiler b ON l.source = b.source AND l.line_hash = b.line_hash
+  WHERE b.line_hash IS NULL
+), tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_in
+  FROM lines GROUP BY 1
+), re AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+         md5(string_agg(line, chr(10) ORDER BY pos)) AS cleaned_md5
+  FROM kept GROUP BY 1
+)
+SELECT tot.doc_id, tot.n_lines_in,
+       COALESCE(re.n_lines_kept, 0) AS n_lines_kept,
+       COALESCE(re.cleaned_md5, md5('')) AS cleaned_md5
+FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
+"""
+
+
+# --- X3: hard-negative mining -------------------------------------------------
+def hard_negatives_query(t: Tables) -> DataFrame:
+    """X3 training-data op: per anchor (the pinned vec_id < 5 set) the
+    3 most-cosine-similar vectors with a DIFFERENT label — the
+    contrastive-loss negatives random sampling can't provide. Anchor
+    set broadcast, corpus scanned once map-side, one window per anchor
+    (see operators/similarity.hard_negatives for the 100 TB notes)."""
+    return similarity.hard_negatives(t["embeddings"], n_queries=5, k=3)
+
+
+HARD_NEGATIVES_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
+      FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
+         ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+  FROM e CROSS JOIN q
+  WHERE e.label <> q.query_label
+), ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, neg_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neg_id, neg_label, cos_sim
+FROM ranked WHERE rank <= 3
+"""
+
+
+# --- X4: encoding-quality / mojibake audit -------------------------------------
+# UTF-8-decoded-as-Latin-1 artifacts: 'Ã' + continuation ('Ã©' 'Ã¯'…)
+# and the 'â€¦'-family punctuation wrecks. Literal chars in the
+# pattern — identical code points through Java regex and RE2.
+_MOJIBAKE_RE = "(Ã.|â€)"
+_CONTROL_RE = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+_PRINTABLE_ASCII_RE = "[ -~]"
+
+
+def encoding_quality(t: Tables) -> DataFrame:
+    """X4: encoding-health audit — the pre-filter a web-scale corpus
+    runs before any text op (CCNet/RefinedWeb discipline): count
+    U+FFFD replacement chars (upstream decode already failed), raw C0
+    control bytes (binary contamination), and classic UTF-8-as-Latin-1
+    mojibake digraphs, plus the printable-ASCII ratio. All four are
+    one codegen'd regexp pass per row — zero shuffles.
+
+    The synthetic corpus is clean ASCII, so damage is INJECTED
+    deterministically (doc_id-keyed suffixes mirrored in the oracle):
+    the regex classes, the char-vs-byte semantics, and the ratio math
+    are what the parity gate checks."""
+    injected = spread(t["documents"]).withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 17 == 0, F.lit(" cafÃ© naÃ¯ve"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 19 == 0, F.lit(" bad�char"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 23 == 0, F.lit(" ctl\x01end"))
+            .otherwise(F.lit("")),
+        ),
+    )
+    n_repl = F.regexp_count("text", F.lit("�"))
+    n_ctl = F.regexp_count("text", F.lit(_CONTROL_RE))
+    n_moji = F.regexp_count("text", F.lit(_MOJIBAKE_RE))
+    n_ascii = F.regexp_count("text", F.lit(_PRINTABLE_ASCII_RE))
+    n_chars = F.length("text")
+    return injected.select(
+        "doc_id",
+        n_repl.cast("int").alias("n_replacement"),
+        n_ctl.cast("int").alias("n_control"),
+        n_moji.cast("int").alias("n_mojibake"),
+        F.when(
+            n_chars > 0,
+            F.round(n_ascii.cast("double") / n_chars.cast("double"), 6),
+        ).otherwise(F.lit(1.0)).alias("ascii_ratio"),
+        ((n_repl + n_ctl + n_moji) == 0).alias("clean"),
+    )
+
+
+ENCODING_QUALITY_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' caf' || chr(195) || chr(169)
+                      || ' na' || chr(195) || chr(175) || 've'
+                 ELSE '' END
+         || CASE WHEN doc_id % 19 = 0
+                 THEN ' bad' || chr(65533) || 'char' ELSE '' END
+         || CASE WHEN doc_id % 23 = 0
+                 THEN ' ctl' || chr(1) || 'end' ELSE '' END
+           AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, chr(65533))) AS n_repl,
+         len(regexp_extract_all(text,
+             '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')) AS n_ctl,
+         len(regexp_extract_all(text,
+             '(' || chr(195) || '.|' || chr(226) || chr(8364) || ')'))
+           AS n_moji,
+         len(regexp_extract_all(text, '[ -~]')) AS n_ascii,
+         length(text) AS n_chars
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_repl AS INTEGER) AS n_replacement,
+       CAST(n_ctl AS INTEGER) AS n_control,
+       CAST(n_moji AS INTEGER) AS n_mojibake,
+       CASE WHEN n_chars > 0
+            THEN ROUND(CAST(n_ascii AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+            ELSE 1.0 END AS ascii_ratio,
+       (n_repl + n_ctl + n_moji = 0) AS clean
+FROM m
+"""

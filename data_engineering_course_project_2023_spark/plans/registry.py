@@ -1162,6 +1162,27 @@ REGISTRY: dict[str, Query] = {
         "X3/X4 parallel-asset reconcile audit (full-outer status join; "
         "cogroup seam twin pinned in pytest)",
     ),
+    "boilerplate_strip": Query(
+        llmops.boilerplate_strip,
+        llmops.BOILERPLATE_STRIP_SQL,
+        ("documents",),
+        "X2 line-level boilerplate removal (per-source line-df strip + "
+        "ordered reassembly, md5-checked cleaned text)",
+    ),
+    "hard_negatives": Query(
+        llmops.hard_negatives_query,
+        llmops.HARD_NEGATIVES_SQL,
+        ("embeddings",),
+        "X3 contrastive hard-negative mining (broadcast anchor set, "
+        "label-excluded cosine top-3 per anchor)",
+    ),
+    "encoding_quality": Query(
+        llmops.encoding_quality,
+        llmops.ENCODING_QUALITY_SQL,
+        ("documents",),
+        "X4 encoding-health audit (U+FFFD / control bytes / mojibake "
+        "digraphs / ASCII ratio, injected damage fixtures)",
+    ),
 }
 
 
@@ -1235,6 +1256,7 @@ _DEFERRED_TO_R4 = [
     "neardup_keep_best", "novel_neardup", "badword_filter",
     # round-3 additions: behind the original gap for the same reason
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
+    "boilerplate_strip", "hard_negatives", "encoding_quality",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -76,6 +76,16 @@ def compare(spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
             f"columns: spark={sorted(sp.columns)} duckdb={sorted(du.columns)}"
         )
         return problems
+    # pandas-dtype parity: numerically-equal int64 vs float64 columns
+    # hash differently at the driver's pandas layer (classic source:
+    # DuckDB SUM(BIGINT) → HUGEINT → float64 vs Spark bigint). The
+    # value canon below coerces through iterrows and would miss it.
+    fam = lambda k: "i" if k in "iu" else k  # noqa: E731
+    for c in sorted(sp.columns):
+        if len(sp) and len(du) and fam(sp[c].dtype.kind) != fam(du[c].dtype.kind):
+            problems.append(
+                f"dtype {c}: spark={sp[c].dtype} duckdb={du[c].dtype}"
+            )
 
     sp_rows, du_rows = canonical_rows(sp), canonical_rows(du)
     if sp_rows != du_rows:
