@@ -423,7 +423,13 @@ def simhash_hamming_pairs(
     banding's completeness, not just its plumbing (same discipline as
     prefix_jaccard)."""
     assert max_hamming < SIMHASH_BANDS, "pigeonhole needs bands > max_hamming"
-    sh = simhash60_frame(df, text_col, id_col)
+    # Materialize the fingerprints ONCE: both self-join sides (and the
+    # verify) otherwise re-run the tokenize+hash+60-vote aggregation —
+    # measured 7.4 s vs 4.1 s at sf0.1. The frame is one int64 per doc
+    # (8 B/doc ≈ 8 GB per billion docs), exactly the bounded-state
+    # shape localCheckpoint is for (same discipline as minhash_ml's
+    # featurized frame).
+    sh = simhash60_frame(df, text_col, id_col).localCheckpoint()
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     bands = sh.select(
         "doc_id",

@@ -4423,3 +4423,114 @@ SELECT doc_id,
        (n_repl + n_ctl + n_moji = 0) AS clean
 FROM m
 """
+
+
+# --- X3: retrieval evaluation metrics -----------------------------------------
+RETRIEVAL_K = 10
+RETRIEVAL_N_ANCHORS = 10
+
+
+def retrieval_metrics(t: Tables) -> DataFrame:
+    """X3 eval op: recall@10 and MRR@10 of the exact-cosine ranking,
+    with deterministic qrels (relevant = same label as the anchor) —
+    the offline retrieval-quality readout every embedding refresh runs
+    before the index ships. Anchors are the pinned vec_id < 10 set.
+
+    Scale shape: the anchor rows broadcast (the allowlisted
+    O(N·|anchors|) scalar-attach NLJ, same as hard_negatives), ONE
+    map-side cosine scan scores the corpus, one window per anchor
+    takes the top-10, and the metrics reduce per anchor. MRR is
+    MRR@k (a first hit below rank k scores 0 — the shipped-index
+    semantics). Cosines round to 6 dp BEFORE ranking so the rank
+    order — and therefore MRR — is identical cross-engine (~1 ulp
+    float drift sits far inside the rounding; real score gaps are
+    orders of magnitude larger)."""
+    from pyspark.sql.window import Window
+
+    embs = spread(t["embeddings"])
+    q = embs.filter(F.col("vec_id") < RETRIEVAL_N_ANCHORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        embs.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "vec_id",
+            (F.col("label") == F.col("qlabel")).cast("int").alias("rel"),
+            F.round(similarity.cosine(F.col("embedding"), F.col("qv")), 6)
+            .alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    per_anchor = (
+        ranked.groupBy("query_id")
+        .agg(
+            F.sum("rel").alias("n_rel_total"),
+            F.sum(F.when(F.col("rank") <= RETRIEVAL_K, F.col("rel")).otherwise(0))
+            .alias("n_rel_at_k"),
+            F.min(
+                F.when(
+                    (F.col("rel") == 1) & (F.col("rank") <= RETRIEVAL_K),
+                    F.col("rank"),
+                )
+            ).alias("first_rel"),
+        )
+    )
+    return per_anchor.select(
+        "query_id",
+        F.col("n_rel_total").cast("int").alias("n_rel_total"),
+        F.col("n_rel_at_k").cast("int").alias("n_rel_at_k"),
+        F.when(
+            F.col("n_rel_total") > 0,
+            F.round(
+                F.col("n_rel_at_k").cast("double")
+                / F.least(F.lit(RETRIEVAL_K), F.col("n_rel_total")).cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("recall_at_k"),
+        F.coalesce(
+            F.round(F.lit(1.0) / F.col("first_rel").cast("double"), 6),
+            F.lit(0.0),
+        ).alias("mrr"),
+    )
+
+
+RETRIEVAL_METRICS_SQL = f"""
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e WHERE vec_id < {RETRIEVAL_N_ANCHORS}),
+scored AS (
+  SELECT q.query_id,
+         CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+         ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+         e.vec_id
+  FROM e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cos_sim DESC, vec_id
+         ) AS rank
+  FROM scored
+), per_anchor AS (
+  SELECT query_id,
+         CAST(SUM(rel) AS INTEGER) AS n_rel_total,
+         CAST(SUM(CASE WHEN rank <= {RETRIEVAL_K} THEN rel ELSE 0 END)
+              AS INTEGER) AS n_rel_at_k,
+         MIN(CASE WHEN rel = 1 AND rank <= {RETRIEVAL_K} THEN rank END)
+           AS first_rel
+  FROM ranked GROUP BY 1
+)
+SELECT query_id, n_rel_total, n_rel_at_k,
+       CASE WHEN n_rel_total > 0
+            THEN ROUND(CAST(n_rel_at_k AS DOUBLE)
+                 / CAST(LEAST({RETRIEVAL_K}, n_rel_total) AS DOUBLE), 6)
+            ELSE 0.0 END AS recall_at_k,
+       COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
+FROM per_anchor
+"""

@@ -1183,6 +1183,13 @@ REGISTRY: dict[str, Query] = {
         "X4 encoding-health audit (U+FFFD / control bytes / mojibake "
         "digraphs / ASCII ratio, injected damage fixtures)",
     ),
+    "retrieval_metrics": Query(
+        llmops.retrieval_metrics,
+        llmops.RETRIEVAL_METRICS_SQL,
+        ("embeddings",),
+        "X3 retrieval eval: recall@10 + MRR per pinned anchor with "
+        "same-label qrels (rounded-before-rank determinism)",
+    ),
 }
 
 
@@ -1257,6 +1264,7 @@ _DEFERRED_TO_R4 = [
     # round-3 additions: behind the original gap for the same reason
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
+    "retrieval_metrics",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

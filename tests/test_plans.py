@@ -71,9 +71,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "tfidf_top_terms",
         # one-row n_tokens scalar broadcast
         "token_pmi",
-        # 5-row anchor set broadcast (O(N·|anchors|), label exclusion
-        # is a non-equi predicate so the NLJ is the honest plan)
+        # 5/10-row anchor set broadcast (O(N·|anchors|); label / self
+        # exclusion is a non-equi predicate so the NLJ is the honest plan)
         "hard_negatives",
+        "retrieval_metrics",
         # iterative: plan built per checkpointed round; pair graph only
         "neardup_clusters",
         # one-row n_docs scalar broadcast feeding the relative df cut
