@@ -321,3 +321,21 @@ def test_gdpr_audit_plan_one_pass(spark):
     plan = plan_of(df)
     assert "Join" not in plan
     assert plan.count("Scan") <= 2  # data scan (+ possible reused subquery)
+
+
+def test_pii_and_encoding_audits_are_map_only(spark):
+    """The scrubbing/encoding audits are pure per-row regexp passes —
+    any Exchange in their plans means something broke the map-only
+    shape that makes them scan-bound at 100 TB."""
+    for name in ("pii_scrub", "encoding_quality"):
+        plan = plan_of(registry.run_query(name, spark, SF_CORRECT))
+        # spread()'s round-robin rebalance is the one allowed exchange;
+        # a hash partitioning would mean an accidental aggregation/join
+        assert "hashpartitioning" not in plan, f"{name} gained a shuffle"
+
+
+def test_boilerplate_strip_reads_only_needed_columns(spark):
+    """Column pruning through the posexplode: the scan must not read
+    text-adjacent columns the query never touches."""
+    plan = plan_of(registry.run_query("boilerplate_strip", spark, SF_CORRECT))
+    assert "n_chars" not in plan and '"lang"' not in plan

@@ -422,3 +422,76 @@ def test_httpjson_stream_cursor_paging(spark, tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_fetch_extract_cleanup_end_to_end(spark, tmp_path):
+    """S8 over a real socket: serve a zip of JSONL from an in-process
+    HTTP server, fetch-if-absent → extract-if-absent → cleanup, then
+    scan the extracted files with the normal reader path. Re-running
+    the stage is a no-op (reference utils.py idempotency)."""
+    import io
+    import json
+    import os
+    import threading
+    import zipfile
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from data_engineering_course_project_2023_spark.sources import fetch
+
+    buf = io.BytesIO()
+    rows = [{"id": i, "name": f"r{i}"} for i in range(5)]
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "data/part0.jsonl", "\n".join(json.dumps(r) for r in rows)
+        )
+
+    payload = buf.getvalue()
+    n_requests = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            n_requests.append(1)
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/dataset.zip"
+        work = str(tmp_path / "s8")
+        extracted = fetch.fetch_extract_cleanup(url, work)
+
+        df = spark.read.json(f"{extracted}/data/*.jsonl")
+        assert df.count() == 5
+        assert not os.path.exists(f"{work}/dataset.zip")  # cleaned up
+
+        # idempotency: second run skips everything (archive is gone but
+        # the extracted dir exists; nothing re-downloads)
+        assert fetch.extract_if_absent(f"{work}/dataset.zip", extracted) == []
+        assert len(n_requests) == 1
+    finally:
+        srv.shutdown()
+
+
+def test_fetch_rejects_zip_slip(tmp_path):
+    """Archive members escaping the extraction root must be refused."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from data_engineering_course_project_2023_spark.sources import fetch
+
+    evil = io.BytesIO()
+    with zipfile.ZipFile(evil, "w") as zf:
+        zf.writestr("../escape.txt", "nope")
+    bad = str(tmp_path / "evil.zip")
+    with open(bad, "wb") as f:
+        f.write(evil.getvalue())
+    with _pytest.raises(ValueError, match="unsafe archive member"):
+        fetch.extract_if_absent(bad, str(tmp_path / "out"))
