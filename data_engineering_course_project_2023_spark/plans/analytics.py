@@ -1790,6 +1790,70 @@ def community_labels(t: Tables) -> DataFrame:
     return labels.select("node", F.col("lbl").alias("community"))
 
 
+def community_labels_adaptive(
+    t: Tables, max_rounds: int = 32
+) -> DataFrame:
+    """Adaptive variant of :func:`community_labels` (r2 verdict #10
+    polish, the LPA sibling of :func:`kcore_nodes_adaptive`): iterate
+    the SAME synchronous self-voting min-tiebreak update until no
+    label changes, instead of a fixed round count. Unlike the k-core
+    peel there is no monotone aggregate to probe (labels move both
+    ways), so the fixpoint probe is a changed-label count folded into
+    the per-round checkpoint job via observe() — still one job per
+    round. Synchronous LPA has no global convergence guarantee
+    (higher-order oscillations are possible even with the self-vote),
+    hence the max_rounds bound and the variant staying INTERNAL behind
+    the fixed-round registry contract (the registered query must be a
+    total function with a statically bounded plan — NOTES.md
+    discipline; the sf0.01 co-order graph is in fact NOT converged
+    after 3 rounds, so the two queries answer different questions
+    there, deliberately). On graphs that converge within the fixed
+    budget the two results are IDENTICAL — pinned in pytest on a
+    two-clique fixture, along with early probe termination."""
+    nodes = (
+        t["lineitem"].select(F.col("l_partkey").alias("node")).distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        coorder_adjacency(t["lineitem"])
+        .unionByName(
+            nodes.select(F.col("node").alias("src"), F.col("node").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = nodes.select("node", F.col("node").alias("lbl")).localCheckpoint()
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("lbl").asc())
+    spark = labels.sparkSession
+    with _iterative_shuffle_parts(spark, edges.count()):
+        for i in range(max_rounds):
+            msgs = (
+                edges.join(labels, edges.src == labels.node)
+                .groupBy(F.col("dst").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            best = (
+                msgs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("node", F.col("lbl").alias("new_lbl"))
+            )
+            obs = Observation(f"lpa_chg_{i}")
+            labels = (
+                labels.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+                    (F.coalesce(F.col("new_lbl"), F.col("lbl"))
+                     != F.col("lbl")).cast("long").alias("_chg"),
+                )
+                .observe(obs, F.sum("_chg").alias("chg"))
+                .select("node", "lbl")
+                .localCheckpoint()
+            )
+            if obs.get["chg"] == 0:
+                break
+    return labels.select("node", F.col("lbl").alias("community"))
+
+
 def _lpa_round_sql(r: int) -> str:
     prev = f"lab_{r - 1}"
     return f"""
