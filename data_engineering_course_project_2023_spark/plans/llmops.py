@@ -4534,3 +4534,99 @@ SELECT query_id, n_rel_total, n_rel_at_k,
        COALESCE(ROUND(1.0 / CAST(first_rel AS DOUBLE), 6), 0.0) AS mrr
 FROM per_anchor
 """
+
+
+# --- X4: Unicode script profile -------------------------------------------------
+# Java regex spells script properties \p{IsX}, RE2 spells them \p{X};
+# the classes are the same Unicode Script property, verified to count
+# identically on mixed-script fixtures.
+_SCRIPTS = [
+    ("n_latin", r"\p{IsLatin}", r"\p{Latin}"),
+    ("n_cyrillic", r"\p{IsCyrillic}", r"\p{Cyrillic}"),
+    ("n_han", r"\p{IsHan}", r"\p{Han}"),
+    ("n_greek", r"\p{IsGreek}", r"\p{Greek}"),
+]
+
+
+def script_profile(t: Tables) -> DataFrame:
+    """X4 multilingual governance: per-doc Unicode-script character
+    counts (Latin / Cyrillic / Han / Greek) and the dominant script —
+    the signal that routes documents to per-language pipelines and
+    catches script-mixing spam (e.g. Cyrillic homoglyph stuffing
+    inside Latin text). One codegen'd regexp pass per row, zero
+    shuffles; non-Latin content is INJECTED doc_id-keyed since the
+    synthetic corpus is ASCII (mirrored in the oracle, so the check is
+    that both engines' Script property tables agree)."""
+    injected = spread(t["documents"]).withColumn(
+        "text",
+        # doc_id % 97: a fully non-Latin document, so the dominant-
+        # script selection (not just the counts) is under test; the
+        # other keys append mixed-script snippets to Latin bodies.
+        F.when(F.col("doc_id") % 97 == 0, F.lit("привет мир целиком"))
+        .otherwise(
+            F.concat(
+                "text",
+                F.when(F.col("doc_id") % 6 == 0, F.lit(" привет мир"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 10 == 0, F.lit(" 你好世界"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 15 == 0, F.lit(" γεια σου"))
+                .otherwise(F.lit("")),
+            )
+        ),
+    )
+    counts = [
+        F.regexp_count("text", F.lit(java_re)).cast("int").alias(name)
+        for name, java_re, _ in _SCRIPTS
+    ]
+    out = injected.select("doc_id", *counts)
+    dominant = F.greatest(*[F.col(n) for n, _, _ in _SCRIPTS])
+    pick = F.coalesce(
+        *[
+            F.when(F.col(n) == dominant, F.lit(n.removeprefix("n_")))
+            for n, _, _ in _SCRIPTS
+        ]
+    )
+    return out.select(
+        "doc_id",
+        *[n for n, _, _ in _SCRIPTS],
+        F.when(dominant > 0, pick).otherwise(F.lit("none")).alias(
+            "dominant_script"
+        ),
+    )
+
+
+def _script_counts_sql() -> str:
+    return ",\n         ".join(
+        f"CAST(len(regexp_extract_all(text, '{re2}')) AS INTEGER) AS {name}"
+        for name, _, re2 in _SCRIPTS
+    )
+
+
+_SCRIPT_NAMES = [n for n, _, _ in _SCRIPTS]
+_SCRIPT_DOM = "GREATEST(" + ", ".join(_SCRIPT_NAMES) + ")"
+_SCRIPT_PICK = "COALESCE(" + ", ".join(
+    f"CASE WHEN {n} = {_SCRIPT_DOM} THEN '{n.removeprefix('n_')}' END"
+    for n in _SCRIPT_NAMES
+) + ")"
+
+SCRIPT_PROFILE_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN 'привет мир целиком'
+              ELSE text
+              || CASE WHEN doc_id % 6 = 0 THEN ' привет мир' ELSE '' END
+              || CASE WHEN doc_id % 10 = 0 THEN ' 你好世界' ELSE '' END
+              || CASE WHEN doc_id % 15 = 0 THEN ' γεια σου' ELSE '' END
+         END AS text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         {_script_counts_sql()}
+  FROM injected
+)
+SELECT doc_id, {", ".join(_SCRIPT_NAMES)},
+       CASE WHEN {_SCRIPT_DOM} > 0 THEN {_SCRIPT_PICK} ELSE 'none' END
+         AS dominant_script
+FROM m
+"""

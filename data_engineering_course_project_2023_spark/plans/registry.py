@@ -1190,6 +1190,13 @@ REGISTRY: dict[str, Query] = {
         "X3 retrieval eval: recall@10 + MRR per pinned anchor with "
         "same-label qrels (rounded-before-rank determinism)",
     ),
+    "script_profile": Query(
+        llmops.script_profile,
+        llmops.SCRIPT_PROFILE_SQL,
+        ("documents",),
+        "X4 Unicode script profile (Latin/Cyrillic/Han/Greek counts + "
+        "dominant script; injected multilingual fixtures)",
+    ),
 }
 
 
@@ -1264,7 +1271,7 @@ _DEFERRED_TO_R4 = [
     # round-3 additions: behind the original gap for the same reason
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
-    "retrieval_metrics",
+    "retrieval_metrics", "script_profile",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
