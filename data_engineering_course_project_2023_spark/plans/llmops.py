@@ -4630,3 +4630,103 @@ SELECT doc_id, {", ".join(_SCRIPT_NAMES)},
          AS dominant_script
 FROM m
 """
+
+
+# --- X4: classifier calibration table -----------------------------------------
+# Integer micro-unit weights (w × 1e6): the per-doc score is an EXACT
+# bigint, so bucket means are order-free and bit-identical cross-engine
+# (the same freeze discipline as unigram_surprisal).
+_CALIB_W_MICRO = [(n, round(w * 1_000_000)) for n, w in QUALITY_LOGIT_WEIGHTS]
+
+
+def classifier_calibration(t: Tables) -> DataFrame:
+    """X4 ML-ops: the calibration table for the pinned quality
+    classifier — decile-bucketed scores vs the observed rate of a
+    rule-based truth proxy (stopword ratio ≥ 10%). The readout that
+    decides whether a filter's threshold transfers to a new corpus
+    slice before burning a training run on it.
+
+    Exactness: scores accumulate in integer micro-units (weights ×
+    1e6 → bigint), so the per-bucket mean is a division of exact
+    integers; the truth rule is an integer cross-multiply; ntile
+    orders by (score, doc_id) — a total order. One window shuffle +
+    one 10-group aggregate."""
+    from pyspark.sql.window import Window
+
+    toks = textops.tokens("text")
+    base = spread(t["documents"]).select(
+        "doc_id",
+        F.lit(1).alias("bias"),
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda x: F.lower(x).isin(*textops.STOPWORDS))
+        ).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^A-Za-z ]", ""))
+        ).alias("n_nonalpha"),
+    )
+    score = None
+    for name, w in _CALIB_W_MICRO:
+        term = F.col(name).cast("bigint") * F.lit(w)
+        score = term if score is None else score + term
+    scored = base.select(
+        "doc_id",
+        score.alias("score_micro"),
+        (F.col("n_stop") * 10 >= F.col("n_tokens")).cast("int").alias("label"),
+    )
+    w10 = Window.orderBy(F.asc("score_micro"), F.asc("doc_id"))
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("score_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_score"),
+            F.round(
+                F.sum("label").cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("pos_rate"),
+        )
+    )
+
+
+def _calib_score_sql() -> str:
+    return " + ".join(
+        f"(CAST({n} AS BIGINT) * ({w}))" for n, w in _CALIB_W_MICRO
+    )
+
+
+CLASSIFIER_CALIBRATION_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+         1 AS bias,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS n_tokens,
+         len(list_filter(list_filter(string_split(trim(text), ' '),
+                                     x -> x <> ''),
+             x -> lower(x) IN ({_STOPS}))) AS n_stop,
+         len(list_distinct(list_filter(string_split(trim(text), ' '),
+                                       x -> x <> ''))) AS n_distinct,
+         length(text) - length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))
+           AS n_nonalpha
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         {_calib_score_sql()} AS score_micro,
+         CASE WHEN n_stop * 10 >= n_tokens THEN 1 ELSE 0 END AS label
+  FROM f
+), bucketed AS (
+  SELECT *, NTILE(10) OVER (ORDER BY score_micro, doc_id) AS decile
+  FROM scored
+)
+SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(score_micro) AS DOUBLE) / COUNT(*) / 1e6, 6)
+         AS mean_score,
+       ROUND(CAST(SUM(label) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS pos_rate
+FROM bucketed GROUP BY 1
+"""

@@ -1197,6 +1197,13 @@ REGISTRY: dict[str, Query] = {
         "X4 Unicode script profile (Latin/Cyrillic/Han/Greek counts + "
         "dominant script; injected multilingual fixtures)",
     ),
+    "classifier_calibration": Query(
+        llmops.classifier_calibration,
+        llmops.CLASSIFIER_CALIBRATION_SQL,
+        ("documents",),
+        "X4 quality-classifier calibration table (decile mean score vs "
+        "rule-proxy positive rate; integer micro-unit exactness)",
+    ),
 }
 
 
@@ -1271,7 +1278,7 @@ _DEFERRED_TO_R4 = [
     # round-3 additions: behind the original gap for the same reason
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
-    "retrieval_metrics", "script_profile",
+    "retrieval_metrics", "script_profile", "classifier_calibration",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
