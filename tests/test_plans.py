@@ -339,3 +339,56 @@ def test_boilerplate_strip_reads_only_needed_columns(spark):
     text-adjacent columns the query never touches."""
     plan = plan_of(registry.run_query("boilerplate_strip", spark, SF_CORRECT))
     assert "n_chars" not in plan and '"lang"' not in plan
+
+
+def test_cbo_column_stats_flip_selective_join_to_broadcast(spark, tmp_path):
+    """SURVEY §4 optimizer evidence: ANALYZE TABLE column statistics +
+    CBO turn a selective-filter join side into a broadcast. Without
+    stats the filtered side is estimated at full table size (SortMerge);
+    with stats the selectivity estimate drops it under the broadcast
+    threshold. At 100 TB this is the difference between shuffling a
+    fact table and shipping a few KB — and it needs no query change,
+    only ANALYZE, which is why the engine keeps every plan declarative.
+    """
+    spark.sql("DROP TABLE IF EXISTS li_cbo")
+    spark.sql("DROP TABLE IF EXISTS o_cbo")
+    spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("li_cbo")
+    spark.read.parquet("/root/testdata/sf0.01/orders.parquet").write.mode(
+        "overwrite"
+    ).saveAsTable("o_cbo")
+    spark.sql("ANALYZE TABLE li_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+    spark.sql("ANALYZE TABLE o_cbo COMPUTE STATISTICS FOR ALL COLUMNS")
+
+    keys = (
+        "spark.sql.cbo.enabled",
+        "spark.sql.cbo.joinReorder.enabled",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.enabled",
+    )
+    prev = {k: spark.conf.get(k) for k in keys}
+    sql = """
+      SELECT l.l_orderkey, o.o_totalprice
+      FROM li_cbo l JOIN o_cbo o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_totalprice > 550000
+    """
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(24 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+        without = plan_of(spark.sql(sql))
+        assert "SortMergeJoin" in without and "BroadcastHashJoin" not in without
+
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+        with_stats = plan_of(spark.sql(sql))
+        assert "BroadcastHashJoin" in with_stats
+        assert "SortMergeJoin" not in with_stats
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS li_cbo")
+        spark.sql("DROP TABLE IF EXISTS o_cbo")
