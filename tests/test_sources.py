@@ -495,3 +495,52 @@ def test_fetch_rejects_zip_slip(tmp_path):
         f.write(evil.getvalue())
     with _pytest.raises(ValueError, match="unsafe archive member"):
         fetch.extract_if_absent(bad, str(tmp_path / "out"))
+
+
+def test_corrupt_file_handling_fails_loud_then_skips_when_asked(spark, tmp_path):
+    """Ingestion resilience at lake scale: a garbage file inside a
+    parquet directory must fail the read LOUDLY by default (silent
+    data loss is worse than a failed job), and be skippable explicitly
+    via ignoreCorruptFiles with the valid rows intact — the posture a
+    100 TB backfill needs when one object of a million is truncated."""
+    import os
+
+    import pytest as _pytest
+
+    d = str(tmp_path / "mixed")
+    spark.range(10).write.parquet(d)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(d).count()
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(d).count() == 10
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+
+
+def test_malformed_jsonl_rows_route_to_corrupt_record_column(spark, tmp_path):
+    """Row-level resilience for JSONL ingest: malformed lines must not
+    kill the scan NOR vanish — PERMISSIVE mode parks them in
+    _corrupt_record for a dead-letter sink, keeping the good rows
+    (the reference's JSONL ingest had no bad-line story at all)."""
+    import os
+
+    p = str(tmp_path / "rows.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "name": "ok"}\n')
+        f.write("this is not json\n")
+        f.write('{"id": 2, "name": "also ok"}\n')
+
+    df = spark.read.schema(
+        "id long, name string, _corrupt_record string"
+    ).json(p)
+    rows = df.collect()
+    good = {r["id"] for r in rows if r["_corrupt_record"] is None}
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == {1, 2}
+    assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
