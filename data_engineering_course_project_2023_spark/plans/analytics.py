@@ -1511,6 +1511,84 @@ def fuzzy_part_pairs(t: Tables) -> DataFrame:
     )
 
 
+def part_golden_records(t: Tables) -> DataFrame:
+    """Entity resolution END-TO-END (the MDM completion of
+    fuzzy_part_pairs): blocked fuzzy match pairs → connected components
+    → one GOLDEN RECORD per entity cluster with survivorship rules
+    (canonical id = min key — deterministic; name from the canonical
+    row; members + max price aggregated across the cluster). The
+    reference dedups entities by exact key only
+    (src/airflow/dags/transform_dataset_stage_3.py); this is the fuzzy
+    upgrade a real master-data pipeline ships.
+
+    Scale shape: the pair build is the blocked equi-join of
+    fuzzy_part_pairs (per-block quadratic, never cartesian); the
+    cluster step is the shared iterative min-label CC
+    (operators/dedup.connected_components — localCheckpoint rounds,
+    monotone convergence probe); survivorship is one keyed agg plus a
+    broadcast-able join back to the canonical row. Oracle: a DuckDB
+    recursive CTE walks the same pairs to min-reachable-label, so even
+    the iterative path is exact-checked (copair_components precedent).
+    Singleton parts are their own golden record — the LEFT join +
+    coalesce keeps them."""
+    from ..operators.dedup import connected_components
+
+    p = t["part"].select("p_partkey", "p_brand", "p_size", "p_name",
+                         "p_retailprice")
+    pairs = fuzzy_part_pairs(t).select("key_a", "key_b")
+    nodes = p.select(F.col("p_partkey").alias("node"))
+    comp = connected_components(
+        nodes,
+        pairs.select(F.col("key_a").alias("src"), F.col("key_b").alias("dst")),
+    )
+    labeled = p.join(
+        comp, p.p_partkey == comp.node
+    ).select("p_partkey", F.col("lbl").alias("entity_id"),
+             "p_name", "p_retailprice")
+    agg = labeled.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+    )
+    canonical = labeled.filter(
+        F.col("p_partkey") == F.col("entity_id")
+    ).select("entity_id", F.col("p_name").alias("canonical_name"))
+    return agg.join(canonical, "entity_id").select(
+        "entity_id", "canonical_name", "n_members", "max_price"
+    )
+
+
+PART_GOLDEN_RECORDS_SQL = """
+WITH RECURSIVE
+p AS (SELECT p_partkey, p_brand, p_size, p_name, p_retailprice FROM part),
+und AS (
+  SELECT a.p_partkey AS src, b.p_partkey AS dst
+  FROM p a JOIN p b
+    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+   AND a.p_partkey < b.p_partkey
+  WHERE levenshtein(a.p_name, b.p_name) <= 6
+),
+edges AS (SELECT src, dst FROM und UNION ALL SELECT dst, src FROM und),
+walk(node, lbl) AS (
+  SELECT p_partkey AS node, p_partkey AS lbl FROM p
+  UNION
+  SELECT e.dst AS node, w.lbl
+  FROM walk w JOIN edges e ON w.node = e.src
+),
+comp AS (SELECT node, MIN(lbl) AS entity_id FROM walk GROUP BY 1),
+labeled AS (
+  SELECT p.p_partkey, c.entity_id, p.p_name, p.p_retailprice
+  FROM p JOIN comp c ON p.p_partkey = c.node
+),
+agg AS (
+  SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         ROUND(MAX(p_retailprice), 2) AS max_price
+  FROM labeled GROUP BY 1
+)
+SELECT a.entity_id, l.p_name AS canonical_name, a.n_members, a.max_price
+FROM agg a JOIN labeled l ON l.p_partkey = a.entity_id
+"""
+
+
 FUZZY_PART_PAIRS_SQL = """
 SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
        a.p_brand AS brand,

@@ -1204,6 +1204,13 @@ REGISTRY: dict[str, Query] = {
         "X4 quality-classifier calibration table (decile mean score vs "
         "rule-proxy positive rate; integer micro-unit exactness)",
     ),
+    "part_golden_records": Query(
+        analytics.part_golden_records,
+        analytics.PART_GOLDEN_RECORDS_SQL,
+        ("part",),
+        "ER end-to-end: blocked fuzzy pairs -> iterative CC -> golden "
+        "records with survivorship (recursive-CTE oracle)",
+    ),
 }
 
 
@@ -1279,6 +1286,7 @@ _DEFERRED_TO_R4 = [
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
+    "part_golden_records",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
