@@ -308,3 +308,33 @@ def test_cogroup_reconcile_equals_relational(spark):
     assert rel == cog
     assert {(1, "both", 100, 7), (2, "doc_only", 200, None),
             (3, "embedding_only", None, 8), (4, "both", 400, 9)} == rel
+
+
+def test_golden_records_cluster_and_survivorship(spark):
+    """ER chain semantics on an engineered fixture: two typo variants +
+    their original form one entity (transitively, even though the two
+    variants differ from each other); a different-block twin and a
+    distinct name stay singletons; survivorship picks min key as
+    canonical and aggregates members/price."""
+    parts = spark.createDataFrame(
+        [
+            (1, "Brand#1", 5, "aquamarine steel widget", 10.0),
+            (2, "Brand#1", 5, "aquamarine steel widgit", 30.0),   # typo of 1
+            (3, "Brand#1", 5, "aquamarine steel gadget", 20.0),   # lev 6 of 1
+            (4, "Brand#2", 5, "aquamarine steel widget", 99.0),   # other block
+            (5, "Brand#1", 5, "completely different name", 7.0),
+        ],
+        "p_partkey long, p_brand string, p_size int, p_name string,"
+        " p_retailprice double",
+    )
+    from data_engineering_course_project_2023_spark.plans import analytics
+
+    got = {
+        r["entity_id"]: (r["canonical_name"], r["n_members"], r["max_price"])
+        for r in analytics.part_golden_records({"part": parts}).collect()
+    }
+    assert got == {
+        1: ("aquamarine steel widget", 3, 30.0),
+        4: ("aquamarine steel widget", 1, 99.0),
+        5: ("completely different name", 1, 7.0),
+    }
