@@ -114,6 +114,58 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, width int, height int, "
+    "out_width int, out_height int, resized_sha string"
+)
+
+
+def resize_images(
+    media: DataFrame, max_side: int = 224, strict: bool = False
+) -> DataFrame:
+    """mapInPandas resize stage: decode → aspect-preserving downscale to
+    ``max_side`` → re-encode (the standard vision-training preprocessing
+    step between ingest and feature extraction). The Spark-side
+    contract is real — Arrow batches, blob never shuffles, output
+    carries both geometries plus a hash of the resized payload for
+    downstream dedup; the pixel work is behind the same decode seam as
+    extract_features (strict=True raises until an image lib ships in
+    the runtime; the deterministic fake keeps the plumbing testable).
+    Aspect math is pure integers (scale = max_side/longest side,
+    floor, min 1 px), so outputs are engine-exact."""
+    decode = decode_media if strict else fake_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content, kind, mid in zip(
+                pdf["content"], pdf["kind"], pdf["media_id"]
+            ):
+                d = decode(content, kind)
+                w, h = d["width"], d["height"]
+                long_side = max(w, h, 1)
+                if long_side <= max_side:
+                    ow, oh = w, h
+                else:
+                    ow = max(1, (w * max_side) // long_side)
+                    oh = max(1, (h * max_side) // long_side)
+                # fake re-encode: the resized payload is a deterministic
+                # function of (original bytes, target geometry)
+                resized = hashlib.sha256(
+                    (content or b"") + f"|{ow}x{oh}".encode()
+                ).hexdigest()
+                rows.append((mid, kind, w, h, ow, oh, resized))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "width", "height",
+                    "out_width", "out_height", "resized_sha",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Adapter for testing: treat document text bytes as opaque media
     blobs (binary column + metadata), the same shape a real

@@ -509,3 +509,34 @@ def test_sliding_window_stream_twin_matches_batch(spark, tmp_path):
     }
     assert streamed == batch
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_resize_preserves_aspect_and_is_deterministic(spark):
+    """Resize stage: aspect-preserving integer downscale to max_side,
+    pass-through when already small, deterministic resized hash."""
+    from data_engineering_course_project_2023_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "a" * 300), (2, "b")], "doc_id long, text string"
+    )
+    media = multimodal.documents_as_media(docs)
+    out = {
+        r["media_id"]: r
+        for r in multimodal.resize_images(media, max_side=100).collect()
+    }
+    for mid, r in out.items():
+        assert max(r["out_width"], r["out_height"]) <= max(
+            100, min(r["width"], r["height"])
+        )
+        # aspect preserved within integer floor
+        if max(r["width"], r["height"]) > 100:
+            assert max(r["out_width"], r["out_height"]) == 100
+        else:
+            assert (r["out_width"], r["out_height"]) == (
+                r["width"], r["height"]
+            )
+    again = {
+        r["media_id"]: r["resized_sha"]
+        for r in multimodal.resize_images(media, max_side=100).collect()
+    }
+    assert again == {m: r["resized_sha"] for m, r in out.items()}
