@@ -4730,3 +4730,93 @@ SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
          AS pos_rate
 FROM bucketed GROUP BY 1
 """
+
+
+# --- X3: Johnson–Lindenstrauss random projection -----------------------------
+JL_PROJ_DIMS = 8
+
+
+def _jl_signs() -> list[list[int]]:
+    """±1 Achlioptas sign matrix (JL_PROJ_DIMS × EMBED_DIM), derived
+    from md5 like every other hash family here — deterministic with no
+    RNG state, so the Spark plan and the DuckDB oracle embed the SAME
+    literal matrix (the MinHash-oracle discipline, module docstring)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"jl:{j}:{d}".encode()).hexdigest()[0], 16) % 2
+            == 0
+            else -1
+            for d in range(similarity.EMBED_DIM)
+        ]
+        for j in range(JL_PROJ_DIMS)
+    ]
+
+
+def jl_projection(t: Tables) -> DataFrame:
+    """X3: Johnson–Lindenstrauss sketch of the embedding column — 64
+    float dims → JL_PROJ_DIMS signed-sum coordinates (database-friendly
+    random projection, Achlioptas 2003: ±1 entries preserve pairwise
+    distances in expectation with 1/√k distortion; the classic cheap
+    pre-filter in front of an exact rerank, and an 8× narrower column
+    to ship to a downstream ANN index).
+
+    Cross-engine exactness: components freeze to integer micro-units
+    once (the embedding_dim_stats discipline), the projection is then
+    an INTEGER dot product with a ±1 literal matrix — order-free exact
+    BIGINT sums, no float accumulation anywhere.
+
+    Scale shape: entirely MAP-SIDE — zip_with/aggregate run inside the
+    scan stage, posexplode fans the k coordinates out per row, nothing
+    shuffles; output is (vec_id, proj_dim, proj_micro) primitive rows.
+    The oracle spells the same contraction as an unnest + 512-row
+    literal sign join."""
+    signs = _jl_signs()
+    m = F.transform(
+        F.col("embedding"),
+        lambda v: F.round(v.cast("double") * 1e6).cast("bigint"),
+    )
+    projs = [
+        F.aggregate(
+            F.zip_with(
+                F.col("m"),
+                F.array(*[F.lit(s) for s in signs[j]]),
+                lambda a, b: a * b.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        for j in range(JL_PROJ_DIMS)
+    ]
+    return (
+        t["embeddings"]
+        .select("vec_id", m.alias("m"))
+        .select(
+            "vec_id",
+            F.posexplode(F.array(*projs)).alias("proj_dim", "proj_micro"),
+        )
+    )
+
+
+def _jl_signs_sql() -> str:
+    rows = []
+    for j, row in enumerate(_jl_signs()):
+        for d, s in enumerate(row):
+            rows.append(f"({j},{d},{s})")
+    return ", ".join(rows)
+
+
+JL_PROJECTION_SQL = f"""
+WITH comp AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INTEGER) AS dim,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1e6) AS BIGINT) AS m
+  FROM embeddings
+), signs(proj_dim, dim, s) AS (VALUES {_jl_signs_sql()})
+SELECT c.vec_id, CAST(s.proj_dim AS INTEGER) AS proj_dim,
+       CAST(SUM(c.m * s.s) AS BIGINT) AS proj_micro
+FROM comp c JOIN signs s ON c.dim = s.dim
+GROUP BY 1, 2
+"""

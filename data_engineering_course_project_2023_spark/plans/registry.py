@@ -1080,6 +1080,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X3 per-dimension embedding QA card (exact decimal moments)",
     ),
+    "jl_projection": Query(
+        llmops.jl_projection,
+        llmops.JL_PROJECTION_SQL,
+        ("embeddings",),
+        "X3 Johnson-Lindenstrauss ±1 sketch (64→8 dims, exact integer dot)",
+    ),
     "sliding_event_counts": Query(
         eventstream.sliding_event_counts,
         eventstream.SLIDING_EVENT_COUNTS_SQL,
@@ -1286,7 +1292,7 @@ _DEFERRED_TO_R4 = [
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
-    "part_golden_records",
+    "part_golden_records", "jl_projection",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)

@@ -512,3 +512,43 @@ def test_ivfpq_residual_codebook_pinned_sf001(spark):
         assigned.select("vec_id", "resid"), 8, 16, 2, "vec_id", "resid"
     )
     assert cents_pq == ivf_fixture.IVFPQ_RESID_CODEBOOK_SF001
+
+
+def test_jl_projection_unbiased_distance_sketch(spark):
+    """JL ±1 projection: projected squared L2 / k is an UNBIASED
+    estimator of original squared L2 (Achlioptas 2003), with mean
+    relative error ~ sqrt(2/k) ≈ 0.5 at k=8. Both properties are
+    deterministic on the fixed fixture + md5 sign matrix; pins carry
+    headroom over the measured values (noted inline)."""
+    import itertools
+
+    from data_engineering_course_project_2023_spark.plans import llmops, registry
+
+    sf = "/root/testdata/sf0.001"
+    proj = {}
+    for r in registry.run_query("jl_projection", spark, sf).collect():
+        proj.setdefault(r["vec_id"], {})[r["proj_dim"]] = r["proj_micro"]
+    assert all(len(v) == llmops.JL_PROJ_DIMS for v in proj.values())
+
+    import duckdb
+
+    orig = {
+        vid: [round(float(x) * 1e6) for x in emb]
+        for vid, emb in duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{sf}/embeddings.parquet')"
+        ).fetchall()
+    }
+    ids = sorted(proj)[:60]
+    k = llmops.JL_PROJ_DIMS
+    ratios = []
+    for a, b in itertools.combinations(ids, 2):
+        d_orig = sum((x - y) ** 2 for x, y in zip(orig[a], orig[b]))
+        d_proj = sum(
+            (proj[a][j] - proj[b][j]) ** 2 for j in range(k)
+        ) / k
+        ratios.append(d_proj / d_orig)
+    mean_ratio = sum(ratios) / len(ratios)
+    mean_err = sum(abs(r - 1) for r in ratios) / len(ratios)
+    # measured on this fixture: mean_ratio ≈ 1.0x, mean_err ≈ 0.38
+    assert 0.85 < mean_ratio < 1.15, f"biased: {mean_ratio}"
+    assert mean_err < 0.5, f"distortion: {mean_err}"
