@@ -544,3 +544,55 @@ def test_malformed_jsonl_rows_route_to_corrupt_record_column(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert good == {1, 2}
     assert len(bad) == 1 and "not json" in bad[0]["_corrupt_record"]
+
+
+def test_zorder_layout_clusters_two_dim_predicates(spark, tmp_path):
+    """Z-order witness: after write_zordered on (user_id, value), the
+    rows matching a narrow 2-D rectangle predicate concentrate in a few
+    files (tight min/max on BOTH columns per file → footer pruning at
+    scale), while a hash-random layout scatters them across ~all files.
+    Row content is identical in both layouts."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.sources.readers import load_table
+    from data_engineering_course_project_2023_spark.sources.writers import (
+        write_zordered,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "value"
+    )
+    zpath, rpath = str(tmp_path / "z"), str(tmp_path / "r")
+    write_zordered(ev, zpath, "user_id", "value", num_parts=16)
+    ev.repartition(16).write.parquet(rpath)
+
+    stats = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+    ).first()
+    lo_u, hi_u, lo_v, hi_v = stats
+    # ~10% of each dimension's span → ~1% of the 2-D space
+    pu = lo_u + (hi_u - lo_u) * 0.1
+    pv = lo_v + (hi_v - lo_v) * 0.1
+
+    def touched(path):
+        df = spark.read.parquet(path).filter(
+            (F.col("user_id") <= pu) & (F.col("value") <= pv)
+        )
+        rows = df.count()
+        files = df.select(
+            F.input_file_name().alias("f")
+        ).distinct().count()
+        return rows, files
+
+    z_rows, z_files = touched(zpath)
+    r_rows, r_files = touched(rpath)
+    assert z_rows == r_rows and z_rows > 0
+    # content parity under the full scan too
+    assert (
+        spark.read.parquet(zpath).count()
+        == spark.read.parquet(rpath).count()
+        == ev.count()
+    )
+    # the curve concentrates the rectangle; random scatters it
+    assert z_files < r_files
+    assert z_files <= 4, f"z-order touched {z_files}/16 files"
