@@ -780,8 +780,17 @@ def bloom_novel(
     """Probe: keep rows whose key is NOT maybe-in-history (some bit
     unset). The bitmap rides into the plan as ONE array<bigint> literal
     (the broadcast), and the test is k element_at + bit-mask expressions
-    — pure codegen, zero shuffle, the big side streams through."""
-    probed = new_df.withColumn("__bm", F.lit(bitmap).cast("array<bigint>"))
+    — pure codegen, zero shuffle, the big side streams through.
+
+    The literal is built as a SQL string parsed JVM-side, not
+    ``F.lit(list)``: py4j marshals a Python list element-by-element, and
+    at m=2^18 (4096 words) that costs ~3.4 s of DRIVER time per plan
+    build vs ~0.6 s for one parse (measured; the probe itself executes
+    in 0.6 s — the literal build was 5× the query)."""
+    words = ",".join(f"{w}L" for w in bitmap)
+    probed = new_df.withColumn(
+        "__bm", F.expr(f"array({words})").cast("array<bigint>")
+    )
     checks = []
     for s in range(k):
         p = (
