@@ -4820,3 +4820,100 @@ SELECT c.vec_id, CAST(s.proj_dim AS INTEGER) AS proj_dim,
 FROM comp c JOIN signs s ON c.dim = s.dim
 GROUP BY 1, 2
 """
+
+
+# --- X2g: dedup-candidate quality evaluation ---------------------------------
+def neardup_eval(t: Tables) -> DataFrame:
+    """X2g: eval harness for the probabilistic dedup path — score the
+    MinHash-LSH candidate generator (minhash_pairs) against the EXACT
+    3-gram Jaccard ≥ 0.8 operator (ngram_jaccard) as ground truth:
+    candidate count, truth count, hits, precision, recall in one row.
+    This is the measure-your-recall discipline every production dedup
+    pipeline needs before trusting a banded LSH config (band/row counts
+    trade recall for candidate volume); the same harness re-runs per
+    corpus because LSH recall is distribution-dependent.
+
+    Scale shape: both operands are the already-scale-shaped operators
+    (staged inverted index / banded self-join); the eval adds one
+    pair-keyed inner join + three 1-row aggregates broadcast together —
+    negligible next to the generators. The shingle stage is SHARED with
+    ngram_jaccard via the stage memo (same dir + params → staged once
+    per session). Exactness: counts are integers; precision/recall are
+    single guarded divisions rounded once, spelled identically in the
+    oracle."""
+    import os
+    import tempfile
+
+    docs = t["documents"]
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stage", "ngram_shingles"
+    )
+    truth = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.8, max_df=1000, stage_dir=stage
+    ).select("doc_a", "doc_b")
+    pred = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hits = pred.join(truth, ["doc_a", "doc_b"])
+    counts = (
+        pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return counts.select(
+        "n_pred", "n_truth", "n_hit",
+        ratio("n_hit", "n_pred").alias("precision"),
+        ratio("n_hit", "n_truth").alias("recall"),
+    )
+
+
+NEARDUP_EVAL_SQL = f"""
+WITH {_SHINGLE_CTE},
+df_counts AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+shf AS (SELECT s.* FROM sh s JOIN df_counts d USING (shingle) WHERE d.df <= 1000),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+        >= 0.8
+),
+sigs AS (
+  SELECT doc_id, {{mh_cols}}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{{band_union}}
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+         (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM pred p
+          JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS n_hit
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_pred > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+            END AS precision,
+       CASE WHEN n_truth > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+            END AS recall
+FROM m
+""".format(mh_cols=_mh_cols(), band_union=_band_union(),
+           _SHINGLE_CTE=_SHINGLE_CTE)

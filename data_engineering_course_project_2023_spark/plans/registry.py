@@ -1086,6 +1086,12 @@ REGISTRY: dict[str, Query] = {
         ("embeddings",),
         "X3 Johnson-Lindenstrauss ±1 sketch (64→8 dims, exact integer dot)",
     ),
+    "neardup_eval": Query(
+        llmops.neardup_eval,
+        llmops.NEARDUP_EVAL_SQL,
+        ("documents",),
+        "X2g LSH candidate precision/recall vs exact Jaccard ground truth",
+    ),
     "sliding_event_counts": Query(
         eventstream.sliding_event_counts,
         eventstream.SLIDING_EVENT_COUNTS_SQL,
@@ -1292,7 +1298,7 @@ _DEFERRED_TO_R4 = [
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
-    "part_golden_records", "jl_projection",
+    "part_golden_records", "jl_projection", "neardup_eval",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
