@@ -2479,3 +2479,84 @@ WHERE NOT EXISTS (
     AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
 )
 """
+
+
+# --- A19: shuffle-key skew diagnostics ---------------------------------------
+_SKEW_FAMILIES = (
+    ("lineitem", "l_suppkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+    ("documents", "source"),
+)
+
+
+def skew_profile(t: Tables) -> DataFrame:
+    """A19 ops governance: per join/aggregation-key family, the hot-key
+    statistics that decide WHEN to salt — row count, distinct keys,
+    the hottest key's absolute count and share, and the max/mean ratio
+    (a uniform key family sits near 1; the 50% hot key the salting test
+    injects would show ~n_keys/2). This is the measurement step in
+    front of copair_counts_salted / AQE skew joins: salting costs an
+    extra shuffle stage, so a pipeline should prove skew before paying
+    for the cure.
+
+    Scale shape: per family one partial-aggregated keyed count plus a
+    4-way scalar agg — never collects keys; the per-family 1-row
+    results union into a 5-row report. Exactness: counts are BIGINTs;
+    share/ratio are single divisions rounded once, spelled identically
+    in the oracle."""
+    outs = []
+    for table, key in _SKEW_FAMILIES:
+        counts = (
+            t[table]
+            .groupBy(F.col(key).cast("string").alias("k"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        outs.append(
+            counts.agg(
+                F.sum("c").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("c").alias("max_cnt"),
+            ).select(
+                F.lit(f"{table}.{key}").alias("family"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_keys").cast("bigint").alias("n_keys"),
+                F.col("max_cnt").cast("bigint").alias("max_cnt"),
+                F.round(
+                    F.col("max_cnt").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("max_share"),
+                F.round(
+                    F.col("max_cnt").cast("double")
+                    * F.col("n_keys").cast("double")
+                    / F.col("n_rows").cast("double"),
+                    6,
+                ).alias("max_over_mean"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _skew_family_sql(table: str, key: str) -> str:
+    return f"""
+SELECT '{table}.{key}' AS family,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(MAX(c) AS BIGINT) AS max_cnt,
+       ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS max_share,
+       ROUND(CAST(MAX(c) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE), 6) AS max_over_mean
+FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c
+      FROM {table} GROUP BY 1)
+"""
+
+
+SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
+    _skew_family_sql(tb, k) for tb, k in _SKEW_FAMILIES
+)

@@ -1038,6 +1038,12 @@ REGISTRY: dict[str, Query] = {
         ("part",),
         "A20 2-D Pareto frontier via per-price window (no all-pairs)",
     ),
+    "skew_profile": Query(
+        analytics.skew_profile,
+        analytics.SKEW_PROFILE_SQL,
+        ("lineitem", "orders", "events", "documents"),
+        "A19 hot-key skew diagnostics per join-key family (salt-or-not signal)",
+    ),
     "containment_pairs": Query(
         llmops.containment_pairs,
         llmops.CONTAINMENT_PAIRS_SQL,
@@ -1298,7 +1304,7 @@ _DEFERRED_TO_R4 = [
     "simhash_hamming_pairs", "pii_scrub", "corpus_embedding_reconcile",
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
-    "part_golden_records", "jl_projection", "neardup_eval",
+    "part_golden_records", "jl_projection", "neardup_eval", "skew_profile",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
