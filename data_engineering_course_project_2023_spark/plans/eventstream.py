@@ -1462,3 +1462,86 @@ SELECT variant, n_view, n_click, n_purchase,
          AS click_to_purchase
 FROM counts
 """
+
+
+# --- time-series anomaly flags -----------------------------------------------
+def daily_anomaly_flags(t: Tables) -> DataFrame:
+    """Monitoring: flag days whose total value deviates > 3σ from the
+    TRAILING 28-day window (current day excluded — the day under test
+    must not contaminate its own baseline), per event_type; windows
+    with < 7 prior days never flag (cold start). The alarm a daily
+    ingest pipeline hangs off its volume metrics.
+
+    Cross-engine exactness: the whole test runs in integers — daily
+    totals are exact cents; with n = window days, s1 = Σc, s2 = Σc²,
+    d = c·n − s1 (n-scaled deviation), the 3σ test z² > 9 rewrites as
+    d² > 9·(n·s2 − s1²) — both sides exact DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB), no float σ or division anywhere. Zero-variance
+    baselines flag ANY deviation (d ≠ 0) — documented, matched by the
+    oracle.
+
+    Scale shape: one keyed pre-agg to (type, day) then a RANGE frame
+    over the bounded calendar — same topology as rolling_avg_value;
+    per-key state is the 28-row frame, independent of event volume."""
+    daily = (
+        t["events"]
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(18,2)")) * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .withColumn("day_idx", F.datediff("day", F.lit("2024-01-01")))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rangeBetween(-28, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cents").over(w)
+    s2 = F.sum(
+        (F.col("cents").cast("decimal(38,0)") * F.col("cents"))
+    ).over(w)
+    stats = daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents") / F.lit(100.0)).alias("day_value"),
+        n.cast("bigint").alias("n_window"),
+        (F.col("cents").cast("decimal(38,0)") * n - s1).alias("d"),
+        (s2 * n - (s1.cast("decimal(38,0)") * s1)).alias("nvar"),
+    )
+    return stats.select(
+        "event_type", "day", "day_value", "n_window",
+        (
+            (F.col("n_window") >= 7)
+            & (F.col("d") * F.col("d") > F.lit(9) * F.col("nvar"))
+        ).alias("is_anomaly"),
+    )
+
+
+DAILY_ANOMALY_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents,
+         (CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01') AS day_idx
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, cents,
+         COUNT(*) OVER w AS n_window,
+         SUM(CAST(cents AS HUGEINT)) OVER w AS s1,
+         SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT)) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day_idx
+               RANGE BETWEEN 28 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+       CAST(cents AS DOUBLE) / 100.0 AS day_value,
+       CAST(n_window AS BIGINT) AS n_window,
+       (n_window >= 7 AND
+        (CAST(cents AS HUGEINT) * n_window - s1)
+        * (CAST(cents AS HUGEINT) * n_window - s1)
+        > 9 * (s2 * n_window - s1 * s1)) AS is_anomaly
+FROM win
+"""

@@ -751,6 +751,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "calendar-aware trailing 7-day rolling mean (RANGE frame, exact cents)",
     ),
+    "daily_anomaly_flags": Query(
+        eventstream.daily_anomaly_flags,
+        eventstream.DAILY_ANOMALY_SQL,
+        ("events",),
+        "trailing-28d 3-sigma volume anomaly flags (exact-integer z-test)",
+    ),
     "regr_value_trend": Query(
         eventstream.regr_value_trend,
         eventstream.REGR_TREND_SQL,
@@ -1305,6 +1311,7 @@ _DEFERRED_TO_R4 = [
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
     "part_golden_records", "jl_projection", "neardup_eval", "skew_profile",
+    "daily_anomaly_flags",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
