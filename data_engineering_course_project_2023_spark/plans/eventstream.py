@@ -1545,3 +1545,67 @@ SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
         > 9 * (s2 * n_window - s1 * s1)) AS is_anomaly
 FROM win
 """
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+def incremental_daily_merge(t: Tables) -> DataFrame:
+    """Incremental-view-maintenance discipline: the daily (count, total)
+    rollup computed as MERGE(materialized history, new-batch delta)
+    instead of a full recompute — the split is a deterministic 80/20
+    hash of event_id standing in for "yesterday's gold table + today's
+    arrivals". The ORACLE is the direct single-pass aggregate over all
+    events, so the parity gate itself certifies merge == recompute:
+    count and exact-cent sum are decomposable aggregates, and this
+    query is the pinned witness that the merge spelling is safe to use
+    for backfills at 100 TB (touch only the delta, never rescan
+    history). Non-decomposable metrics (exact distinct users) are the
+    documented counter-example — they need a mergeable sketch (KMV /
+    HLL, plans/approx.py) or a two-level (day, user) pre-distinct.
+
+    Scale shape: each branch is one keyed partial agg; the merge
+    re-aggregates ~365-row frames. At scale the history branch is a
+    stored table scan, not a recompute — the plan shape here is the
+    delta side's."""
+    split = (
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        )
+        % 10
+    )
+    day = F.to_date("ts").alias("day")
+    cents = (F.sum(F.col("value").cast("decimal(18,2)")) * 100).cast("bigint")
+
+    def branch(pred):
+        return (
+            t["events"]
+            .filter(pred)
+            .groupBy(day)
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                cents.alias("cents"),
+            )
+        )
+
+    merged = (
+        branch(split < 8)
+        .unionAll(branch(split >= 8))
+        .groupBy("day")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+    )
+    return merged.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        (F.col("cents") / F.lit(100.0)).alias("total_value"),
+    )
+
+
+INCREMENTAL_DAILY_MERGE_SQL = """
+SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS DOUBLE)
+         / 100.0 AS total_value
+FROM events GROUP BY 1
+"""

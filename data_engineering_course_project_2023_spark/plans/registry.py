@@ -757,6 +757,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "trailing-28d 3-sigma volume anomaly flags (exact-integer z-test)",
     ),
+    "incremental_daily_merge": Query(
+        eventstream.incremental_daily_merge,
+        eventstream.INCREMENTAL_DAILY_MERGE_SQL,
+        ("events",),
+        "history+delta merged rollup; oracle recomputes direct (merge==direct)",
+    ),
     "regr_value_trend": Query(
         eventstream.regr_value_trend,
         eventstream.REGR_TREND_SQL,
@@ -1311,7 +1317,7 @@ _DEFERRED_TO_R4 = [
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
     "part_golden_records", "jl_projection", "neardup_eval", "skew_profile",
-    "daily_anomaly_flags",
+    "daily_anomaly_flags", "incremental_daily_merge",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
