@@ -392,3 +392,12 @@ def test_cbo_column_stats_flip_selective_join_to_broadcast(spark, tmp_path):
             spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS li_cbo")
         spark.sql("DROP TABLE IF EXISTS o_cbo")
+
+
+def test_jl_projection_is_map_only(spark):
+    """The JL sketch is Scan→Project→Generate: the ±1 matrix is a
+    folded literal and the contraction runs inside the scan stage —
+    ANY Exchange means the sketch stopped being scan-bound."""
+    plan = plan_of(registry.run_query("jl_projection", spark, SF_CORRECT))
+    assert "Exchange" not in plan
+    assert "ReadSchema" in plan and "embedding" in plan
