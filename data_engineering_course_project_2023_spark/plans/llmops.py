@@ -4917,3 +4917,52 @@ SELECT CAST(n_pred AS BIGINT) AS n_pred,
 FROM m
 """.format(mh_cols=_mh_cols(), band_union=_band_union(),
            _SHINGLE_CTE=_SHINGLE_CTE)
+
+
+# --- §2.8 multimodal resize (oracled through the fake-decode seam) ----------
+RESIZE_MAX_SIDE = 48  # inside the fake 16..79 geometry range → both branches
+
+
+def multimodal_resize(t: Tables) -> DataFrame:
+    """§2.8: the resize stage run through the registry gate — encode
+    text to a blob, mapInPandas aspect-preserving downscale to
+    RESIZE_MAX_SIDE (pass-through below it; the fixture geometry range
+    exercises BOTH branches), output geometries + the deterministic
+    resized-payload hash. Because the fake decode is sha256-derived and
+    the re-encode hash is sha256(bytes || geometry tag), the oracle
+    recomputes the ENTIRE Python/Arrow batch path in SQL — the
+    strongest check a stubbed media stage can get: schema, batch
+    plumbing, integer geometry math, and payload hashing all
+    exact-checked (the real decoder drops into the same seam)."""
+    from ..operators import multimodal
+
+    media = multimodal.documents_as_media(spread(t["documents"]))
+    return multimodal.resize_images(media, max_side=RESIZE_MAX_SIDE).select(
+        "media_id", "width", "height", "out_width", "out_height",
+        "resized_sha",
+    )
+
+
+MULTIMODAL_RESIZE_SQL = f"""
+WITH g AS (
+  SELECT doc_id AS media_id,
+         16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INTEGER) % 64 AS w,
+         16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INTEGER) % 64 AS h,
+         text
+  FROM documents
+), s AS (
+  SELECT media_id, w, h, text,
+         CASE WHEN greatest(w, h) <= {RESIZE_MAX_SIDE} THEN w
+              ELSE greatest(1, (w * {RESIZE_MAX_SIDE}) // greatest(w, h, 1))
+         END AS ow,
+         CASE WHEN greatest(w, h) <= {RESIZE_MAX_SIDE} THEN h
+              ELSE greatest(1, (h * {RESIZE_MAX_SIDE}) // greatest(w, h, 1))
+         END AS oh
+  FROM g
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height,
+       sha256(text || '|' || ow || 'x' || oh) AS resized_sha
+FROM s
+"""

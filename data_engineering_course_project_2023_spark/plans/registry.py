@@ -1110,6 +1110,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X2g LSH candidate precision/recall vs exact Jaccard ground truth",
     ),
+    "multimodal_resize": Query(
+        llmops.multimodal_resize,
+        llmops.MULTIMODAL_RESIZE_SQL,
+        ("documents",),
+        "§2.8 mapInPandas resize stage, whole Arrow path sha-oracled",
+    ),
     "sliding_event_counts": Query(
         eventstream.sliding_event_counts,
         eventstream.SLIDING_EVENT_COUNTS_SQL,
@@ -1317,7 +1323,7 @@ _DEFERRED_TO_R4 = [
     "boilerplate_strip", "hard_negatives", "encoding_quality",
     "retrieval_metrics", "script_profile", "classifier_calibration",
     "part_golden_records", "jl_projection", "neardup_eval", "skew_profile",
-    "daily_anomaly_flags", "incremental_daily_merge",
+    "daily_anomaly_flags", "incremental_daily_merge", "multimodal_resize",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
