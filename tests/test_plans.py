@@ -93,6 +93,8 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "bm25_topk",
         # same stats row + the 1-row query-vector broadcast
         "hybrid_rrf",
+        # three 1-row metric aggregates broadcast-joined into the report
+        "neardup_eval",
     }
     offenders = {}
     for name in registry.REGISTRY:
