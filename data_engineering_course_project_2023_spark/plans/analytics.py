@@ -2560,3 +2560,60 @@ FROM (SELECT CAST({key} AS VARCHAR) AS k, COUNT(*) AS c
 SKEW_PROFILE_SQL = "\nUNION ALL\n".join(
     _skew_family_sql(tb, k) for tb, k in _SKEW_FAMILIES
 )
+
+
+# --- A23: co-occurrence recommendations --------------------------------------
+REC_TOP_K = 3
+
+
+def part_recommendations(t: Tables) -> DataFrame:
+    """A23: the serving table an item-to-item recommender ships — for
+    every part, the top-3 co-ordered partners by co-order count
+    (count desc, partner-key asc total-order tie-break). Classic
+    "customers also bought", built on the shared map-side co-order
+    pair stream (coorder_pair_stream): symmetrize the canonical pairs
+    with one union, one keyed count, one bounded per-key window.
+
+    Scale shape: the pair stream shuffles once into the (part, rec)
+    count; the row_number window rides the same hash partitioning
+    (partitionBy = the groupBy key), and its frame is bounded by each
+    part's partner count. Hot parts are exactly the skew the salted
+    twin measures (skew_profile's lineitem.l_partkey row) — at 100 TB
+    cap partner lists first (count cut) if a super-item appears."""
+    pairs = coorder_pair_stream(t["lineitem"])
+    sym = pairs.select(
+        F.col("src").alias("part"), F.col("dst").alias("rec")
+    ).unionAll(
+        pairs.select(F.col("dst").alias("part"), F.col("src").alias("rec"))
+    )
+    counts = sym.groupBy("part", "rec").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    w = Window.partitionBy("part").orderBy(
+        F.col("n_orders").desc(), F.col("rec").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= REC_TOP_K)
+        .select("part", "rec", "n_orders", "rank")
+    )
+
+
+PART_RECOMMENDATIONS_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part, b.l_partkey AS rec, COUNT(*) AS n_orders
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT part, rec, n_orders,
+         ROW_NUMBER() OVER (PARTITION BY part
+                            ORDER BY n_orders DESC, rec ASC) AS rank
+  FROM pairs
+)
+SELECT part, rec, CAST(n_orders AS BIGINT) AS n_orders,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {REC_TOP_K}
+"""

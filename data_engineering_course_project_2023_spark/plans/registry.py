@@ -1056,6 +1056,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "orders", "events", "documents"),
         "A19 hot-key skew diagnostics per join-key family (salt-or-not signal)",
     ),
+    "part_recommendations": Query(
+        analytics.part_recommendations,
+        analytics.PART_RECOMMENDATIONS_SQL,
+        ("lineitem",),
+        "A23 item-to-item top-3 co-order recommendations (bounded window)",
+    ),
     "containment_pairs": Query(
         llmops.containment_pairs,
         llmops.CONTAINMENT_PAIRS_SQL,
@@ -1324,6 +1330,7 @@ _DEFERRED_TO_R4 = [
     "retrieval_metrics", "script_profile", "classifier_calibration",
     "part_golden_records", "jl_projection", "neardup_eval", "skew_profile",
     "daily_anomaly_flags", "incremental_daily_merge", "multimodal_resize",
+    "part_recommendations",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
