@@ -4966,3 +4966,91 @@ SELECT media_id,
        sha256(text || '|' || ow || 'x' || oh) AS resized_sha
 FROM s
 """
+
+
+# --- X4: bigram transition model ---------------------------------------------
+BIGRAM_MIN_FIRST = 50  # min occurrences of w1 before its row is modeled
+BIGRAM_TOP_K = 3
+
+
+def bigram_lm_top(t: Tables) -> DataFrame:
+    """X4: conditional bigram table — for every sufficiently-frequent
+    first token, the top-3 successors with exact integer-micro
+    conditional probability p(w2|w1) = count(w1 w2)·10⁶ div count(w1·).
+    The next-token-distribution table behind corpus perplexity probes
+    and boilerplate detectors (unigram_surprisal's conditional
+    big sibling); probabilities stay integers so ranking and parity
+    are order-free exact.
+
+    Scale shape: bigrams expand MAP-SIDE (zip_with over the token
+    array inside the scan stage — no token explode before pairing);
+    one keyed count, the w1 totals derive from the SAME counts frame
+    (sum over w2 — no second corpus pass), and the per-w1 window is
+    bounded by the successor fan-out. Tie-break (count desc, w2 asc)
+    is total-order."""
+    from pyspark.sql.window import Window
+
+    w = textops.tokens("text")
+    pairs = (
+        spread(t["documents"])
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    win = Window.partitionBy("w1").orderBy(
+        F.col("n_pair").desc(), F.col("w2").asc()
+    )
+    return (
+        counts.join(
+            totals.filter(F.col("n_first") >= BIGRAM_MIN_FIRST), "w1"
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= BIGRAM_TOP_K)
+        .select(
+            "w1", "w2",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            F.col("n_first").cast("bigint").alias("n_first"),
+            # integral DIV, not float / + cast: a quotient that double-
+            # rounds UP across an integer boundary would diverge from
+            # DuckDB's // floor
+            F.expr(
+                "CAST((n_pair * CAST(1000000 AS BIGINT)) DIV n_first"
+                " AS BIGINT)"
+            ).alias("p_micro"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
+BIGRAM_LM_TOP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+big AS (SELECT w[i] AS w1, w[i+1] AS w2 FROM idx),
+counts AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2),
+totals AS (SELECT w1, SUM(n_pair) AS n_first FROM counts GROUP BY 1),
+ranked AS (
+  SELECT c.w1, c.w2, c.n_pair, t.n_first,
+         ROW_NUMBER() OVER (PARTITION BY c.w1
+                            ORDER BY c.n_pair DESC, c.w2 ASC) AS rank
+  FROM counts c JOIN totals t USING (w1)
+  WHERE t.n_first >= {BIGRAM_MIN_FIRST}
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_first AS BIGINT) AS n_first,
+       CAST((n_pair * 1000000) // n_first AS BIGINT) AS p_micro,
+       CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= {BIGRAM_TOP_K}
+"""

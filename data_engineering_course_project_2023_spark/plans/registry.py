@@ -242,6 +242,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "P14 counts + X5 exact distinct",
     ),
+    "table_manifest": Query(
+        relational.table_manifest,
+        relational.TABLE_MANIFEST_SQL,
+        tuple(tb for tb, _ in relational._MANIFEST_KEYS),
+        "P14+ order-free key-set fingerprint per table (snapshot manifest)",
+    ),
     "explode_tokens": Query(
         relational.explode_tokens,
         relational.EXPLODE_TOKENS_SQL,
@@ -1122,6 +1128,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "§2.8 mapInPandas resize stage, whole Arrow path sha-oracled",
     ),
+    "bigram_lm_top": Query(
+        llmops.bigram_lm_top,
+        llmops.BIGRAM_LM_TOP_SQL,
+        ("documents",),
+        "X4 conditional bigram top-3 transitions (integer-micro p(w2|w1))",
+    ),
     "sliding_event_counts": Query(
         eventstream.sliding_event_counts,
         eventstream.SLIDING_EVENT_COUNTS_SQL,
@@ -1332,12 +1344,20 @@ _DEFERRED_TO_R4 = [
     "daily_anomaly_flags", "incremental_daily_merge", "multimodal_resize",
     "part_recommendations",
 ]
+# r4's 50-row window is exactly full with _DEFERRED_TO_R4; additions
+# beyond it wait one more round so they cannot displace a promised row.
+_DEFERRED_TO_R5 = [
+    "table_manifest", "bigram_lm_top",
+]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
+assert set(_DEFERRED_TO_R5) <= set(REGISTRY)
 # Within the still-awaiting front section, oracled queries outrank
 # rows-only ones (oracle=None gets only a weak row-count check from the
 # driver, so losing its row to the cap costs the least).
-_BACK = set(_DRIVER_VERIFIED) | set(_DEFERRED_TO_R4)
+_BACK = (
+    set(_DRIVER_VERIFIED) | set(_DEFERRED_TO_R4) | set(_DEFERRED_TO_R5)
+)
 REGISTRY = {
     **{
         n: q
@@ -1350,6 +1370,7 @@ REGISTRY = {
         if n not in _BACK and q.oracle is None
     },
     **{n: REGISTRY[n] for n in _DEFERRED_TO_R4},
+    **{n: REGISTRY[n] for n in _DEFERRED_TO_R5},
     **{n: REGISTRY[n] for n in _DRIVER_VERIFIED},
 }
 

@@ -607,3 +607,83 @@ SELECT 'supplier.s_nationkey->nation',
         WHERE NOT EXISTS (SELECT 1 FROM nation n
                           WHERE n.n_nationkey = s.s_nationkey)) = 0
 """
+
+
+# --- P14+: dataset snapshot manifest -----------------------------------------
+_MANIFEST_KEYS = (
+    ("region", ("r_regionkey",)),
+    ("nation", ("n_nationkey",)),
+    ("customer", ("c_custkey",)),
+    ("supplier", ("s_suppkey",)),
+    ("part", ("p_partkey",)),
+    ("orders", ("o_orderkey",)),
+    ("lineitem", ("l_orderkey", "l_linenumber")),
+    ("events", ("event_id",)),
+    ("documents", ("doc_id",)),
+    ("embeddings", ("vec_id",)),
+)
+
+
+def table_manifest(t: Tables) -> DataFrame:
+    """P14+ reproducibility manifest: per table, the row count and an
+    ORDER-FREE key-set fingerprint — Σ over rows of a 60-bit md5 slice
+    of the (composite) primary key, summed exactly in DECIMAL(38,0)
+    (DuckDB: HUGEINT). Two snapshots with equal manifests hold the same
+    key sets regardless of file layout, partitioning, or row order —
+    the cheap dataset-versioning check a training run records next to
+    its config (full content hashing adds columns to the same fold;
+    keys are the stable cross-engine-renderable core).
+
+    Scale shape: per table one map-side hash + a 1-row total agg
+    (partial-aggregated — the sum never sees a single-reducer stream
+    until 10 part-rows); the 10 one-row frames union into the report.
+    The fingerprint is emitted as a digit STRING so every engine and
+    every pandas layer hashes it identically (the r2 driver-err
+    lesson: exotic numeric dtypes do not survive canonicalizers)."""
+    outs = []
+    for table, keys in _MANIFEST_KEYS:
+        key_str = (
+            F.col(keys[0]).cast("string")
+            if len(keys) == 1
+            else F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+        )
+        h = (
+            F.conv(F.substring(F.md5(key_str), 1, 15), 16, 10)
+            .cast("decimal(38,0)")
+        )
+        outs.append(
+            t[table]
+            .select(h.alias("h"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("h").alias("fp"),
+            )
+            .select(
+                F.lit(table).alias("tbl"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("fp").cast("string").alias("key_fingerprint"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _manifest_sql_one(table: str, keys: tuple[str, ...]) -> str:
+    key = (
+        f"CAST({keys[0]} AS VARCHAR)"
+        if len(keys) == 1
+        else " || '|' || ".join(f"CAST({k} AS VARCHAR)" for k in keys)
+    )
+    return f"""
+SELECT '{table}' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(('0x' || substr(md5({key}), 1, 15)) AS BIGINT))
+            AS VARCHAR) AS key_fingerprint
+FROM {table}
+"""
+
+
+TABLE_MANIFEST_SQL = "\nUNION ALL\n".join(
+    _manifest_sql_one(tb, ks) for tb, ks in _MANIFEST_KEYS
+)
