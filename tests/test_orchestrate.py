@@ -116,3 +116,18 @@ def test_bad_wiring_rejected(spark, tmp_path):
             str(tmp_path),
             {"documents": docs},
         )
+
+
+def test_force_rebuilds_named_stage_only(spark, tmp_path):
+    root = str(tmp_path / "dag3")
+    docs = load_table(spark, SF, "documents")
+    run_stages(spark, _stages([0]), root, {"documents": docs})
+    rep = run_stages(
+        spark, _stages([0]), root, {"documents": docs},
+        force=frozenset({"stats"}),
+    )
+    assert rep["clean"]["status"] == "done-skipped"
+    assert rep["stats"]["status"] == "done-built"
+    # report's marker is intact, so it still skips (a scheduler wanting
+    # transitive invalidation forces the downstream set explicitly)
+    assert rep["report"]["status"] == "done-skipped"

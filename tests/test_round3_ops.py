@@ -338,3 +338,48 @@ def test_golden_records_cluster_and_survivorship(spark):
         4: ("aquamarine steel widget", 1, 99.0),
         5: ("completely different name", 1, 7.0),
     }
+
+
+def test_table_manifest_is_layout_and_order_invariant(spark):
+    """The manifest's claim: equal key sets → equal fingerprints, no
+    matter how the data is partitioned or ordered on arrival."""
+    from data_engineering_course_project_2023_spark.plans import relational
+    from data_engineering_course_project_2023_spark.sources.readers import (
+        load_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    tables = {
+        tb: load_table(spark, sf, tb)
+        for tb, _ in relational._MANIFEST_KEYS
+    }
+    base = {
+        r["tbl"]: (r["n_rows"], r["key_fingerprint"])
+        for r in relational.table_manifest(tables).collect()
+    }
+    scrambled = {
+        tb: df.repartition(7).sortWithinPartitions(df.columns[0])
+        for tb, df in tables.items()
+    }
+    again = {
+        r["tbl"]: (r["n_rows"], r["key_fingerprint"])
+        for r in relational.table_manifest(scrambled).collect()
+    }
+    assert base == again
+    # and a dropped row changes the fingerprint (it is content, not count)
+    docs = tables["documents"]
+    first_id = docs.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    mutated = dict(tables)
+    from pyspark.sql import functions as F
+
+    mutated["documents"] = docs.filter(F.col("doc_id") != first_id).unionAll(
+        docs.filter(F.col("doc_id") == first_id).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    third = {
+        r["tbl"]: r["key_fingerprint"]
+        for r in relational.table_manifest(mutated).collect()
+    }
+    assert third["documents"] != base["documents"][1]
+    assert third["region"] == base["region"][1]

@@ -596,3 +596,29 @@ def test_zorder_layout_clusters_two_dim_predicates(spark, tmp_path):
     # the curve concentrates the rectangle; random scatters it
     assert z_files < r_files
     assert z_files <= 4, f"z-order touched {z_files}/16 files"
+
+
+def test_zorder_code_matches_reference_interleave(spark):
+    """zorder_code == the textbook bit-interleave (reference impl in
+    Python) for values across the 16-bit domain, including the mask
+    cascade's edge values."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.sources.writers import (
+        zorder_code,
+    )
+
+    def ref(a, b):
+        out = 0
+        for i in range(16):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    vals = [0, 1, 2, 3, 255, 256, 0x5555, 0xAAAA, 0xFFFF, 12345]
+    rows = [(a, b) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a long, b long").select(
+        "a", "b", zorder_code(F.col("a"), F.col("b")).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == ref(r["a"], r["b"]), (r["a"], r["b"])
