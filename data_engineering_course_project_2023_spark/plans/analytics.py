@@ -2580,14 +2580,20 @@ def part_recommendations(t: Tables) -> DataFrame:
     part's partner count. Hot parts are exactly the skew the salted
     twin measures (skew_profile's lineitem.l_partkey row) — at 100 TB
     cap partner lists first (count cut) if a super-item appears."""
-    pairs = coorder_pair_stream(t["lineitem"])
-    sym = pairs.select(
-        F.col("src").alias("part"), F.col("dst").alias("rec")
-    ).unionAll(
-        pairs.select(F.col("dst").alias("part"), F.col("src").alias("rec"))
+    # count the CANONICAL pairs once, then symmetrize the counts —
+    # the union runs over the aggregated pair table (near-dup-sized),
+    # not the raw per-order pair stream, so the corpus shuffles once
+    canon = (
+        coorder_pair_stream(t["lineitem"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
     )
-    counts = sym.groupBy("part", "rec").agg(
-        F.count(F.lit(1)).alias("n_orders")
+    counts = canon.select(
+        F.col("src").alias("part"), F.col("dst").alias("rec"), "n_orders"
+    ).unionAll(
+        canon.select(
+            F.col("dst").alias("part"), F.col("src").alias("rec"), "n_orders"
+        )
     )
     w = Window.partitionBy("part").orderBy(
         F.col("n_orders").desc(), F.col("rec").asc()
