@@ -4990,20 +4990,7 @@ def bigram_lm_top(t: Tables) -> DataFrame:
     is total-order."""
     from pyspark.sql.window import Window
 
-    w = textops.tokens("text")
-    pairs = (
-        spread(t["documents"])
-        .select(
-            F.explode(
-                F.zip_with(
-                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
-                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
-                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-                )
-            ).alias("bg")
-        )
-        .select("bg.w1", "bg.w2")
-    )
+    pairs = _bigram_stream(t["documents"]).select("w1", "w2")
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
     totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
     win = Window.partitionBy("w1").orderBy(
@@ -5053,4 +5040,96 @@ SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
        CAST((n_pair * 1000000) // n_first AS BIGINT) AS p_micro,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {BIGRAM_TOP_K}
+"""
+
+
+def _bigram_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) adjacent-token pairs, expanded MAP-SIDE inside
+    the scan stage (zip_with over the token array — no pre-pair token
+    explode). Shared by bigram_lm_top's shape and the surprisal scorer."""
+    w = textops.tokens("text")
+    return (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+                    F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def doc_bigram_surprisal(t: Tables) -> DataFrame:
+    """X4: per-document mean CONDITIONAL surprisal −ln p(w2|w1) under
+    the corpus's own bigram model — the KenLM-shaped quality filter one
+    rung above unigram_surprisal: templated/repetitive docs score near
+    0 (their transitions are corpus-predictable), rare-transition soup
+    scores high. Self-scored on the corpus, so every doc bigram exists
+    in the model — no backoff branch to diverge on.
+
+    Cross-engine exactness: the unigram_surprisal discipline —
+    −ln p(w2|w1) = ln(n(w1·)/n(w1 w2)) frozen ONCE per model row to an
+    integer micro-nat; per-doc sums are exact integer sums; one
+    identically-spelled double division at the end.
+
+    Scale shape: bigrams expand map-side; the model table is
+    bigram-vocabulary-sized and hash-joins the doc stream on (w1, w2)
+    (broadcast while it fits, AQE decides); totals derive from the
+    counts frame — the corpus shuffles twice total (model build,
+    score join-back), the inverted-index budget."""
+    bg = _bigram_stream(t["documents"])
+    counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    totals = counts.groupBy("w1").agg(F.sum("n_pair").alias("n_first"))
+    table = counts.join(totals, "w1").select(
+        "w1", "w2",
+        F.round(
+            F.log(F.col("n_first").cast("double")
+                  / F.col("n_pair").cast("double")) * 1e6
+        ).cast("bigint").alias("micro_nats"),
+    )
+    return (
+        bg.join(table, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("micro_nats").alias("sum_micro"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / (F.col("n_bigrams").cast("double") * 1e6),
+                6,
+            ).alias("mean_surprisal"),
+        )
+    )
+
+
+DOC_BIGRAM_SURPRISAL_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM toks),
+big AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2 FROM idx),
+counts AS (SELECT w1, w2, COUNT(*) AS n_pair FROM big GROUP BY 1, 2),
+totals AS (SELECT w1, SUM(n_pair) AS n_first FROM counts GROUP BY 1),
+tbl AS (
+  SELECT w1, w2,
+         CAST(round(ln(CAST(n_first AS DOUBLE) / CAST(n_pair AS DOUBLE))
+                    * 1e6) AS BIGINT) AS micro_nats
+  FROM counts JOIN totals USING (w1)
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(SUM(micro_nats) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_surprisal
+FROM big JOIN tbl USING (w1, w2)
+GROUP BY 1
 """

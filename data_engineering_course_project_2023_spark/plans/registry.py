@@ -1134,6 +1134,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 conditional bigram top-3 transitions (integer-micro p(w2|w1))",
     ),
+    "doc_bigram_surprisal": Query(
+        llmops.doc_bigram_surprisal,
+        llmops.DOC_BIGRAM_SURPRISAL_SQL,
+        ("documents",),
+        "X4 per-doc mean -ln p(w2|w1) quality score (micro-nat frozen)",
+    ),
     "sliding_event_counts": Query(
         eventstream.sliding_event_counts,
         eventstream.SLIDING_EVENT_COUNTS_SQL,
@@ -1347,7 +1353,7 @@ _DEFERRED_TO_R4 = [
 # r4's 50-row window is exactly full with _DEFERRED_TO_R4; additions
 # beyond it wait one more round so they cannot displace a promised row.
 _DEFERRED_TO_R5 = [
-    "table_manifest", "bigram_lm_top",
+    "table_manifest", "bigram_lm_top", "doc_bigram_surprisal",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
