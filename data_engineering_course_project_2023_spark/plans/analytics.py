@@ -2623,3 +2623,64 @@ SELECT part, rec, CAST(n_orders AS BIGINT) AS n_orders,
        CAST(rank AS INTEGER) AS rank
 FROM ranked WHERE rank <= {REC_TOP_K}
 """
+
+
+# --- A24: supplier operations scorecard --------------------------------------
+def supplier_scorecard(t: Tables) -> DataFrame:
+    """A24 metrics layer: ONE partial-aggregated pass over the fact
+    builds the per-supplier ops scorecard — line volume, distinct parts
+    carried, exact-decimal revenue, and return rate — then a broadcast
+    join attaches the supplier dimension. The wide-conditional-agg
+    shape every BI metrics layer compiles to; defining all metrics in
+    one groupBy (not one query per metric) is what keeps the fact scan
+    single-pass at 100 TB.
+
+    Exactness: revenue sums in DECIMAL(18,2) and casts to double once
+    (the pricing_summary discipline); return_rate is an integer-count
+    division rounded once, spelled identically in the oracle."""
+    per_supp = (
+        t["lineitem"]
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.sum(revenue()).cast("double").alias("revenue"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("n_returned"),
+        )
+    )
+    return (
+        per_supp.join(
+            F.broadcast(
+                t["supplier"].select("s_suppkey", "s_name", "s_nationkey")
+            ),
+            per_supp["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            F.col("n_lines").cast("bigint").alias("n_lines"),
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            "revenue",
+            F.round(
+                F.col("n_returned").cast("double")
+                / F.col("n_lines").cast("double"),
+                6,
+            ).alias("return_rate"),
+        )
+    )
+
+
+SUPPLIER_SCORECARD_SQL = """
+SELECT s.s_suppkey AS suppkey, s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS n_parts,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue,
+       ROUND(CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS return_rate
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""

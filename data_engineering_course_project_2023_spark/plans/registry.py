@@ -1068,6 +1068,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "A23 item-to-item top-3 co-order recommendations (bounded window)",
     ),
+    "supplier_scorecard": Query(
+        analytics.supplier_scorecard,
+        analytics.SUPPLIER_SCORECARD_SQL,
+        ("lineitem", "supplier"),
+        "A24 one-pass per-supplier ops scorecard (wide conditional aggs)",
+    ),
     "containment_pairs": Query(
         llmops.containment_pairs,
         llmops.CONTAINMENT_PAIRS_SQL,
@@ -1354,6 +1360,7 @@ _DEFERRED_TO_R4 = [
 # beyond it wait one more round so they cannot displace a promised row.
 _DEFERRED_TO_R5 = [
     "table_manifest", "bigram_lm_top", "doc_bigram_surprisal",
+    "supplier_scorecard",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
 assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
