@@ -1351,7 +1351,7 @@ _R3_DRIVER_VERIFIED = [
     "customer_rfm", "nation_supplier_hhi", "doc_cosine_pairs", "oov_rate",
     "node_jaccard", "variant_props_profile",
 ]
-_DRIVER_VERIFIED = (
+_DRIVER_VERIFIED_PRE_R4 = (
     _R1_DRIVER_VERIFIED + _R2_DRIVER_VERIFIED + _R3_DRIVER_VERIFIED
 )
 # The three engine-internal sketch queries (HLL, percentile_approx,
@@ -1359,15 +1359,17 @@ _DRIVER_VERIFIED = (
 # DuckDB — they burned 3 of r3's 50 sample slots as `err: no_oracle`
 # rows (VERDICT_r3 "What's wrong" #1). Park them at the ABSOLUTE back
 # so no future 50-row window is ever spent on a row that cannot go
-# green. Their capabilities stay verified via the exact twins
-# (`table_counts`, `value_quantiles`, `kmv_distinct_users`,
-# `cms_token_counts`, `minhash_pairs`).
+# green. Their capabilities are covered by the exact twins
+# (`table_counts`, `value_quantiles`, `minhash_pairs` — driver-green
+# r1/r2/r3 — and `kmv_distinct_users`/`cms_token_counts`, driver-green
+# in CORRECTNESS_r04).
 _NO_ORACLE_PARK = [
     "approx_distinct_users", "approx_value_quantiles", "minhash_ml",
 ]
-# r3 additions that would overflow the 50-row window: wait one round
-# rather than displace a query promised a row since r2.
-_DEFERRED_TO_R4 = [
+# CORRECTNESS_r04: the r4 window sampled exactly this list — 50/50
+# green, zero err rows (VERDICT_r4 headline) — so it folds into the
+# verified block above.
+_R4_DRIVER_VERIFIED = [
     "epoch_batches", "weighted_doc_sample",
     "kmv_distinct_users", "cms_token_counts",
     "concurrent_users_peak", "impute_lang_eval", "quality_classifier",
@@ -1388,44 +1390,39 @@ _DEFERRED_TO_R4 = [
     "daily_anomaly_flags", "incremental_daily_merge", "multimodal_resize",
     "part_recommendations",
 ]
-# r4's 50-row window is exactly full with _DEFERRED_TO_R4; additions
-# beyond it wait one more round so they cannot displace a promised row.
-# VERDICT_r3 #8: from r5 on, every window keeps the flagship + one
-# arxiv-family query fresh, so reference parity always has a recent
-# driver row — hence the two re-check names leading _DEFERRED_TO_R5.
-_DEFERRED_TO_R5 = [
+_DRIVER_VERIFIED = _DRIVER_VERIFIED_PRE_R4 + _R4_DRIVER_VERIFIED
+# r5 window (VERDICT_r4 #1): leads with the flagship + arxiv-family
+# parity re-checks (window policy, VERDICT_r3 #8), then the 4 oracled
+# queries that have never had a driver row. Queries NEW in round 5 are
+# appended here as they land, oracled-first, up to the 50-row cap.
+_R5_WINDOW = [
     "star_revenue_by_region_year", "arxiv_clean_silver",  # parity re-checks
     "table_manifest", "bigram_lm_top", "doc_bigram_surprisal",
     "supplier_scorecard",
 ]
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
-assert set(_DEFERRED_TO_R4) <= set(REGISTRY)
-assert set(_DEFERRED_TO_R5) <= set(REGISTRY)
+assert set(_R5_WINDOW) <= set(REGISTRY)
 assert set(_NO_ORACLE_PARK) <= set(REGISTRY)
 # Every registry query must be placed in exactly one rotation bucket;
 # a new query added without a _DEFERRED_TO_R5 entry would silently
 # land at the FRONT and displace a query promised an r4 row.
 assert set(REGISTRY) == (
     set(_DRIVER_VERIFIED)
-    | set(_DEFERRED_TO_R4)
-    | set(_DEFERRED_TO_R5)
+    | set(_R5_WINDOW)
     | set(_NO_ORACLE_PARK)
 ), sorted(
     set(REGISTRY)
     - set(_DRIVER_VERIFIED)
-    - set(_DEFERRED_TO_R4)
-    - set(_DEFERRED_TO_R5)
+    - set(_R5_WINDOW)
     - set(_NO_ORACLE_PARK)
 )
 # Within the still-awaiting front section, oracled queries outrank
 # rows-only ones (oracle=None gets only a weak row-count check from the
 # driver, so losing its row to the cap costs the least).
 _BACK = (
-    set(_DRIVER_VERIFIED)
-    | set(_DEFERRED_TO_R4)
-    | set(_DEFERRED_TO_R5)
-    | set(_NO_ORACLE_PARK)
+    set(_DRIVER_VERIFIED) | set(_R5_WINDOW) | set(_NO_ORACLE_PARK)
 )
+_R5 = set(_R5_WINDOW)
 REGISTRY = {
     **{
         n: q
@@ -1437,13 +1434,8 @@ REGISTRY = {
         for n, q in REGISTRY.items()
         if n not in _BACK and q.oracle is None
     },
-    **{n: REGISTRY[n] for n in _DEFERRED_TO_R4},
-    **{n: REGISTRY[n] for n in _DEFERRED_TO_R5},
-    **{
-        n: REGISTRY[n]
-        for n in _DRIVER_VERIFIED
-        if n not in set(_DEFERRED_TO_R5)
-    },
+    **{n: REGISTRY[n] for n in _R5_WINDOW},
+    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R5},
     **{n: REGISTRY[n] for n in _NO_ORACLE_PARK},
 }
 
