@@ -2,11 +2,14 @@
 
 The exact forms (count distinct, percentile) are oracle-checked in
 eventstream.py / relational.py; these sketch versions are what actually
-runs at 100 TB — HLL++ and KLL-ish quantile sketches are mergeable, so
-they partial-aggregate map-side and shuffle O(sketch) bytes instead of
-O(distinct values). Sketch internals are engine-specific, so the driver
-records rows-only checks here (no oracle) — the exact twins pin
-correctness, these pin scalability.
+runs at 100 TB — mergeable sketches partial-aggregate map-side and
+shuffle O(sketch) bytes instead of O(distinct values). Two tiers here:
+the JVM-internal hash families (HLL++, percentile_approx) are
+engine-specific and get rows-only driver checks, while the sketches
+built on the repo's own deterministic hash/integer arithmetic (KMV,
+Count-Min, the HDR log-histogram quantile sketch) carry EXACT DuckDB
+oracles — approximate algorithms with bit-identical cross-engine
+answers.
 """
 
 from __future__ import annotations
@@ -229,10 +232,10 @@ GROUP BY tok, true_n
 
 
 # --- X5e: mergeable quantile sketch (log-linear / HDR-style), exact-oracled --
-# VERDICT_r4 #2. KLL and t-digest — the usual mergeable quantile
-# sketches — cannot be value-oracled across engines: KLL compaction
-# flips coins and t-digest centroids depend on merge order. The
-# DETERMINISTIC member of the mergeable-summaries family is the
+# VERDICT_r4 #2 / VERDICT_r5 #1. KLL and t-digest — the usual mergeable
+# quantile sketches — cannot be value-oracled across engines: KLL
+# compaction flips coins and t-digest centroids depend on merge order.
+# The DETERMINISTIC member of the mergeable-summaries family is the
 # fixed-bucket log-histogram (q-digest leaves / DDSketch / HDR
 # histogram): bucket = (floor(log2(u)), linear sub-bucket), count per
 # bucket. Build is order-insensitive, merge is bucket-wise integer
@@ -241,7 +244,10 @@ GROUP BY tok, true_n
 # via an array literal — so Spark and DuckDB produce bit-identical
 # sketches and bit-identical quantile answers. Relative value error is
 # bounded by 1/HDR_M per octave; the exact disc-quantile twin rides
-# along in the same output so the driver hash also pins the error.
+# along in the same output (hdr_value_quantiles) so the driver hash
+# also pins the error bound, and hdr_sketch_merge builds the sketch as
+# a history+delta MERGE while its oracle recomputes direct — the
+# parity gate itself certifies merge == recompute.
 HDR_M = 32  # linear sub-buckets per power-of-two octave → rel. err ≤ 1/32
 _POW2_CSV = ", ".join(str(1 << i) for i in range(63))
 
@@ -249,13 +255,19 @@ _POW2_CSV = ", ".join(str(1 << i) for i in range(63))
 def _hdr_hist(df: DataFrame, group: str, units: str) -> DataFrame:
     """(group, lo, cnt): the sketch itself — bucket lower bound `lo`
     in integer units + occupancy. ≤ 63·HDR_M buckets per group no
-    matter the input size; this frame IS the mergeable state."""
+    matter the input size; this frame IS the mergeable state.
+
+    Domain: units must be a positive integer expression. Non-positive
+    rows are filtered here (bin() of a negative long emits 64
+    two's-complement bits, which would index past the octave array);
+    values at or above 2^58 would overflow (u - p) * HDR_M — under the
+    session's ANSI mode that FAILS LOUDLY (the nation_supplier_hhi
+    posture) rather than silently diverging, so the practical contract
+    is 1 ≤ units < 2^58."""
     return (
-        df.selectExpr(
-            group,
-            f"length(bin({units})) - 1 AS e",
-            f"{units} AS u",
-        )
+        df.selectExpr(group, f"{units} AS u")
+        .where(F.col("u") >= 1)
+        .selectExpr(group, "length(bin(u)) - 1 AS e", "u")
         .selectExpr(
             group,
             f"element_at(array({_POW2_CSV}), CAST(e + 1 AS INT)) AS p",
@@ -268,11 +280,16 @@ def _hdr_hist(df: DataFrame, group: str, units: str) -> DataFrame:
     )
 
 
-def _hist_quantiles(hist: DataFrame, group: str, prefix: str) -> DataFrame:
+def _hist_quantiles(
+    hist: DataFrame, group: str, prefix: str, scale: int = 100
+) -> DataFrame:
     """p25/p50/p75 from a (group, lo, cnt) histogram: rank targets are
     pure-integer ceil(n·q); the answer is the smallest bucket whose
     running count reaches the target. Window spans ≤ 63·HDR_M rows per
-    group — bounded regardless of data size."""
+    group — bounded regardless of data size. ``scale`` is the
+    units-per-value factor the caller bucketed with (cents → 100);
+    the emitted quantiles are values (lo / scale), doubles derived
+    from integers < 2^53 so the conversion is bit-exact."""
     from pyspark.sql.window import Window
 
     w = (
@@ -300,9 +317,127 @@ def _hist_quantiles(hist: DataFrame, group: str, prefix: str) -> DataFrame:
         group,
         "n",
         *[
-            (F.col(f"_{q}").cast("double") / F.lit(100.0)).alias(
+            (F.col(f"_{q}").cast("double") / F.lit(float(scale))).alias(
                 f"{prefix}{q}"
             )
             for q in ("p25", "p50", "p75")
         ],
     )
+
+
+# Integer cents of events.value — the repo's established cross-engine
+# freeze (rolling_avg_value / value_winsorized spelling): value is a
+# 2-dp double, so round(value*100) is the same integer on both engines.
+_UNITS_EXPR = "CAST(round(value * 100) AS BIGINT)"
+
+
+def _event_units(t: Tables) -> DataFrame:
+    return t["events"].selectExpr("event_id", "event_type", f"{_UNITS_EXPR} AS u")
+
+
+def hdr_value_quantiles(t: Tables) -> DataFrame:
+    """X5e: per-event-type p25/p50/p75 of events.value from the HDR
+    log-histogram sketch, WITH the exact discrete-quantile twin in the
+    same output — the driver hash therefore pins not just the sketch
+    arithmetic but its error bound (hdr ≤ exact < hdr·(1 + 1/32)).
+
+    Scale shape: the sketch build is one map-side bucket assignment +
+    one keyed agg whose output is ≤ 63·HDR_M rows per group — that
+    bounded frame IS the state that would shuffle/merge at 100 TB. The
+    exact twin costs a (group, distinct-unit) agg — fine at any SF for
+    a 2-dp bounded metric, and it exists precisely to ride shotgun on
+    the sketch's answer."""
+    u = _event_units(t)
+    sketch = _hist_quantiles(
+        _hdr_hist(u, "event_type", "u"), "event_type", "hdr_"
+    )
+    # exact twin: the identical rank rule over unit-width buckets
+    exact_hist = (
+        u.where(F.col("u") >= 1)
+        .groupBy("event_type", F.col("u").alias("lo"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = _hist_quantiles(exact_hist, "event_type", "exact_").drop("n")
+    return sketch.join(exact, "event_type").select(
+        "event_type", "n",
+        "hdr_p25", "hdr_p50", "hdr_p75",
+        "exact_p25", "exact_p50", "exact_p75",
+    )
+
+
+def _hdr_sql_hist(src: str, group: str = "event_type") -> str:
+    """The identical integer bucket spelling in DuckDB: floor(log2) via
+    length(bin(u)), power of two via BIGINT shift, floor-div `//`
+    (operands non-negative, so it matches Spark's truncating div)."""
+    return f"""
+  SELECT {group}, p + ((((u - p) * {HDR_M}) // p) * p) // {HDR_M} AS lo,
+         COUNT(*) AS cnt
+  FROM (SELECT {group}, u, (CAST(1 AS BIGINT) << (length(bin(u)) - 1)) AS p
+        FROM {src} WHERE u >= 1)
+  GROUP BY 1, 2"""
+
+
+def _hdr_sql_quantiles(hist: str, prefix: str, group: str = "event_type") -> str:
+    return f"""
+  SELECT {group}, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(MIN(CASE WHEN cum >= (n * 1 + 3) // 4 THEN lo END) AS DOUBLE)
+           / 100.0 AS {prefix}p25,
+         CAST(MIN(CASE WHEN cum >= (n * 1 + 1) // 2 THEN lo END) AS DOUBLE)
+           / 100.0 AS {prefix}p50,
+         CAST(MIN(CASE WHEN cum >= (n * 3 + 3) // 4 THEN lo END) AS DOUBLE)
+           / 100.0 AS {prefix}p75
+  FROM (SELECT {group}, lo,
+               SUM(cnt) OVER (PARTITION BY {group} ORDER BY lo
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY {group}) AS n
+        FROM {hist})
+  GROUP BY 1"""
+
+
+HDR_VALUE_QUANTILES_SQL = f"""
+WITH u AS (
+  SELECT event_type, {_UNITS_EXPR} AS u FROM events
+),
+hist AS ({_hdr_sql_hist("u")}),
+sk AS ({_hdr_sql_quantiles("hist", "hdr_")}),
+exact_hist AS (
+  SELECT event_type, u AS lo, COUNT(*) AS cnt FROM u WHERE u >= 1 GROUP BY 1, 2
+),
+ex AS ({_hdr_sql_quantiles("exact_hist", "exact_")})
+SELECT sk.event_type, sk.n,
+       hdr_p25, hdr_p50, hdr_p75,
+       exact_p25, exact_p50, exact_p75
+FROM sk JOIN ex ON sk.event_type = ex.event_type
+"""
+
+
+def hdr_sketch_merge(t: Tables) -> DataFrame:
+    """X5e mergeability, driver-certified: the Spark side builds the
+    sketch as a MERGE of two independently-built partial sketches
+    (history = event_id % 10 < 8, delta = the rest — the
+    incremental_daily_merge split discipline), merging by bucket-wise
+    integer addition; the ORACLE recomputes the histogram DIRECT over
+    all events. A green parity row is therefore a proof that
+    merge == recompute — the property that makes this the sketch you
+    can partial-aggregate map-side and across micro-batches at
+    100 TB."""
+    u = _event_units(t)
+    hist_history = _hdr_hist(u.where(F.col("event_id") % 10 < 8),
+                             "event_type", "u")
+    hist_delta = _hdr_hist(u.where(F.col("event_id") % 10 >= 8),
+                           "event_type", "u")
+    merged = (
+        hist_history.unionByName(hist_delta)
+        .groupBy("event_type", "lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _hist_quantiles(merged, "event_type", "hdr_")
+
+
+HDR_SKETCH_MERGE_SQL = f"""
+WITH u AS (
+  SELECT event_type, {_UNITS_EXPR} AS u FROM events
+),
+hist AS ({_hdr_sql_hist("u")})
+SELECT * FROM ({_hdr_sql_quantiles("hist", "hdr_")})
+"""

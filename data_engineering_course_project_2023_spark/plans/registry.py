@@ -871,6 +871,13 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4i BPE tokenizer-training pair counts (vocab-sized fan-out)",
     ),
+    "bpe_train_merges": Query(
+        llmops.bpe_train_merges,
+        llmops.BPE_TRAIN_MERGES_SQL,
+        ("documents",),
+        "X4i' full iterative BPE trainer: 8 unrolled merge rounds, "
+        "corpus re-derived per round, vs an unrolled DuckDB twin",
+    ),
     "corpus_stats": Query(
         llmops.corpus_stats,
         llmops.CORPUS_STATS_SQL,
@@ -973,6 +980,20 @@ REGISTRY: dict[str, Query] = {
         approx.KMV_DISTINCT_SQL,
         ("events",),
         "X5 KMV distinct sketch with an EXACT cross-engine oracle",
+    ),
+    "hdr_value_quantiles": Query(
+        approx.hdr_value_quantiles,
+        approx.HDR_VALUE_QUANTILES_SQL,
+        ("events",),
+        "X5e HDR log-histogram quantile sketch + exact disc twin in one "
+        "output (error bound driver-pinned)",
+    ),
+    "hdr_sketch_merge": Query(
+        approx.hdr_sketch_merge,
+        approx.HDR_SKETCH_MERGE_SQL,
+        ("events",),
+        "X5e sketch built as history+delta merge; oracle recomputes "
+        "direct — parity row certifies merge == recompute",
     ),
     "cms_token_counts": Query(
         approx.cms_token_counts,
@@ -1390,39 +1411,57 @@ _R4_DRIVER_VERIFIED = [
     "daily_anomaly_flags", "incremental_daily_merge", "multimodal_resize",
     "part_recommendations",
 ]
-_DRIVER_VERIFIED = _DRIVER_VERIFIED_PRE_R4 + _R4_DRIVER_VERIFIED
-# r5 window (VERDICT_r4 #1): leads with the flagship + arxiv-family
-# parity re-checks (window policy, VERDICT_r3 #8), then the 4 oracled
-# queries that have never had a driver row. Queries NEW in round 5 are
-# appended here as they land, oracled-first, up to the 50-row cap.
-_R5_WINDOW = [
-    "star_revenue_by_region_year", "arxiv_clean_silver",  # parity re-checks
+# CORRECTNESS_r05: the r5 window landed 50/50 green (flagship + arxiv
+# re-checks, the 4 first-row queries, 44 r1 re-verifications) — fold it
+# in. Every oracled query now holds a green driver row (r1 ∪ … ∪ r5).
+_R5_DRIVER_VERIFIED = [
     "table_manifest", "bigram_lm_top", "doc_bigram_surprisal",
     "supplier_scorecard",
 ]
+_DRIVER_VERIFIED = (
+    _DRIVER_VERIFIED_PRE_R4 + _R4_DRIVER_VERIFIED + _R5_DRIVER_VERIFIED
+)
+# r6 window — the saturated-era standing order (VERDICT_r5 #5): the
+# flagship + an arxiv-family re-check lead, queries NEW in round 6 go
+# oracled-first right behind them, then the remainder backfills with
+# the OLDEST green rows (r1 vintage) so re-verification rotates rather
+# than repeats. The list is padded programmatically to exactly the
+# driver's 50-row cap.
+_R6_NEW = [
+    "hdr_value_quantiles", "hdr_sketch_merge",  # X5e sketch, first rows
+    "bpe_train_merges",  # full iterative BPE trainer (VERDICT_r5 #2)
+    "nation_supplier_hhi",  # re-check: overflow-hardened (VERDICT_r5 #3)
+]
+_R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
+_R6_WINDOW += [
+    n for n in _R1_DRIVER_VERIFIED if n not in _R6_WINDOW
+][: 50 - len(_R6_WINDOW)]
+assert len(_R6_WINDOW) == 50, len(_R6_WINDOW)
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
-assert set(_R5_WINDOW) <= set(REGISTRY)
+assert set(_R6_WINDOW) <= set(REGISTRY)
 assert set(_NO_ORACLE_PARK) <= set(REGISTRY)
-# Every registry query must be placed in exactly one rotation bucket;
-# a new query added without a _DEFERRED_TO_R5 entry would silently
-# land at the FRONT and displace a query promised an r4 row.
+# Every registry query must be placed in exactly one rotation bucket:
+# a query in none of them would land in the catch-all front section
+# ahead of the window, displacing a promised row — the assert below
+# fails LOUDLY at import time instead (listing the unplaced names), so
+# a new query cannot ship without an explicit _R6_NEW/_R6_WINDOW slot.
 assert set(REGISTRY) == (
     set(_DRIVER_VERIFIED)
-    | set(_R5_WINDOW)
+    | set(_R6_WINDOW)
     | set(_NO_ORACLE_PARK)
 ), sorted(
     set(REGISTRY)
     - set(_DRIVER_VERIFIED)
-    - set(_R5_WINDOW)
+    - set(_R6_WINDOW)
     - set(_NO_ORACLE_PARK)
 )
 # Within the still-awaiting front section, oracled queries outrank
 # rows-only ones (oracle=None gets only a weak row-count check from the
 # driver, so losing its row to the cap costs the least).
 _BACK = (
-    set(_DRIVER_VERIFIED) | set(_R5_WINDOW) | set(_NO_ORACLE_PARK)
+    set(_DRIVER_VERIFIED) | set(_R6_WINDOW) | set(_NO_ORACLE_PARK)
 )
-_R5 = set(_R5_WINDOW)
+_R6 = set(_R6_WINDOW)
 REGISTRY = {
     **{
         n: q
@@ -1434,8 +1473,8 @@ REGISTRY = {
         for n, q in REGISTRY.items()
         if n not in _BACK and q.oracle is None
     },
-    **{n: REGISTRY[n] for n in _R5_WINDOW},
-    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R5},
+    **{n: REGISTRY[n] for n in _R6_WINDOW},
+    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R6},
     **{n: REGISTRY[n] for n in _NO_ORACLE_PARK},
 }
 

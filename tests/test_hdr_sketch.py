@@ -1,0 +1,203 @@
+"""X5e HDR log-histogram quantile sketch (plans/approx.py) and the
+full BPE trainer (plans/llmops.py): merge==recompute, the driver-pinned
+error bound, the positivity guard, the streaming twin, and a
+pure-Python cross-check of the BPE merge sequence (the guard against
+"both engines agree but both are wrong")."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from data_engineering_course_project_2023_spark.plans import registry
+from data_engineering_course_project_2023_spark.plans.approx import (
+    HDR_M,
+    _hdr_hist,
+    _hist_quantiles,
+)
+from data_engineering_course_project_2023_spark.streaming import hdrsketch
+
+from .conftest import SF_SMOKE
+
+
+def _units(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "user_id", "event_type", "CAST(round(value * 100) AS BIGINT) AS u"
+        )
+    )
+
+
+def test_hdr_merge_equals_recompute_arbitrary_split(spark):
+    """The mergeable-summaries property itself: partial sketches built
+    over ANY disjoint split of the input, merged by bucket-wise integer
+    addition, must equal the sketch built directly — here a 3-way
+    user_id split (different from the registered query's 80/20
+    event_id split, so the property is pinned beyond the oracle row)."""
+    u = _units(spark, SF_SMOKE)
+    parts = [
+        _hdr_hist(u.where(F.col("user_id") % 3 == k), "event_type", "u")
+        for k in range(3)
+    ]
+    merged = (
+        parts[0].unionByName(parts[1]).unionByName(parts[2])
+        .groupBy("event_type", "lo")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = _hdr_hist(u, "event_type", "u")
+    key = lambda r: (r["event_type"], r["lo"])  # noqa: E731
+    got = sorted(((key(r), r["cnt"]) for r in merged.collect()))
+    want = sorted(((key(r), r["cnt"]) for r in direct.collect()))
+    assert got == want
+    # and the quantiles read off the merged state match too
+    mq = sorted(map(tuple, _hist_quantiles(merged, "event_type", "q").collect()))
+    dq = sorted(map(tuple, _hist_quantiles(direct, "event_type", "q").collect()))
+    assert mq == dq
+
+
+def test_hdr_error_bound_vs_exact_twin(spark):
+    """Sketch lower-bounds the exact discrete quantile and is within
+    one sub-bucket relatively: hdr ≤ exact < hdr·(1 + 1/HDR_M). This is
+    the bound the driver hash pins (both columns ride in the same
+    output); asserted here explicitly so a bucketing regression fails
+    with the offending numbers, not a hash diff."""
+    rows = registry.run_query(
+        "hdr_value_quantiles", spark, SF_SMOKE
+    ).collect()
+    assert rows
+    for r in rows:
+        for q in ("p25", "p50", "p75"):
+            hdr, exact = r[f"hdr_{q}"], r[f"exact_{q}"]
+            assert hdr <= exact <= hdr * (1 + 1.0 / HDR_M), (
+                r["event_type"], q, hdr, exact,
+            )
+
+
+def test_hdr_hist_filters_non_positive_units(spark):
+    """ADVICE_r5: bin() of a negative long is 64 two's-complement bits
+    (octave-array overrun); zero has no octave. Non-positive units must
+    be filtered, not crash or mis-bucket."""
+    df = spark.createDataFrame(
+        [("a", -7), ("a", 0), ("a", 5), ("a", 100)], "g string, u long"
+    )
+    hist = _hdr_hist(df, "g", "u").collect()
+    assert sum(r["cnt"] for r in hist) == 2  # only the two positive rows
+    assert all(r["lo"] >= 1 for r in hist)
+
+
+def test_hdr_stream_snapshot_equals_batch(spark, tmp_path):
+    """Cross-micro-batch mergeability on the real ingest shape: the
+    bucket state store folds file-sized micro-batches
+    (maxFilesPerTrigger=1), survives a checkpointed restart with new
+    data, and the final snapshot equals the batch twin over ALL input
+    — which the t2 gate separately proves equal to the DuckDB oracle."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_type", "value"
+    )
+    # disjoint, exhaustive 3-way split → three single-file appends →
+    # at least three micro-batches total
+    split = F.pmod(F.hash("event_type", "value"), F.lit(3))
+    for k, mode in ((0, "overwrite"), (1, "append")):
+        events.where(split == k).coalesce(1).write.mode(mode).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema("event_type string, value double").option(
+            "maxFilesPerTrigger", 1
+        ).parquet(src)
+        q = hdrsketch.hdr_snapshot_stream(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    events.where(split == 2).coalesce(1).write.mode("append").parquet(src)
+    run()  # restart from checkpoint — state must resume, not rebuild
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, hdrsketch.hdr_quantiles_batch(events).collect()))
+    assert got == want
+
+
+# Java's \s (the engine tokenizer's split class) is ASCII-only; mirror
+# it exactly rather than Python's unicode-aware \s.
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def _bpe_reference(texts: list[str], rounds: int):
+    """Straight-line reference BPE trainer (greedy leftmost-first,
+    non-overlapping merges; ties broken count desc then pair asc)."""
+    wf = Counter(
+        w for t in texts for w in re.split(_JAVA_WS, t) if w
+    )
+    vocab = {w: tuple(w) for w in wf}
+    merges = []
+    for _ in range(rounds):
+        pc: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += n
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        new = {}
+        for w, syms in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new[w] = tuple(out)
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """The engine's 8-round merge sequence equals a from-scratch Python
+    trainer on the smoke corpus — independent of the DuckDB twin, so a
+    shared misreading of BPE semantics cannot pass."""
+    from data_engineering_course_project_2023_spark.plans.llmops import BPE_ROUNDS
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    want = _bpe_reference(texts, BPE_ROUNDS)
+    got = [
+        (r["sym_a"], r["sym_b"], r["pair_count"])
+        for r in registry.run_query("bpe_train_merges", spark, SF_SMOKE)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    assert got == want
+
+
+def test_bpe_merge_fold_handles_overlapping_runs(spark):
+    """The replace-last fold must merge greedily left-to-right without
+    overlap: 'aaa' under pair (a,a) → [aa, a], 'aaaa' → [aa, aa]."""
+    df = spark.createDataFrame(
+        [("aaa",), ("aaaa",), ("baab",)], "word string"
+    ).selectExpr(
+        "word",
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        " AS syms",
+        "'a' AS ba", "'a' AS bb",
+    )
+    merged = df.selectExpr(
+        "word",
+        "aggregate(syms, CAST(array() AS ARRAY<STRING>),"
+        " (acc, s) -> IF(size(acc) > 0"
+        "   AND element_at(acc, -1) = ba AND s = bb,"
+        "   concat(slice(acc, 1, size(acc) - 1), array(concat(ba, bb))),"
+        "   concat(acc, array(s)))) AS m",
+    ).collect()
+    got = {r["word"]: r["m"] for r in merged}
+    assert got["aaa"] == ["aa", "a"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["baab"] == ["b", "aa", "b"]
