@@ -2138,6 +2138,13 @@ def bpe_train_merges(t: Tables) -> DataFrame:
     in a run (equivalent to the fold: overlapping matches only occur
     for a == b, where greedy takes even offsets within each run).
     """
+    return _bpe_train(t)[1]
+
+
+def _bpe_train(t: Tables):
+    """Shared trainer core: returns (fully-merged vocab frame
+    [word, n, syms], merge-table frame) — bpe_train_merges emits the
+    merge table, bpe_encode_stats applies the trained vocab."""
     d = spread(t["documents"])
     words = d.select(
         F.explode(F.split(F.col("text"), r"\s+")).alias("word")
@@ -2200,7 +2207,52 @@ def bpe_train_merges(t: Tables) -> DataFrame:
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return vocab, out.orderBy("merge_rank")
+
+
+def bpe_encode_stats(t: Tables) -> DataFrame:
+    """X4i'': the tokenizer INFERENCE path — encode every document
+    with the merges just trained and report per-doc token economics
+    (word/char/BPE-token counts + chars-per-token compression).
+
+    Scale shape: the trained segmentation lives on the VOCAB (word →
+    final symbol array from the same 8 rounds — one shared build with
+    bpe_train_merges); documents explode to (doc_id, word) and
+    hash-join the vocab dimension, so the corpus text is never folded
+    per merge round — tokenization is a dimension join, the way a
+    100 TB encode job actually runs. chars_per_token is int/int in
+    IEEE double (both < 2^53 → correctly rounded, bit-equal
+    cross-engine)."""
+    vocab, _ = _bpe_train(t)
+    seg = vocab.select(
+        "word",
+        F.length("word").alias("wchars"),
+        F.size("syms").alias("wtoks"),
+    )
+    d = spread(t["documents"])
+    dwords = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        dwords.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("wchars").alias("n_chars"),
+            F.sum("wtoks").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_tokens",
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("chars_per_token"),
+        )
+    )
 
 
 def _bpe_round_sql(r: int) -> str:
@@ -2250,7 +2302,7 @@ v{r} AS MATERIALIZED (
 )"""
 
 
-BPE_TRAIN_MERGES_SQL = (
+_BPE_SQL_PREFIX = (
     r"""
 WITH words AS (
   SELECT w AS word FROM (
@@ -2266,6 +2318,10 @@ v0 AS MATERIALIZED (
   GROUP BY word, n
 ),"""
     + ",".join(_bpe_round_sql(r) for r in range(1, BPE_ROUNDS + 1))
+)
+
+BPE_TRAIN_MERGES_SQL = (
+    _BPE_SQL_PREFIX
     + "\n"
     + "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, ba AS sym_a, bb AS sym_b,"
@@ -2273,6 +2329,28 @@ v0 AS MATERIALIZED (
         for r in range(1, BPE_ROUNDS + 1)
     )
     + "\nORDER BY merge_rank\n"
+)
+
+BPE_ENCODE_STATS_SQL = (
+    _BPE_SQL_PREFIX
+    + r""",
+dwords AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       COUNT(*) AS n_words,
+       CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(syms)) AS BIGINT) AS n_tokens,
+       CAST(SUM(length(word)) AS DOUBLE) / CAST(SUM(len(syms)) AS DOUBLE)
+         AS chars_per_token
+FROM dwords JOIN v"""
+    + str(BPE_ROUNDS)
+    + """ USING (word)
+GROUP BY doc_id
+"""
 )
 
 

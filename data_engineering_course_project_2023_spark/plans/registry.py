@@ -878,6 +878,13 @@ REGISTRY: dict[str, Query] = {
         "X4i' full iterative BPE trainer: 8 unrolled merge rounds, "
         "corpus re-derived per round, vs an unrolled DuckDB twin",
     ),
+    "bpe_encode_stats": Query(
+        llmops.bpe_encode_stats,
+        llmops.BPE_ENCODE_STATS_SQL,
+        ("documents",),
+        "X4i'' tokenizer inference: encode docs via the trained vocab "
+        "dimension join, per-doc token economics",
+    ),
     "corpus_stats": Query(
         llmops.corpus_stats,
         llmops.CORPUS_STATS_SQL,
@@ -1430,6 +1437,7 @@ _DRIVER_VERIFIED = (
 _R6_NEW = [
     "hdr_value_quantiles", "hdr_sketch_merge",  # X5e sketch, first rows
     "bpe_train_merges",  # full iterative BPE trainer (VERDICT_r5 #2)
+    "bpe_encode_stats",  # its inference path (trained-vocab encode)
     "nation_supplier_hhi",  # re-check: overflow-hardened (VERDICT_r5 #3)
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW

@@ -153,7 +153,7 @@ def _bpe_reference(texts: list[str], rounds: int):
                     out.append(s)
             new[w] = tuple(out)
         vocab = new
-    return merges
+    return merges, vocab
 
 
 def test_bpe_train_matches_python_reference(spark):
@@ -168,13 +168,41 @@ def test_bpe_train_matches_python_reference(spark):
         .select("text")
         .collect()
     ]
-    want = _bpe_reference(texts, BPE_ROUNDS)
+    want, _ = _bpe_reference(texts, BPE_ROUNDS)
     got = [
         (r["sym_a"], r["sym_b"], r["pair_count"])
         for r in registry.run_query("bpe_train_merges", spark, SF_SMOKE)
         .orderBy("merge_rank")
         .collect()
     ]
+    assert got == want
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """The inference path too: per-doc BPE token counts under the
+    trained vocab equal a from-scratch Python encode."""
+    from data_engineering_course_project_2023_spark.plans.llmops import BPE_ROUNDS
+
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    _, vocab = _bpe_reference([r["text"] for r in docs], BPE_ROUNDS)
+    want = {}
+    for r in docs:
+        words = [w for w in re.split(_JAVA_WS, r["text"]) if w]
+        want[r["doc_id"]] = (
+            len(words),
+            sum(len(w) for w in words),
+            sum(len(vocab[w]) for w in words),
+        )
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_chars"], r["n_tokens"])
+        for r in registry.run_query(
+            "bpe_encode_stats", spark, SF_SMOKE
+        ).collect()
+    }
     assert got == want
 
 
