@@ -5403,3 +5403,141 @@ SELECT doc_id, COUNT(*) AS n_bigrams,
 FROM big JOIN tbl USING (w1, w2)
 GROUP BY 1
 """
+
+
+# --- X4: DSIR hashed-token importance weights (data selection) ---------------
+# Data Selection with Importance Resampling (Xie et al., 2023): score
+# every raw document by how target-like its hashed-feature distribution
+# is, then resample by the importance weight. This query is the scoring
+# pass; the resample itself is the existing weighted_doc_sample /
+# mixture_resample_docs machinery.
+DSIR_BUCKETS = 256
+# Stand-in curated target: a fixed source allowlist. A real pipeline
+# swaps in the curated corpus (Wikipedia, books, ...) as the target
+# side; the plan shape is identical because only bucket COUNTS leave
+# the target scan.
+DSIR_TARGET_SOURCES = ("src1", "src2", "src3", "src4")
+
+
+def dsir_importance_weights(t: Tables) -> DataFrame:
+    """X4: per-document DSIR importance weight — Σ_tok log(p_target
+    [bucket(tok)] / p_raw[bucket(tok)]) with tokens hashed into
+    DSIR_BUCKETS buckets and add-one smoothing on both unigram bucket
+    models. High weight ⇒ the doc's token mass sits in buckets the
+    target distribution over-represents relative to the raw corpus.
+
+    Cross-engine exactness: the per-bucket log-ratio is frozen to an
+    INTEGER micro-nat value once per BUCKET (≤256 rows), so per-doc
+    weights are exact order-free integer sums; the mean is the raw
+    IEEE quotient of those exact integers (deliberately unrounded —
+    see the inline comment).
+
+    Scale shape: ONE corpus-sized shuffle (the 256-ary bucket count,
+    partial-aggregated map-side; raw and target counts ride the same
+    groupBy via a conditional sum) + the doc-keyed weight agg; the
+    bucket model is a 256-row broadcast joined map-side, and the
+    corpus totals are a WINDOW over that 256-row frame — not a
+    separate aggregation — so the corpus is scanned exactly twice
+    (model build, weight join), never a third time for the totals.
+    Nothing grows with corpus size except the two keyed aggs."""
+    from pyspark.sql.window import Window
+
+    toks = spread(t["documents"]).select(
+        "doc_id", "source", F.explode(textops.tokens("text")).alias("tok")
+    )
+    tb = toks.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    counts = tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(
+            F.when(
+                F.col("source").isin(*DSIR_TARGET_SOURCES), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("c_tgt"),
+    )
+    w = Window.partitionBy()  # ≤256 rows: a single-partition window
+    t_raw = F.sum("c_raw").over(w)
+    t_tgt = F.sum("c_tgt").over(w)
+    table = counts.select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_tgt") + 1).cast("double")
+                    / (t_tgt + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("c_raw") + 1).cast("double")
+                    / (t_raw + DSIR_BUCKETS).cast("double")
+                )
+            )
+            * 1e6
+        ).cast("bigint").alias("micro_nats"),
+    )
+    return (
+        tb.join(F.broadcast(table), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("micro_nats").alias("weight_micro_nats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "weight_micro_nats",
+            # UNROUNDED on purpose: numerator and denominator are exact
+            # integers (micro-nat freeze), so the IEEE quotient is
+            # bit-identical across engines — while round(x, 6) is NOT
+            # when the quotient ties at 6 dp (Spark rounds the shortest
+            # decimal repr HALF_UP, DuckDB rounds the binary double;
+            # sf0.001 hit -3026448/96e6 = -0.0315255 exactly).
+            (
+                F.col("weight_micro_nats").cast("double")
+                / (F.col("n_tokens").cast("double") * 1e6)
+            ).alias("avg_logratio_nats"),
+        )
+    )
+
+
+DSIR_IMPORTANCE_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) AS c_raw,
+         SUM(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
+                  THEN 1 ELSE 0 END) AS c_tgt
+  FROM tb GROUP BY 1
+),
+tots AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM counts),
+tbl AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE)
+                        / CAST(t_tgt + 256 AS DOUBLE))
+                     - ln(CAST(c_raw + 1 AS DOUBLE)
+                          / CAST(t_raw + 256 AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS micro_nats
+  FROM counts CROSS JOIN tots
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(micro_nats) AS BIGINT) AS weight_micro_nats,
+       CAST(SUM(micro_nats) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_logratio_nats
+FROM tb JOIN tbl USING (bucket)
+GROUP BY 1
+"""

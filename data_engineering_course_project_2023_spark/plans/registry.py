@@ -1126,6 +1126,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 per-source Zipf slope (corpus-shape governance)",
     ),
+    "dsir_importance_weights": Query(
+        llmops.dsir_importance_weights,
+        llmops.DSIR_IMPORTANCE_SQL,
+        ("documents",),
+        "X4 DSIR hashed-token importance weights (data selection)",
+    ),
     "k_anonymity_audit": Query(
         llmops.k_anonymity_audit,
         llmops.K_ANONYMITY_SQL,
@@ -1439,6 +1445,7 @@ _R6_NEW = [
     "bpe_train_merges",  # full iterative BPE trainer (VERDICT_r5 #2)
     "bpe_encode_stats",  # its inference path (trained-vocab encode)
     "nation_supplier_hhi",  # re-check: overflow-hardened (VERDICT_r5 #3)
+    "dsir_importance_weights",  # X4 DSIR data-selection scoring pass
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
