@@ -127,6 +127,72 @@ FROM exact JOIN kth USING (event_type)
 """
 
 
+def _kmv_bottomk(events: DataFrame) -> DataFrame:
+    """The KMV sketch state itself: the ≤ KMV_K smallest DISTINCT
+    user-id hashes per group — bounded rows per group no matter the
+    input size, so this frame is what would shuffle/merge at scale."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return (
+        events.select("event_type", h.alias("h"))
+        .distinct()
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .filter(F.col("rk") <= KMV_K)
+        .select("event_type", "h")
+    )
+
+
+def kmv_sketch_merge(t: Tables) -> DataFrame:
+    """X5d mergeability, driver-certified (the hdr_sketch_merge
+    discipline for DISTINCT counts): the Spark side builds the KMV
+    estimate from a MERGE of two independently-built partial sketches
+    (history = event_id % 10 < 8, delta = the rest), where sketch merge
+    is union → distinct → re-take bottom-k; the ORACLE recomputes the
+    estimate DIRECT over all events. A green parity row is therefore a
+    proof that merge == recompute — sound because every one of the
+    global k smallest distinct hashes is necessarily among its own
+    partial's k smallest, so the union of the two bottom-k sets always
+    contains the global bottom-k."""
+    from pyspark.sql.window import Window
+
+    ev = t["events"]
+    part_a = _kmv_bottomk(ev.where(F.col("event_id") % 10 < 8))
+    part_b = _kmv_bottomk(ev.where(F.col("event_id") % 10 >= 8))
+    kth = (
+        part_a.unionByName(part_b)
+        .distinct()  # one user can appear in both row-splits
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .filter(F.col("rk") == KMV_K)
+        .select("event_type", (F.col("h") / F.lit(_TWO60)).alias("hk"))
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(kth, "event_type").select(
+        "event_type",
+        "exact_users",
+        (F.lit(float(KMV_K - 1)) / F.col("hk")).alias("kmv_est"),
+    )
+
+
+# merge == recompute is the claim under test, so the oracle IS the
+# direct spelling.
+KMV_SKETCH_MERGE_SQL = KMV_DISTINCT_SQL
+
+
 # --- X5d: Count-Min sketch over the token stream, exact-oracled --------------
 # Same idea: CMS counters are plain integer counts under md5-derived
 # hash rows, so build AND probe are bit-reproducible in DuckDB. The

@@ -5419,6 +5419,68 @@ DSIR_BUCKETS = 256
 DSIR_TARGET_SOURCES = ("src1", "src2", "src3", "src4")
 
 
+def _dsir_bucketed(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, bucket) token stream: whitespace tokens hashed
+    into DSIR_BUCKETS buckets (md5-prefix, uniform). Shared by the
+    batch query and the streaming model maintainer — works unchanged on
+    a streaming frame (explode + hash are map-side)."""
+    toks = docs.select(
+        "doc_id", "source", F.explode(textops.tokens("text")).alias("tok")
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+
+
+def _dsir_counts(tb: DataFrame) -> DataFrame:
+    """The mergeable DSIR model state: per-bucket (c_raw, c_tgt) token
+    counts, target counts riding the SAME groupBy as a conditional sum.
+    ≤ DSIR_BUCKETS rows — merging two states is column-wise integer
+    addition, which is exactly what a streaming incremental aggregation
+    does to its state store per micro-batch."""
+    return tb.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(
+            F.when(
+                F.col("source").isin(*DSIR_TARGET_SOURCES), F.lit(1)
+            ).otherwise(F.lit(0))
+        ).alias("c_tgt"),
+    )
+
+
+def _dsir_model(counts: DataFrame) -> DataFrame:
+    """(bucket, micro_nats) log-ratio table from the count state:
+    add-one-smoothed ln(p_tgt/p_raw) frozen to integer micro-nats once
+    per bucket. Totals via a WINDOW over the ≤256-row state frame —
+    never a separate corpus aggregation."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()  # ≤256 rows: a single-partition window
+    t_raw = F.sum("c_raw").over(w)
+    t_tgt = F.sum("c_tgt").over(w)
+    return counts.select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("c_tgt") + 1).cast("double")
+                    / (t_tgt + DSIR_BUCKETS).cast("double")
+                )
+                - F.log(
+                    (F.col("c_raw") + 1).cast("double")
+                    / (t_raw + DSIR_BUCKETS).cast("double")
+                )
+            )
+            * 1e6
+        ).cast("bigint").alias("micro_nats"),
+    )
+
+
 def dsir_importance_weights(t: Tables) -> DataFrame:
     """X4: per-document DSIR importance weight — Σ_tok log(p_target
     [bucket(tok)] / p_raw[bucket(tok)]) with tokens hashed into
@@ -5439,47 +5501,13 @@ def dsir_importance_weights(t: Tables) -> DataFrame:
     corpus totals are a WINDOW over that 256-row frame — not a
     separate aggregation — so the corpus is scanned exactly twice
     (model build, weight join), never a third time for the totals.
-    Nothing grows with corpus size except the two keyed aggs."""
-    from pyspark.sql.window import Window
+    Nothing grows with corpus size except the two keyed aggs.
 
-    toks = spread(t["documents"]).select(
-        "doc_id", "source", F.explode(textops.tokens("text")).alias("tok")
-    )
-    tb = toks.select(
-        "doc_id",
-        "source",
-        (
-            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("bigint")
-            % DSIR_BUCKETS
-        ).alias("bucket"),
-    )
-    counts = tb.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("c_raw"),
-        F.sum(
-            F.when(
-                F.col("source").isin(*DSIR_TARGET_SOURCES), F.lit(1)
-            ).otherwise(F.lit(0))
-        ).alias("c_tgt"),
-    )
-    w = Window.partitionBy()  # ≤256 rows: a single-partition window
-    t_raw = F.sum("c_raw").over(w)
-    t_tgt = F.sum("c_tgt").over(w)
-    table = counts.select(
-        "bucket",
-        F.round(
-            (
-                F.log(
-                    (F.col("c_tgt") + 1).cast("double")
-                    / (t_tgt + DSIR_BUCKETS).cast("double")
-                )
-                - F.log(
-                    (F.col("c_raw") + 1).cast("double")
-                    / (t_raw + DSIR_BUCKETS).cast("double")
-                )
-            )
-            * 1e6
-        ).cast("bigint").alias("micro_nats"),
-    )
+    The model build is split into the three helpers above so the
+    streaming twin (:mod:`..streaming.dsirstream`) maintains the SAME
+    count state / log-ratio table expressions incrementally."""
+    tb = _dsir_bucketed(spread(t["documents"]))
+    table = _dsir_model(_dsir_counts(tb))
     return (
         tb.join(F.broadcast(table), "bucket")
         .groupBy("doc_id")

@@ -963,6 +963,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "A19 neighborhood Jaccard link-prediction similarity",
     ),
+    "adamic_adar": Query(
+        analytics.adamic_adar,
+        analytics.ADAMIC_ADAR_SQL,
+        ("lineitem",),
+        "A19b Adamic-Adar degree-discounted link prediction",
+    ),
     "variant_props_profile": Query(
         eventstream.variant_props_profile,
         eventstream.VARIANT_PROPS_SQL,
@@ -987,6 +993,12 @@ REGISTRY: dict[str, Query] = {
         approx.KMV_DISTINCT_SQL,
         ("events",),
         "X5 KMV distinct sketch with an EXACT cross-engine oracle",
+    ),
+    "kmv_sketch_merge": Query(
+        approx.kmv_sketch_merge,
+        approx.KMV_SKETCH_MERGE_SQL,
+        ("events",),
+        "X5 KMV merge==recompute certified by the direct-spelling oracle",
     ),
     "hdr_value_quantiles": Query(
         approx.hdr_value_quantiles,
@@ -1446,6 +1458,8 @@ _R6_NEW = [
     "bpe_encode_stats",  # its inference path (trained-vocab encode)
     "nation_supplier_hhi",  # re-check: overflow-hardened (VERDICT_r5 #3)
     "dsir_importance_weights",  # X4 DSIR data-selection scoring pass
+    "adamic_adar",  # A19b degree-discounted link prediction
+    "kmv_sketch_merge",  # X5d KMV mergeability, driver-certified
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [

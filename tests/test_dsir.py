@@ -8,7 +8,12 @@ obvious."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_engineering_course_project_2023_spark.plans import llmops
+from data_engineering_course_project_2023_spark.streaming import dsirstream
+
+from .conftest import SF_SMOKE
 
 
 def _docs(spark):
@@ -47,3 +52,40 @@ def test_weight_is_integer_micro_nat_sum(spark):
     assert row["avg_logratio_nats"] == (
         row["weight_micro_nats"] / (row["n_tokens"] * 1e6)
     )
+
+
+def test_dsir_model_stream_snapshot_equals_batch(spark, tmp_path):
+    """Cross-micro-batch mergeability of the DSIR bucket model on the
+    real ingest shape: the (bucket, c_raw, c_tgt) state store folds
+    file-sized micro-batches (maxFilesPerTrigger=1), survives a
+    checkpointed restart with new data, and the final (bucket,
+    micro_nats) snapshot equals the batch twin over ALL input — which
+    the t2 gate separately proves equal to the DuckDB oracle
+    (dsir_importance_weights)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    # disjoint, exhaustive 3-way split → three single-file appends →
+    # at least three micro-batches total
+    split = F.pmod(F.hash("doc_id"), F.lit(3))
+    for k, mode in ((0, "overwrite"), (1, "append")):
+        docs.where(split == k).coalesce(1).write.mode(mode).parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(
+            "doc_id bigint, source string, text string"
+        ).option("maxFilesPerTrigger", 1).parquet(src)
+        q = dsirstream.dsir_model_snapshot_stream(stream, out, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    docs.where(split == 2).coalesce(1).write.mode("append").parquet(src)
+    run()  # restart from checkpoint — state must resume, not rebuild
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, dsirstream.dsir_model_batch(docs).collect()))
+    assert len(got) > 1
+    assert got == want

@@ -229,3 +229,23 @@ def test_bpe_merge_fold_handles_overlapping_runs(spark):
     assert got["aaa"] == ["aa", "a"]
     assert got["aaaa"] == ["aa", "aa"]
     assert got["baab"] == ["b", "aa", "b"]
+
+
+def test_kmv_merge_equals_direct(spark):
+    """KMV union-bottom-k mergeability: the merged-partials estimate
+    (kmv_sketch_merge, event_id 80/20 split) must equal the direct
+    build (kmv_distinct_users) row-for-row — the distinct-count
+    companion to the HDR merge==recompute pin. Runs at SF_CORRECT:
+    the smoke SF has < KMV_K distinct users per group, so every group
+    (correctly) lacks a k-th hash and both frames are empty."""
+    from data_engineering_course_project_2023_spark.plans.approx import (
+        kmv_distinct_users,
+        kmv_sketch_merge,
+    )
+
+    from .conftest import SF_CORRECT
+
+    t = {"events": spark.read.parquet(f"{SF_CORRECT}/events.parquet")}
+    got = sorted(map(tuple, kmv_sketch_merge(t).collect()))
+    want = sorted(map(tuple, kmv_distinct_users(t).collect()))
+    assert got and got == want
