@@ -1246,6 +1246,145 @@ FROM pr{PR_ITERS}
 """
 
 
+# --- A10b: personalized PageRank ---------------------------------------------
+PPR_SEED_NATION = 7
+
+
+def ppr_trade(t: Tables) -> DataFrame:
+    """A10b: PERSONALIZED PageRank over the same customer→supplier
+    trade graph — restart mass concentrated on a seed set (customers of
+    nation PPR_SEED_NATION) instead of spread uniformly, so rank
+    measures proximity TO THE SEEDS: the recommendation / trust-
+    propagation shape (suppliers ranked by how strongly nation-7 custom
+    flows to them) rather than global importance.
+
+    Same exactness contract as pagerank_trade: mass in integer units
+    (PR_SCALE // |seeds| on each seed), every update pure integer
+    arithmetic (DIV contributions, exact BIGINT sums, 85/100 damping,
+    seed-conditional restart), 3 unrolled rounds — bit-identical under
+    any partitioning, exact-checked against the unrolled DuckDB twin.
+
+    Scale shape: identical to pagerank_trade (2 joins + 1 agg per
+    round over edge-sized frames, shared inputs checkpointed once);
+    the seed frame is dimension-sized and its count is the same
+    driver-side probe as the node count there. Zero-mass nodes are
+    dropped at the end — with a localized restart most of the graph
+    is untouched, and emitting it would just ship zeros."""
+    li = t["lineitem"].select("l_orderkey", "l_suppkey")
+    o = t["orders"].select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + _SUPP_OFFSET).alias("dst"),
+        )
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_deg = edges.join(deg, "src").localCheckpoint()
+    seeds = (
+        nodes.join(
+            t["customer"]
+            .filter(F.col("c_nationkey") == PPR_SEED_NATION)
+            .select(F.col("c_custkey").alias("node")),
+            "node",
+        )
+        .localCheckpoint()
+    )
+    s = seeds.count()
+    init = PR_SCALE // s
+    base = (15 * init) // 100
+    seed_flag = seeds.select("node", F.lit(1).alias("is_seed"))
+    pr = nodes.join(seed_flag, "node", "left").select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(init))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = edges_deg.join(
+            pr, edges_deg["src"] == pr["node"]
+        ).select("dst", F.expr("pr DIV deg").alias("c"))
+        insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        pr = (
+            nodes.join(insum, nodes["node"] == insum["dst"], "left")
+            .join(seed_flag, "node", "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(
+                        F.lit(0)
+                    )
+                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                ).cast("long").alias("pr"),
+            )
+        )
+    return (
+        pr.filter(F.col("pr") > 0)
+        .select(
+            "node",
+            F.when(F.col("node") >= _SUPP_OFFSET, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("node_type"),
+            F.col("pr").alias("ppr_units"),
+        )
+    )
+
+
+def _ppr_round(k: int) -> str:
+    return f"""c{k} AS (
+  SELECT e.dst, SUM(p.pr // d.deg) AS s
+  FROM edges e JOIN deg d USING (src) JOIN pr{k - 1} p ON p.node = e.src
+  GROUP BY 1
+), pr{k} AS (
+  SELECT nd.node,
+         CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN (SELECT base FROM consts) ELSE 0 END
+              + (85 * COALESCE(c{k}.s, 0)) // 100 AS BIGINT) AS pr
+  FROM nodes nd
+  LEFT JOIN seeds sd ON sd.node = nd.node
+  LEFT JOIN c{k} ON c{k}.dst = nd.node
+)"""
+
+
+PPR_SQL = f"""
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + {_SUPP_OFFSET} AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1
+), seeds AS (
+  SELECT node FROM nodes
+  JOIN customer ON c_custkey = node AND c_nationkey = {PPR_SEED_NATION}
+), consts AS (
+  SELECT ({PR_SCALE} // COUNT(*)) AS init,
+         (15 * ({PR_SCALE} // COUNT(*))) // 100 AS base
+  FROM seeds
+), pr0 AS (
+  SELECT nd.node,
+         CAST(CASE WHEN sd.node IS NOT NULL
+                   THEN (SELECT init FROM consts) ELSE 0 END AS BIGINT)
+           AS pr
+  FROM nodes nd LEFT JOIN seeds sd ON sd.node = nd.node
+), {", ".join(_ppr_round(k) for k in range(1, PR_ITERS + 1))}
+SELECT node,
+       CASE WHEN node >= {_SUPP_OFFSET} THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       pr AS ppr_units
+FROM pr{PR_ITERS}
+WHERE pr > 0
+"""
+
+
 # --- A11: triangle counting ---------------------------------------------------
 def triangle_counts(t: Tables) -> DataFrame:
     """A11: per-node triangle participation in the part co-order graph

@@ -2813,8 +2813,9 @@ def weighted_doc_sample(t: Tables) -> DataFrame:
     proxy), and a doc survives iff md5(doc_id) mod 4 < w — per-doc
     Bernoulli with p = w/4, the integer-exact spelling of importance
     sampling (the float Efraimidis–Spirakis exp/pow form is NOT
-    cross-engine exact; this is). Map-side filter only — the sample
-    never shuffles."""
+    cross-engine exact; this is — and :func:`es_weighted_sample` below
+    recovers ES's fixed-size guarantee via the micro-nat freeze).
+    Map-side filter only — the sample never shuffles."""
     w = F.least(
         F.lit(3), 1 + (F.col("n_chars") / 500).cast("long")
     ).alias("w")
@@ -2840,6 +2841,90 @@ FROM documents
 WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
            AS BIGINT) % {WEIGHT_DENOM}
       < LEAST(3, 1 + n_chars // 500)
+"""
+
+
+# --- X4: fixed-size weighted sample (Efraimidis–Spirakis, frozen) ------------
+ES_K = 50  # sample size per source stratum
+_TWO60_F = float(1 << 60)
+
+
+def es_weighted_sample(t: Tables) -> DataFrame:
+    """X4: EXACT-SIZE weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme (keep the k docs minimizing
+    -ln(u)/w per source), which weighted_doc_sample's Bernoulli spelling
+    cannot give: that yields a random-SIZE sample, this yields exactly
+    ES_K per stratum (fewer only if the stratum is smaller) with
+    inclusion probability increasing in w. The training-mixture use is
+    per-source quotas under quality weighting.
+
+    Cross-engine exactness (why the classic u^(1/w) float form became
+    checkable): u derives from md5 (identical both engines; +1 keeps
+    u in (0,1], since ln 0 = -inf), the exponential variate -ln(u) is
+    frozen ONCE per doc to integer micro-nats, and the sort key is the
+    exact-integer / integer IEEE quotient e_micro/w with a doc_id
+    tie-break — a deterministic total order, same discipline as
+    dsir_importance_weights / adamic_adar.
+
+    Scale shape: hash, freeze, and weight are map-side; selection is
+    one per-source window over (source)-hash-partitioned rows — the
+    bottom-k-per-group shape every top-k query here already uses,
+    never a global sort. At 100 TB a pre-filter on e_micro/w against a
+    per-source k-th-key sketch would cut the window input; the window
+    spelling is the semantics."""
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":es"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    w = F.least(F.lit(3), 1 + (F.col("n_chars") / 500).cast("long"))
+    keyed = t["documents"].select(
+        "doc_id",
+        "source",
+        w.alias("w"),
+        F.round(-F.log((h + 1) / F.lit(_TWO60_F)) * 1e6)
+        .cast("bigint")
+        .alias("e_micro"),
+    )
+    key = F.col("e_micro").cast("double") / F.col("w")
+    return (
+        keyed.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    key.asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= ES_K)
+        .select("source", "doc_id", "w", "e_micro", "rk")
+    )
+
+
+ES_WEIGHTED_SAMPLE_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         LEAST(3, 1 + n_chars // 500) AS w,
+         CAST(round(-ln(CAST(CAST(('0x' ||
+                substr(md5(CAST(doc_id AS VARCHAR) || ':es'), 1, 15))
+                AS BIGINT) + 1 AS DOUBLE) / {_TWO60_F!r}) * 1e6)
+              AS BIGINT) AS e_micro
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, w, e_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(e_micro AS DOUBLE) / w, doc_id
+         ) AS rk
+  FROM keyed
+)
+SELECT source, doc_id, w, e_micro, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {ES_K}
 """
 
 

@@ -682,6 +682,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem", "orders"),
         "A10 fixed-point PageRank over the customer→supplier graph (exact-checked iteration)",
     ),
+    "ppr_trade": Query(
+        analytics.ppr_trade,
+        analytics.PPR_SQL,
+        ("lineitem", "orders", "customer"),
+        "A10b personalized PageRank from a nation-seeded restart set",
+    ),
     "triangle_counts": Query(
         analytics.triangle_counts,
         analytics.TRIANGLE_SQL,
@@ -987,6 +993,12 @@ REGISTRY: dict[str, Query] = {
         llmops.WEIGHTED_SAMPLE_SQL,
         ("documents",),
         "X4 quality-weighted reproducible subsampling (integer-exact)",
+    ),
+    "es_weighted_sample": Query(
+        llmops.es_weighted_sample,
+        llmops.ES_WEIGHTED_SAMPLE_SQL,
+        ("documents",),
+        "X4 exact-size Efraimidis-Spirakis weighted sample per source",
     ),
     "kmv_distinct_users": Query(
         approx.kmv_distinct_users,
@@ -1460,6 +1472,8 @@ _R6_NEW = [
     "dsir_importance_weights",  # X4 DSIR data-selection scoring pass
     "adamic_adar",  # A19b degree-discounted link prediction
     "kmv_sketch_merge",  # X5d KMV mergeability, driver-certified
+    "ppr_trade",  # A10b personalized PageRank
+    "es_weighted_sample",  # X4 exact-size weighted sampling (A-ES)
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
