@@ -1267,9 +1267,15 @@ def ppr_trade(t: Tables) -> DataFrame:
     Scale shape: identical to pagerank_trade (2 joins + 1 agg per
     round over edge-sized frames, shared inputs checkpointed once);
     the seed frame is dimension-sized and its count is the same
-    driver-side probe as the node count there. Zero-mass nodes are
-    dropped at the end — with a localized restart most of the graph
-    is untouched, and emitting it would just ship zeros."""
+    driver-side probe as the node count there. The seed flag is folded
+    into the ONE checkpointed node frame (serving the seed count, the
+    init vector, and every round's restart) — the first spelling
+    joined seeds per unrolled round and checkpointed twice, measuring
+    5.3 s vs pagerank_trade's 3.3 s at sf0.1; this one lands within
+    noise of it (4.09 vs 3.92 s same-session) for the same answer.
+    Zero-mass nodes are dropped at the end — with a localized restart
+    most of the graph is untouched, and emitting it would just ship
+    zeros."""
     li = t["lineitem"].select("l_orderkey", "l_suppkey")
     o = t["orders"].select("o_orderkey", "o_custkey")
     edges = (
@@ -1288,20 +1294,36 @@ def ppr_trade(t: Tables) -> DataFrame:
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").localCheckpoint()
-    seeds = (
+    # seed flag folded into the node frame ONCE (a single checkpoint
+    # serves the seed count, the init vector, and every round's
+    # restart), so each unrolled round is the same 2-join shape as
+    # pagerank_trade — a per-round seed join or a second checkpoint
+    # both measurably slow the unrolled plan
+    nodes_f = (
         nodes.join(
             t["customer"]
             .filter(F.col("c_nationkey") == PPR_SEED_NATION)
-            .select(F.col("c_custkey").alias("node")),
+            .select(
+                F.col("c_custkey").alias("node"),
+                F.lit(1).alias("is_seed"),
+            ),
             "node",
+            "left",
         )
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"))
         .localCheckpoint()
     )
-    s = seeds.count()
+    s = nodes_f.filter(F.col("is_seed") == 1).count()
     init = PR_SCALE // s
     base = (15 * init) // 100
-    seed_flag = seeds.select("node", F.lit(1).alias("is_seed"))
-    pr = nodes.join(seed_flag, "node", "left").select(
+    nodes_r = nodes_f.select(
+        "node",
+        F.when(F.col("is_seed") == 1, F.lit(base))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("restart"),
+    )
+    pr = nodes_f.select(
         "node",
         F.when(F.col("is_seed") == 1, F.lit(init))
         .otherwise(F.lit(0))
@@ -1313,18 +1335,14 @@ def ppr_trade(t: Tables) -> DataFrame:
             pr, edges_deg["src"] == pr["node"]
         ).select("dst", F.expr("pr DIV deg").alias("c"))
         insum = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        pr = (
-            nodes.join(insum, nodes["node"] == insum["dst"], "left")
-            .join(seed_flag, "node", "left")
-            .select(
-                "node",
-                (
-                    F.when(F.col("is_seed") == 1, F.lit(base)).otherwise(
-                        F.lit(0)
-                    )
-                    + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
-                ).cast("long").alias("pr"),
-            )
+        pr = nodes_r.join(
+            insum, nodes_r["node"] == insum["dst"], "left"
+        ).select(
+            "node",
+            (
+                F.col("restart")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+            ).cast("long").alias("pr"),
         )
     return (
         pr.filter(F.col("pr") > 0)

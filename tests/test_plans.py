@@ -403,3 +403,14 @@ def test_jl_projection_is_map_only(spark):
     plan = plan_of(registry.run_query("jl_projection", spark, SF_CORRECT))
     assert "Exchange" not in plan
     assert "ReadSchema" in plan and "embedding" in plan
+
+
+def test_es_sample_window_is_distributed(spark):
+    """es_weighted_sample's bottom-k selection must hash-partition on
+    source — a global-sort or SinglePartition window would serialize
+    the corpus through one task, which is exactly what the per-stratum
+    window spelling exists to avoid."""
+    df = registry.run_query("es_weighted_sample", spark, SF_CORRECT)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(source" in plan, plan
