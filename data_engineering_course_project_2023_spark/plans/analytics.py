@@ -1286,11 +1286,13 @@ def ppr_trade(t: Tables) -> DataFrame:
         )
         .distinct()
     )
+    # unlike pagerank_trade, the bare node frame is consumed exactly
+    # once (to build the flagged frame below), so it is NOT
+    # checkpointed — nodes_f is this query's node materialization
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(deg, "src").localCheckpoint()
