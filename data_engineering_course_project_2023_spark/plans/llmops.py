@@ -2845,7 +2845,9 @@ WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 8))
 
 
 # --- X4: fixed-size weighted sample (Efraimidis–Spirakis, frozen) ------------
-ES_K = 50  # sample size per source stratum
+ES_K = 10  # sample size per source stratum (< the 25-doc
+# sf0.01 strata, so the weighted selection is exercised at the
+# correctness-gate SF, not just at sf0.1)
 _TWO60_F = float(1 << 60)
 
 
@@ -5653,4 +5655,132 @@ SELECT doc_id, COUNT(*) AS n_tokens,
          / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_logratio_nats
 FROM tb JOIN tbl USING (bucket)
 GROUP BY 1
+"""
+
+
+# --- X4: the data-selection pipeline composed end-to-end ----------------------
+DQ_K = 10  # quota per source stratum (< the 25-doc sf0.01 strata
+# — see ES_K)
+
+
+def dsir_quota_sample(t: Tables) -> DataFrame:
+    """X4: the full data-selection pipeline as ONE Catalyst plan (the
+    curation_funnel composition discipline): DSIR-score every doc →
+    per-source quality QUARTILE (ntile 4 over a deterministic total
+    order, so the integer sampling weight is 1..4 with the most
+    target-like docs at 4) → exact-size Efraimidis–Spirakis quota of
+    DQ_K docs per source, inclusion biased by the DSIR quartile. This
+    is the score→weight→sample chain a mixture builder actually runs;
+    each stage is individually oracled elsewhere
+    (dsir_importance_weights, es_weighted_sample), and this query pins
+    their composition.
+
+    Cross-engine exactness: the quartile ORDER BY is (avg weight, then
+    doc_id) — avg_logratio_nats is an exact-int/int IEEE quotient, so
+    the total order is deterministic and ntile boundaries agree; the
+    ES key reuses the micro-nat freeze with a fresh hash salt (":dq",
+    so this sample is independent of es_weighted_sample's).
+
+    Scale shape: DSIR's two corpus passes + one doc-keyed join to
+    recover source + two per-source windows (ntile, bottom-k) — all
+    source-hash-partitioned, no global sort, no new corpus scan."""
+    from pyspark.sql.window import Window
+
+    scored = dsir_importance_weights(t).join(
+        t["documents"].select("doc_id", "source"), "doc_id"
+    )
+    q = F.ntile(4).over(
+        Window.partitionBy("source").orderBy(
+            F.col("avg_logratio_nats").asc(), F.col("doc_id").asc()
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":dq"))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+    weighted = scored.select(
+        "source",
+        "doc_id",
+        "avg_logratio_nats",
+        q.alias("w"),
+        F.round(-F.log((h + 1) / F.lit(_TWO60_F)) * 1e6)
+        .cast("bigint")
+        .alias("e_micro"),
+    )
+    key = F.col("e_micro").cast("double") / F.col("w")
+    return (
+        weighted.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    key.asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= DQ_K)
+        .select("source", "doc_id", "w", "e_micro", "rk")
+    )
+
+
+DSIR_QUOTA_SAMPLE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tb AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 256 AS bucket
+  FROM toks
+),
+counts AS (
+  SELECT bucket,
+         COUNT(*) AS c_raw,
+         SUM(CASE WHEN source IN ('src1', 'src2', 'src3', 'src4')
+                  THEN 1 ELSE 0 END) AS c_tgt
+  FROM tb GROUP BY 1
+),
+tots AS (SELECT SUM(c_raw) AS t_raw, SUM(c_tgt) AS t_tgt FROM counts),
+tbl AS (
+  SELECT bucket,
+         CAST(round((ln(CAST(c_tgt + 1 AS DOUBLE)
+                        / CAST(t_tgt + 256 AS DOUBLE))
+                     - ln(CAST(c_raw + 1 AS DOUBLE)
+                          / CAST(t_raw + 256 AS DOUBLE)))
+                    * 1e6) AS BIGINT) AS micro_nats
+  FROM counts CROSS JOIN tots
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(micro_nats) AS DOUBLE)
+           / (CAST(COUNT(*) AS DOUBLE) * 1e6) AS avg_logratio_nats
+  FROM tb JOIN tbl USING (bucket)
+  GROUP BY 1
+),
+weighted AS (
+  SELECT d.source, s.doc_id, s.avg_logratio_nats,
+         NTILE(4) OVER (
+           PARTITION BY d.source
+           ORDER BY s.avg_logratio_nats, s.doc_id
+         ) AS w,
+         CAST(round(-ln(CAST(CAST(('0x' ||
+                substr(md5(CAST(s.doc_id AS VARCHAR) || ':dq'), 1, 15))
+                AS BIGINT) + 1 AS DOUBLE) / {_TWO60_F!r}) * 1e6)
+              AS BIGINT) AS e_micro
+  FROM scored s JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT source, doc_id, w, e_micro,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(e_micro AS DOUBLE) / w, doc_id
+         ) AS rk
+  FROM weighted
+)
+SELECT source, doc_id, CAST(w AS INT) AS w, e_micro, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {DQ_K}
 """

@@ -1000,6 +1000,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 exact-size Efraimidis-Spirakis weighted sample per source",
     ),
+    "dsir_quota_sample": Query(
+        llmops.dsir_quota_sample,
+        llmops.DSIR_QUOTA_SAMPLE_SQL,
+        ("documents",),
+        "X4 score->weight->sample data-selection pipeline in one plan",
+    ),
     "kmv_distinct_users": Query(
         approx.kmv_distinct_users,
         approx.KMV_DISTINCT_SQL,
@@ -1474,6 +1480,7 @@ _R6_NEW = [
     "kmv_sketch_merge",  # X5d KMV mergeability, driver-certified
     "ppr_trade",  # A10b personalized PageRank
     "es_weighted_sample",  # X4 exact-size weighted sampling (A-ES)
+    "dsir_quota_sample",  # X4 score->weight->sample composition
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [

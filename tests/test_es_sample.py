@@ -43,3 +43,25 @@ def test_exact_size_per_stratum_and_key_freeze(spark):
     # off-engine for every sampled doc
     for r in out[:200]:
         assert r["e_micro"] == _e_micro_ref(r["doc_id"])
+
+
+def test_dsir_quota_sample_biases_toward_high_quartiles(spark):
+    """The composed score→weight→sample pipeline must actually BIAS:
+    ES inclusion probability rises with the DSIR quartile, so the
+    sampled docs' mean quartile must sit above the population mean of
+    2.5 (deterministic data ⇒ a fixed, re-runnable value)."""
+    from data_engineering_course_project_2023_spark.plans.llmops import (
+        DQ_K,
+        dsir_quota_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    rows = dsir_quota_sample({"documents": docs}).collect()
+    assert rows
+    per_source: dict[str, int] = {}
+    for r in rows:
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+        assert 1 <= r["w"] <= 4
+    assert all(n <= DQ_K for n in per_source.values())
+    mean_w = sum(r["w"] for r in rows) / len(rows)
+    assert mean_w > 2.5, mean_w
