@@ -249,3 +249,65 @@ def test_kmv_merge_equals_direct(spark):
     got = sorted(map(tuple, kmv_sketch_merge(t).collect()))
     want = sorted(map(tuple, kmv_distinct_users(t).collect()))
     assert got and got == want
+
+
+def test_hdr_bucket_matches_python_reference(spark):
+    """Pure-Python recomputation of the bucket function (the BPE-style
+    guard against both engines agreeing on a shared misreading): the
+    Spark-built histogram over the smoke events must equal a
+    from-scratch Python fold over the same units."""
+    from collections import Counter as _C
+
+    def bucket_ref(u: int) -> int:
+        e = u.bit_length() - 1
+        p = 1 << e
+        sub = ((u - p) * HDR_M) // p
+        return p + (sub * p) // HDR_M
+
+    u = _units(spark, SF_SMOKE).collect()
+    want = _C(
+        (r["event_type"], bucket_ref(r["u"])) for r in u if r["u"] >= 1
+    )
+    got = {
+        (r["event_type"], r["lo"]): r["cnt"]
+        for r in _hdr_hist(
+            _units(spark, SF_SMOKE), "event_type", "u"
+        ).collect()
+    }
+    assert got == dict(want)
+
+
+def test_kmv_kth_hash_matches_python_reference(spark):
+    """Same guard for KMV: the k-th smallest distinct user hash per
+    group, recomputed with hashlib over the collected user ids, must
+    reproduce the hk the engines rank with."""
+    import hashlib
+
+    from data_engineering_course_project_2023_spark.plans.approx import (
+        KMV_K,
+        kmv_distinct_users,
+    )
+
+    from .conftest import SF_CORRECT
+
+    ev = spark.read.parquet(f"{SF_CORRECT}/events.parquet").select(
+        "event_type", "user_id"
+    ).collect()
+    groups: dict[str, set] = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], set()).add(r["user_id"])
+    want = {}
+    for g, users in groups.items():
+        hs = sorted(
+            int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+            for u in users
+        )
+        if len(hs) >= KMV_K:
+            want[g] = (KMV_K - 1) / (hs[KMV_K - 1] / float(1 << 60))
+    got = {
+        r["event_type"]: r["kmv_est"]
+        for r in kmv_distinct_users(
+            {"events": spark.read.parquet(f"{SF_CORRECT}/events.parquet")}
+        ).collect()
+    }
+    assert got == want
