@@ -1609,3 +1609,73 @@ SELECT strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
          / 100.0 AS total_value
 FROM events GROUP BY 1
 """
+
+
+# --- TS: per-user training sequences (sequence-model input shape) -------------
+SEQ_LAST_N = 16
+
+
+def user_event_sequences(t: Tables) -> DataFrame:
+    """Per-user truncated chronological event sequence — the input
+    shape a sequence model (next-event prediction, session embedding)
+    trains on: the LAST SEQ_LAST_N events per user in time order,
+    plus the user's total event count (so downstream can weight or
+    filter by history length). Complements event_transitions (the
+    first-order summary) with the raw higher-order sequence.
+
+    Determinism: the suffix is selected by a (ts DESC, event_id DESC)
+    row_number and re-ordered chronologically by sorting the collected
+    (ts, event_id, event_type) structs — collect_list order is
+    partition-dependent, sort_array on the struct prefix is not, and
+    the (ts, event_id) pair is a total order. The emitted array of
+    event_type strings hashes exactly cross-engine.
+
+    Scale shape: one shuffle on user_id shared by the ranking window
+    and the collect (same key), per-user state bounded by SEQ_LAST_N —
+    the truncation happens BEFORE the collect, so no unbounded user
+    timeline is ever materialized into an array."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = t["events"].select(
+        "user_id", "ts", "event_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id")
+        ).alias("n_events"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= SEQ_LAST_N)
+        .groupBy("user_id", "n_events")
+        .agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ).alias("seq")
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.size("seq").alias("seq_len"),
+            "seq",
+        )
+    )
+
+
+USER_SEQUENCES_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, n_events,
+       CAST(COUNT(*) AS INT) AS seq_len,
+       list(event_type ORDER BY ts, event_id) AS seq
+FROM ranked WHERE rn <= {SEQ_LAST_N}
+GROUP BY 1, 2
+"""

@@ -757,6 +757,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "first-order Markov transition matrix over per-user event sequences",
     ),
+    "user_event_sequences": Query(
+        eventstream.user_event_sequences,
+        eventstream.USER_SEQUENCES_SQL,
+        ("events",),
+        "per-user truncated chronological event sequences (seq-model input)",
+    ),
     "rolling_avg_value": Query(
         eventstream.rolling_avg_value,
         eventstream.ROLLING_AVG_SQL,
@@ -1481,6 +1487,7 @@ _R6_NEW = [
     "ppr_trade",  # A10b personalized PageRank
     "es_weighted_sample",  # X4 exact-size weighted sampling (A-ES)
     "dsir_quota_sample",  # X4 score->weight->sample composition
+    "user_event_sequences",  # TS sequence-model input shape
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
