@@ -1627,8 +1627,11 @@ def user_event_sequences(t: Tables) -> DataFrame:
     row_number and re-ordered chronologically by sorting the collected
     (ts, event_id, event_type) structs — collect_list order is
     partition-dependent, sort_array on the struct prefix is not, and
-    the (ts, event_id) pair is a total order. The emitted array of
-    event_type strings hashes exactly cross-engine.
+    the (ts, event_id) pair is a total order. The sequence ships as a
+    CSV string (the vocab_encode token_ids_csv convention): raw array
+    cells are unhashable in the driver's pandas sort_values
+    canonicalizer (the r2 crash class, re-confirmed for this query by
+    tools/driver_sim.py before it could burn a CORRECTNESS row).
 
     Scale shape: one shuffle on user_id shared by the ranking window
     and the collect (same key), per-user state bounded by SEQ_LAST_N —
@@ -1659,7 +1662,7 @@ def user_event_sequences(t: Tables) -> DataFrame:
             "user_id",
             "n_events",
             F.size("seq").alias("seq_len"),
-            "seq",
+            F.array_join("seq", ",").alias("seq_csv"),
         )
     )
 
@@ -1675,7 +1678,7 @@ WITH ranked AS (
 )
 SELECT user_id, n_events,
        CAST(COUNT(*) AS INT) AS seq_len,
-       list(event_type ORDER BY ts, event_id) AS seq
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS seq_csv
 FROM ranked WHERE rn <= {SEQ_LAST_N}
 GROUP BY 1, 2
 """

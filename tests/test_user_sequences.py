@@ -40,8 +40,8 @@ def test_last_n_chronological(spark):
     # chronological order
     r1 = out[1]
     assert r1["n_events"] == 20 and r1["seq_len"] == n
-    assert r1["seq"] == ["abcd"[i % 4] for i in range(20 - n, 20)]
+    assert r1["seq_csv"] == ",".join("abcd"[i % 4] for i in range(20 - n, 20))
     # user 2: shorter history than the window — kept whole
     r2 = out[2]
     assert r2["n_events"] == 3 and r2["seq_len"] == 3
-    assert r2["seq"] == ["x", "x", "x"]
+    assert r2["seq_csv"] == "x,x,x"
