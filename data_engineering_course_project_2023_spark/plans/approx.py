@@ -507,3 +507,45 @@ WITH u AS (
 hist AS ({_hdr_sql_hist("u")})
 SELECT * FROM ({_hdr_sql_quantiles("hist", "hdr_")})
 """
+
+
+def hdr_daily_quantiles(t: Tables) -> DataFrame:
+    """X5e': the sketch keyed by TIME BUCKET — per (event_type, day)
+    p25/p50/p75, the continuous-rollup shape a metrics store maintains
+    at ingest: state is ≤ 63·HDR_M integer buckets per (type, day)
+    cell, day cells never merge across boundaries, and older days'
+    sketches are immutable — exactly the downsample-then-keep-forever
+    layout. Reuses the oracled single-key helpers via a composite
+    'type|day' group key (the day string is the repo's pinned UTC
+    date_format ↔ strftime spelling from daily_event_counts)."""
+    u = t["events"].select(
+        F.concat_ws(
+            "|", F.col("event_type"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("grp"),
+        F.expr(_UNITS_EXPR).alias("u"),
+    )
+    sk = _hist_quantiles(_hdr_hist(u, "grp", "u"), "grp", "hdr_")
+    return sk.select(
+        F.substring_index("grp", "|", 1).alias("event_type"),
+        F.substring_index("grp", "|", -1).alias("day"),
+        "n",
+        "hdr_p25",
+        "hdr_p50",
+        "hdr_p75",
+    )
+
+
+HDR_DAILY_QUANTILES_SQL = f"""
+WITH u AS (
+  SELECT event_type || '|' || strftime(date_trunc('day', ts), '%Y-%m-%d')
+           AS grp,
+         {_UNITS_EXPR} AS u
+  FROM events
+),
+hist AS ({_hdr_sql_hist("u", group="grp")}),
+sk AS ({_hdr_sql_quantiles("hist", "hdr_", group="grp")})
+SELECT split_part(grp, '|', 1) AS event_type,
+       split_part(grp, '|', 2) AS day,
+       n, hdr_p25, hdr_p50, hdr_p75
+FROM sk
+"""

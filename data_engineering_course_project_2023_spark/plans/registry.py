@@ -1024,6 +1024,12 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "X5 KMV merge==recompute certified by the direct-spelling oracle",
     ),
+    "hdr_daily_quantiles": Query(
+        approx.hdr_daily_quantiles,
+        approx.HDR_DAILY_QUANTILES_SQL,
+        ("events",),
+        "X5 HDR sketch keyed by day (continuous-rollup percentiles)",
+    ),
     "hdr_value_quantiles": Query(
         approx.hdr_value_quantiles,
         approx.HDR_VALUE_QUANTILES_SQL,
@@ -1488,6 +1494,7 @@ _R6_NEW = [
     "es_weighted_sample",  # X4 exact-size weighted sampling (A-ES)
     "dsir_quota_sample",  # X4 score->weight->sample composition
     "user_event_sequences",  # TS sequence-model input shape
+    "hdr_daily_quantiles",  # X5e' sketch-per-time-bucket rollup
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
