@@ -1682,3 +1682,61 @@ SELECT user_id, n_events,
 FROM ranked WHERE rn <= {SEQ_LAST_N}
 GROUP BY 1, 2
 """
+
+
+# --- TS: recency-decayed engagement score -------------------------------------
+# Anchor just past the synthetic corpus's last day; a real deployment
+# passes "today". Decay halves weekly: weight(age) = 2^20 >> age_weeks
+# — powers of two, so the decay is EXACT integer arithmetic in both
+# engines (libm exp(-λt) is not).
+RECENCY_ANCHOR = "2024-02-01"
+_RECENCY_ONE = 1 << 20
+
+
+def recency_engagement(t: Tables) -> DataFrame:
+    """TS: per-user recency-weighted engagement — Σ_events 2^-(age in
+    weeks), the half-life decay score feature stores keep for churn /
+    LTV models, as exact integer units (score of 1.0 = one event this
+    week = 2^20 units). Top 100 users by score, user_id tiebreak.
+
+    Cross-engine exactness: age_weeks is integer date arithmetic and
+    the decay is a bigint right-shift — no float ever appears, so the
+    ordering and every value are bit-identical. Scale shape: the
+    weight is map-side, the score is one user-keyed integer agg, and
+    the top-100 is an orderBy+limit (TakeOrdered — never a global
+    sort of the user frame)."""
+    age_w = F.floor(
+        F.datediff(
+            F.lit(RECENCY_ANCHOR).cast("date"), F.col("ts").cast("date")
+        )
+        / 7
+    ).cast("int")
+    ev = t["events"].select("user_id", age_w.alias("age_w")).selectExpr(
+        "user_id",
+        # shiftright's Python wrapper takes only a literal bit count;
+        # the SQL form accepts the column
+        f"shiftright(CAST({_RECENCY_ONE} AS BIGINT), least(age_w, 40)) AS w",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("w").alias("score_units"),
+        )
+        .orderBy(F.col("score_units").desc(), F.col("user_id").asc())
+        .limit(100)
+    )
+
+
+RECENCY_ENGAGEMENT_SQL = f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM({_RECENCY_ONE} >> LEAST(
+           CAST(datediff('day', CAST(ts AS DATE),
+                         DATE '{RECENCY_ANCHOR}') // 7 AS INT), 40))
+            AS BIGINT) AS score_units
+FROM events
+GROUP BY 1
+ORDER BY score_units DESC, user_id ASC
+LIMIT 100
+"""

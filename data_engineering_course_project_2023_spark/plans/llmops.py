@@ -5784,3 +5784,90 @@ ranked AS (
 SELECT source, doc_id, CAST(w AS INT) AS w, e_micro, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= {DQ_K}
 """
+
+
+# --- X4: reproducible train/val/test split audit ------------------------------
+SPLIT_BOUNDS = (80, 90)  # md5 mod 100: <80 train, <90 val, else test
+
+
+def split_assignment_audit(t: Tables) -> DataFrame:
+    """X4: the deterministic holdout split every training run starts
+    from — assignment by content-stable hash (md5(doc_id || ':split')
+    mod 100 against SPLIT_BOUNDS), audited per (source, split): doc
+    count, token mass, and the within-source share. Hash assignment
+    (never ORDER BY + percent) means a re-run, a re-partition, or an
+    appended shard cannot move an existing doc between splits — the
+    leakage-safety property the audit exists to certify.
+
+    Exactness: counts and token sums are integers; share is the
+    exact-int/int IEEE quotient. Scale: assignment is map-side; one
+    (source, split) agg; the within-source total rides a window over
+    the ≤ sources×3-row agg frame (the DSIR totals discipline)."""
+    from pyspark.sql.window import Window
+
+    b_train, b_val = SPLIT_BOUNDS
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("doc_id").cast("string"), F.lit(":split"))
+                ),
+                1, 8,
+            ),
+            16, 10,
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < b_train, F.lit("train"))
+        .when(bucket < b_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    agg = (
+        t["documents"]
+        .select("source", split.alias("split"), textops.token_count("text").alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    tot = F.sum("n_docs").over(Window.partitionBy("source"))
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / tot.cast("double")).alias(
+            "doc_share"
+        ),
+    )
+
+
+SPLIT_AUDIT_SQL = f"""
+WITH assigned AS (
+  SELECT source,
+         CASE
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 8)) AS BIGINT)
+                % 100 < {SPLIT_BOUNDS[0]} THEN 'train'
+           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                         || ':split'), 1, 8)) AS BIGINT)
+                % 100 < {SPLIT_BOUNDS[1]} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS n_tok
+  FROM documents
+),
+agg AS (
+  SELECT source, split, COUNT(*) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM assigned GROUP BY 1, 2
+)
+SELECT source, split, n_docs, n_tokens,
+       CAST(n_docs AS DOUBLE)
+         / CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE)
+         AS doc_share
+FROM agg
+"""

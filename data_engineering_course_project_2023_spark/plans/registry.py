@@ -763,6 +763,18 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "per-user truncated chronological event sequences (seq-model input)",
     ),
+    "recency_engagement": Query(
+        eventstream.recency_engagement,
+        eventstream.RECENCY_ENGAGEMENT_SQL,
+        ("events",),
+        "TS recency-decayed engagement score (exact power-of-two decay)",
+    ),
+    "split_assignment_audit": Query(
+        llmops.split_assignment_audit,
+        llmops.SPLIT_AUDIT_SQL,
+        ("documents",),
+        "X4 hash-assigned train/val/test split audit per source",
+    ),
     "rolling_avg_value": Query(
         eventstream.rolling_avg_value,
         eventstream.ROLLING_AVG_SQL,
@@ -1495,6 +1507,8 @@ _R6_NEW = [
     "dsir_quota_sample",  # X4 score->weight->sample composition
     "user_event_sequences",  # TS sequence-model input shape
     "hdr_daily_quantiles",  # X5e' sketch-per-time-bucket rollup
+    "recency_engagement",  # TS exact half-life decay scoring
+    "split_assignment_audit",  # X4 holdout split audit
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
