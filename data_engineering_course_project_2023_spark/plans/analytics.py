@@ -3002,3 +3002,108 @@ SELECT s.s_suppkey AS suppkey, s.s_name,
 FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
 GROUP BY 1, 2
 """
+
+
+# --- A11b: per-node graph feature assembly -------------------------------------
+def node_features(t: Tables) -> DataFrame:
+    """A11b: the graph-ML feature table — one row per co-order-graph
+    node with degree, weighted degree (Σ co-order counts), triangle
+    participation, and local clustering coefficient 2T/(d·(d−1)) —
+    the node-feature assembly a GNN / graph-feature training pipeline
+    materializes before sampling. Single-op consumers exist separately
+    (triangle_counts, copair_counts); this is their joined, null-safe
+    assembly (nodes in no triangle get 0, degree-1 nodes get
+    clustering 0.0, not NULL/NaN).
+
+    Exactness: every feature is an exact integer except clustering,
+    the IEEE quotient of two exact ints. Scale shape: the weighted
+    edge list builds once (localCheckpoint, edge-sized) and feeds the
+    degree agg and all three triangle-join sides; per-node features
+    are keyed aggs + one left join — no all-pairs anywhere."""
+    ew = (
+        coorder_pair_stream(t["lineitem"])
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .localCheckpoint()
+    )
+    adj = ew.select("src", "dst", "n").unionByName(
+        ew.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "n"
+        )
+    )
+    deg = adj.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree"),
+        F.sum("n").alias("weighted_degree"),
+    )
+    e1, e2, e3 = ew.alias("e1"), ew.alias("e2"), ew.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.explode(
+                F.array(F.col("e1.src"), F.col("e1.dst"), F.col("e2.dst"))
+            ).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    joined = deg.join(tri, "node", "left").select(
+        "node",
+        "degree",
+        "weighted_degree",
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias(
+            "n_triangles"
+        ),
+    )
+    return joined.select(
+        "node",
+        "degree",
+        "weighted_degree",
+        "n_triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
+NODE_FEATURES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), ew AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, COUNT(*) AS n
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+), adj AS (
+  SELECT src, dst, n FROM ew UNION ALL SELECT dst, src, n FROM ew
+), deg AS (
+  SELECT src AS node, COUNT(*) AS degree,
+         CAST(SUM(n) AS BIGINT) AS weighted_degree
+  FROM adj GROUP BY 1
+), tri AS (
+  SELECT node, COUNT(*) AS n_triangles
+  FROM (
+    SELECT unnest([e1.src, e1.dst, e2.dst]) AS node
+    FROM ew e1
+    JOIN ew e2 ON e2.src = e1.dst
+    JOIN ew e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  ) GROUP BY 1
+)
+SELECT deg.node, degree, weighted_degree,
+       CAST(COALESCE(tri.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN degree >= 2
+            THEN CAST(2 * COALESCE(tri.n_triangles, 0) AS DOUBLE)
+                 / CAST(degree * (degree - 1) AS DOUBLE)
+            ELSE 0.0 END AS clustering
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+"""

@@ -993,6 +993,12 @@ REGISTRY: dict[str, Query] = {
         ("lineitem",),
         "A19b Adamic-Adar degree-discounted link prediction",
     ),
+    "node_features": Query(
+        analytics.node_features,
+        analytics.NODE_FEATURES_SQL,
+        ("lineitem",),
+        "A11b per-node graph-ML feature assembly (degree/triangles/clustering)",
+    ),
     "variant_props_profile": Query(
         eventstream.variant_props_profile,
         eventstream.VARIANT_PROPS_SQL,
@@ -1509,6 +1515,7 @@ _R6_NEW = [
     "hdr_daily_quantiles",  # X5e' sketch-per-time-bucket rollup
     "recency_engagement",  # TS exact half-life decay scoring
     "split_assignment_audit",  # X4 holdout split audit
+    "node_features",  # A11b graph-ML feature assembly
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
