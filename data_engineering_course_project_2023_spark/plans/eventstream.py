@@ -1740,3 +1740,104 @@ GROUP BY 1
 ORDER BY score_units DESC, user_id ASC
 LIMIT 100
 """
+
+
+# --- TS: association rules over user baskets ----------------------------------
+def event_type_lift(t: Tables) -> DataFrame:
+    """TS: market-basket association rules at the event-type level —
+    for each unordered type pair over per-user baskets (basket = the
+    set of event types a user ever triggered): joint support, the two
+    marginals, and support/confidence/lift. Lift > 1 ⇒ the types
+    co-occur in the same users more than independence predicts — the
+    cross-sell / feature-affinity signal.
+
+    Exactness: all counts are exact integers from distinct sets;
+    support/confidence/lift are IEEE quotients and products of those
+    exact ints (lift spelled (n_ab·N)/(n_a·n_b) as ONE division so no
+    intermediate rounds). Scale shape: baskets collect in one
+    user-keyed distinct agg; the pair stream expands MAP-SIDE from
+    each sorted basket (the coorder_pair_stream combinatorics — the
+    type domain is tiny so per-basket fan-out is bounded); marginals
+    broadcast onto the pair counts."""
+    baskets = (
+        t["events"]
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts_"))
+    )
+    n_users = baskets.agg(F.count(F.lit(1)).alias("n_users"))
+    marg = baskets.select(
+        F.explode("ts_").alias("event_type")
+    ).groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    pairs = (
+        baskets.select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(ts_, (x, i) -> "
+                        "transform(slice(ts_, i + 2, size(ts_)), "
+                        "y -> struct(x AS type_a, y AS type_b)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.type_a", "p.type_b")
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    mb = marg.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            "n_users",
+            (F.col("n_ab").cast("double") / F.col("n_users").cast("double"))
+            .alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double"))
+            .alias("confidence"),
+            (
+                (F.col("n_ab") * F.col("n_users")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+    )
+
+
+EVENT_TYPE_LIFT_SQL = """
+WITH baskets AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS ts_
+  FROM events GROUP BY 1
+),
+nu AS (SELECT COUNT(*) AS n_users FROM baskets),
+marg AS (
+  SELECT unnest(ts_) AS event_type FROM baskets
+),
+mcnt AS (SELECT event_type, COUNT(*) AS n_t FROM marg GROUP BY 1),
+pairs AS (
+  SELECT ts_[i] AS type_a, ts_[j] AS type_b, COUNT(*) AS n_ab
+  FROM baskets,
+       unnest(range(1, len(ts_) + 1)) AS t(i),
+       unnest(range(1, len(ts_) + 1)) AS s(j)
+  WHERE j > i
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab, ma.n_t AS n_a, mb.n_t AS n_b, n_users,
+       CAST(n_ab AS DOUBLE) / CAST(n_users AS DOUBLE) AS support,
+       CAST(n_ab AS DOUBLE) / CAST(ma.n_t AS DOUBLE) AS confidence,
+       CAST(n_ab * n_users AS DOUBLE)
+         / CAST(ma.n_t * mb.n_t AS DOUBLE) AS lift
+FROM pairs
+JOIN mcnt ma ON ma.event_type = type_a
+JOIN mcnt mb ON mb.event_type = type_b
+CROSS JOIN nu
+"""

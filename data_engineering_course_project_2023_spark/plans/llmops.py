@@ -5871,3 +5871,70 @@ SELECT source, split, n_docs, n_tokens,
          AS doc_share
 FROM agg
 """
+
+
+# --- X4: skip-gram training pairs (embedding-training data generator) ---------
+SKIPGRAM_WINDOW = 2
+SKIPGRAM_MIN_N = 5
+
+
+def skipgram_pairs(t: Tables) -> DataFrame:
+    """X4: word2vec/fastText training-pair generation — every
+    (center, context) token pair within ±SKIPGRAM_WINDOW positions,
+    with pair counts: the thing an embedding-training job streams out
+    of the corpus. token_pmi is the window-1 statistical summary;
+    this is the raw windowed pair stream both word2vec and
+    co-occurrence-matrix factorization (GloVe) consume.
+
+    Scale shape: the forward pairs come from a map-side nested
+    ``transform`` over each token array (the token_pmi bigram
+    discipline widened to a window) — the corpus NEVER self-joins on
+    position; the backward direction is a projection flip of the same
+    stream, so symmetry costs zero extra scan; one (center, context)
+    keyed agg ends the plan. Output bounded by HAVING n >= SKIPGRAM_MIN_N."""
+    docs = spread(t["documents"]).select(
+        textops.tokens("text").alias("toks")
+    )
+    fwd = docs.select(
+        F.explode(
+            F.flatten(
+                F.expr(
+                    f"transform(toks, (x, i) -> "
+                    f"transform(slice(toks, i + 2, {SKIPGRAM_WINDOW}), "
+                    f"y -> struct(x AS center, y AS context)))"
+                )
+            )
+        ).alias("p")
+    ).select("p.center", "p.context")
+    both = fwd.unionByName(
+        fwd.select(
+            F.col("context").alias("center"), F.col("center").alias("context")
+        )
+    )
+    return (
+        both.groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= SKIPGRAM_MIN_N)
+    )
+
+
+SKIPGRAM_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+fwd AS (
+  SELECT w[i] AS center, w[i + d] AS context
+  FROM toks,
+       unnest(range(1, len(w) + 1)) AS t(i),
+       unnest([1, 2]) AS u(d)
+  WHERE d <= {SKIPGRAM_WINDOW} AND i + d <= len(w)
+),
+bidir AS (
+  SELECT center, context FROM fwd
+  UNION ALL
+  SELECT context, center FROM fwd
+)
+SELECT center, context, COUNT(*) AS n_pairs
+FROM bidir GROUP BY 1, 2 HAVING COUNT(*) >= {SKIPGRAM_MIN_N}
+"""

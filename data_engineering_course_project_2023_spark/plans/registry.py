@@ -769,6 +769,18 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "TS recency-decayed engagement score (exact power-of-two decay)",
     ),
+    "event_type_lift": Query(
+        eventstream.event_type_lift,
+        eventstream.EVENT_TYPE_LIFT_SQL,
+        ("events",),
+        "TS association rules (support/confidence/lift) over user baskets",
+    ),
+    "skipgram_pairs": Query(
+        llmops.skipgram_pairs,
+        llmops.SKIPGRAM_PAIRS_SQL,
+        ("documents",),
+        "X4 windowed skip-gram training pairs (embedding-data generator)",
+    ),
     "split_assignment_audit": Query(
         llmops.split_assignment_audit,
         llmops.SPLIT_AUDIT_SQL,
@@ -1516,6 +1528,8 @@ _R6_NEW = [
     "recency_engagement",  # TS exact half-life decay scoring
     "split_assignment_audit",  # X4 holdout split audit
     "node_features",  # A11b graph-ML feature assembly
+    "skipgram_pairs",  # X4 embedding-training pair generator
+    "event_type_lift",  # TS association-rule mining
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
