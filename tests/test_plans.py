@@ -95,6 +95,9 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "hybrid_rrf",
         # three 1-row metric aggregates broadcast-joined into the report
         "neardup_eval",
+        # one-row n_users basket-count broadcast for support/lift (the
+        # windowed alternative would single-partition the user frame)
+        "event_type_lift",
     }
     offenders = {}
     for name in registry.REGISTRY:
