@@ -5938,3 +5938,79 @@ bidir AS (
 SELECT center, context, COUNT(*) AS n_pairs
 FROM bidir GROUP BY 1, 2 HAVING COUNT(*) >= {SKIPGRAM_MIN_N}
 """
+
+
+# --- X4: word2vec negative-sampling table --------------------------------------
+NEG_TABLE_TOP_V = 200  # vocabulary rows the table covers
+
+
+def negative_sampling_table(t: Tables) -> DataFrame:
+    """X4: the SECOND artifact a word2vec/contrastive trainer needs
+    next to skipgram_pairs — the negative-sampling table: top-V vocab
+    with unigram-to-the-3/4 weights (Mikolov's smoothing: rare words
+    sampled more than raw frequency, common words less) and the
+    cumulative integer ranges an alias/inverse-CDF sampler indexes.
+
+    Cross-engine exactness: freq^0.75 is frozen to integer micro-units
+    once per VOCAB row (pow is libm in both engines; the micro-round
+    freeze is the repo's established absorption for that — DSIR /
+    surprisal discipline), so the cumulative ranges are exact integer
+    sums under the (freq DESC, tok ASC) total order. Scale shape: one
+    corpus shuffle for the vocab count, a vocab-sized window for the
+    top-V cut and the cumsum — the table itself is the broadcast-sized
+    artifact the sampler consumes."""
+    from pyspark.sql.window import Window
+
+    freq = (
+        spread(t["documents"])
+        .select(F.explode(textops.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    order = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    top = (
+        freq.withColumn("rank", F.row_number().over(order))
+        .filter(F.col("rank") <= NEG_TABLE_TOP_V)
+        .withColumn(
+            "w_micro",
+            F.round(F.pow(F.col("freq").cast("double"), F.lit(0.75)) * 1e6)
+            .cast("bigint"),
+        )
+    )
+    cum = Window.orderBy(F.col("rank")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return top.select(
+        "rank",
+        "tok",
+        "freq",
+        "w_micro",
+        (F.sum("w_micro").over(cum) - F.col("w_micro")).alias("range_lo"),
+        F.sum("w_micro").over(cum).alias("range_hi"),
+    )
+
+
+NEG_SAMPLING_SQL = f"""
+WITH freq AS (
+  SELECT unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS freq FROM freq GROUP BY 1),
+top AS (
+  SELECT tok, freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank,
+         CAST(round(POWER(CAST(freq AS DOUBLE), 0.75) * 1e6) AS BIGINT)
+           AS w_micro
+  FROM cnt
+  QUALIFY rank <= {NEG_TABLE_TOP_V}
+)
+SELECT CAST(rank AS INT) AS rank, tok, freq, w_micro,
+       CAST(SUM(w_micro) OVER (ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            - w_micro AS BIGINT) AS range_lo,
+       CAST(SUM(w_micro) OVER (ORDER BY rank
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS range_hi
+FROM top
+"""

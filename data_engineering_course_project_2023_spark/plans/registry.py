@@ -781,6 +781,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X4 windowed skip-gram training pairs (embedding-data generator)",
     ),
+    "negative_sampling_table": Query(
+        llmops.negative_sampling_table,
+        llmops.NEG_SAMPLING_SQL,
+        ("documents",),
+        "X4 word2vec negative-sampling table (freq^0.75, cumulative ranges)",
+    ),
     "split_assignment_audit": Query(
         llmops.split_assignment_audit,
         llmops.SPLIT_AUDIT_SQL,
@@ -1530,6 +1536,7 @@ _R6_NEW = [
     "node_features",  # A11b graph-ML feature assembly
     "skipgram_pairs",  # X4 embedding-training pair generator
     "event_type_lift",  # TS association-rule mining
+    "negative_sampling_table",  # X4 word2vec sampler artifact
 ]
 _R6_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R6_NEW
 _R6_WINDOW += [
