@@ -687,3 +687,116 @@ FROM {table}
 TABLE_MANIFEST_SQL = "\nUNION ALL\n".join(
     _manifest_sql_one(tb, ks) for tb, ks in _MANIFEST_KEYS
 )
+
+
+# --- G1: SCD Type-2 dimension maintenance (gold layer) -----------------------
+def scd2_dim_apply(t: Tables) -> DataFrame:
+    """G1 (ref: src/airflow/dags/check_DWH.py:30-32,60-63 — the DWH
+    declares is_current/start_date/end_date SCD-2 columns whose
+    close-old/open-new maintenance the reference's insert-only loader
+    never writes): apply a change batch to an SCD-2 dimension through
+    :func:`operators.scd.scd2_apply` and emit the maintained dim.
+
+    Both the base dim and the update batch are derived deterministically
+    from ``customer`` so the oracle can rebuild them:
+
+    - base current rows: custkey % 3 != 0 (opened 2024-01-01);
+    - base history rows: of those, custkey % 10 == 1 carries a closed
+      prior version (segment prefixed ``OLD_``, 2023→2024) — the
+      pass-through case;
+    - updates: custkey % 5 < 2; evens get segment ``_V2``, multiples of
+      4 also get balance +100.0 → close+open; odd update keys are
+      attribute-identical → idempotent untouched; update keys divisible
+      by 3 are absent from the dim → brand-new open rows.
+
+    Scale shape: one broadcast hash join per side (updates are a change
+    BATCH — dim-sized × day-fraction, always the small side), history
+    passes through scan-only, output unions are narrow. With a
+    MERGE-capable table format the same semantics become a partition-
+    pruned MERGE; the relational spelling here is the format-free twin.
+    """
+    from ..operators.scd import scd2_apply
+
+    cust = t["customer"]
+    k = F.col("c_custkey")
+    base_cur = cust.filter(k % 3 != 0).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.lit(True).alias("is_current"),
+        F.lit("2024-01-01").cast("timestamp").alias("start_date"),
+        F.lit(None).cast("timestamp").alias("end_date"),
+    )
+    base_hist = cust.filter((k % 3 != 0) & (k % 10 == 1)).select(
+        "c_custkey",
+        F.concat(F.lit("OLD_"), F.col("c_mktsegment")).alias("c_mktsegment"),
+        "c_acctbal",
+        F.lit(False).alias("is_current"),
+        F.lit("2023-01-01").cast("timestamp").alias("start_date"),
+        F.lit("2024-01-01").cast("timestamp").alias("end_date"),
+    )
+    dim = base_cur.unionByName(base_hist)
+    upd = cust.filter(k % 5 < 2).select(
+        "c_custkey",
+        F.when(k % 2 == 0, F.concat(F.col("c_mktsegment"), F.lit("_V2")))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+        F.when(k % 4 == 0, F.col("c_acctbal") + 100.0)
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return scd2_apply(
+        dim,
+        upd,
+        "c_custkey",
+        ["c_mktsegment", "c_acctbal"],
+        F.lit("2024-06-01").cast("timestamp"),
+    )
+
+
+SCD2_DIM_APPLY_SQL = """
+WITH cur AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         TIMESTAMP '2024-01-01' AS start_date
+  FROM customer WHERE c_custkey % 3 <> 0
+),
+hist AS (
+  SELECT c_custkey, 'OLD_' || c_mktsegment AS c_mktsegment, c_acctbal,
+         FALSE AS is_current,
+         TIMESTAMP '2023-01-01' AS start_date,
+         TIMESTAMP '2024-01-01' AS end_date
+  FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 10 = 1
+),
+upd AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 2 = 0 THEN c_mktsegment || '_V2'
+              ELSE c_mktsegment END AS u_seg,
+         CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 100.0
+              ELSE c_acctbal END AS u_bal
+  FROM customer WHERE c_custkey % 5 < 2
+),
+j AS (
+  SELECT cur.c_custkey, cur.c_mktsegment, cur.c_acctbal, cur.start_date,
+         upd.c_custkey IS NOT NULL
+           AND (cur.c_mktsegment IS DISTINCT FROM upd.u_seg
+                OR cur.c_acctbal IS DISTINCT FROM upd.u_bal) AS chg
+  FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
+)
+SELECT c_custkey, c_mktsegment, c_acctbal, is_current, start_date, end_date
+FROM hist
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_acctbal, FALSE, start_date,
+       TIMESTAMP '2024-06-01'
+FROM j WHERE chg
+UNION ALL
+SELECT c_custkey, c_mktsegment, c_acctbal, TRUE, start_date,
+       CAST(NULL AS TIMESTAMP)
+FROM j WHERE NOT chg
+UNION ALL
+SELECT upd.c_custkey, upd.u_seg, upd.u_bal, TRUE,
+       TIMESTAMP '2024-06-01', CAST(NULL AS TIMESTAMP)
+FROM upd LEFT JOIN cur ON upd.c_custkey = cur.c_custkey
+WHERE cur.c_custkey IS NULL
+   OR upd.u_seg IS DISTINCT FROM cur.c_mktsegment
+   OR upd.u_bal IS DISTINCT FROM cur.c_acctbal
+"""
