@@ -6014,3 +6014,411 @@ SELECT CAST(rank AS INT) AS rank, tok, freq, w_micro,
             AS BIGINT) AS range_hi
 FROM top
 """
+
+
+# --- X4n: unigram-LM (SentencePiece-style) tokenizer trainer ------------------
+# The BPE trainer's sibling (Kudo 2018): a piece inventory is scored by
+# a unigram language model and refined by EM; segmentation is the
+# Viterbi (min-cost) split of each word. Constants mirror the
+# SentencePiece caps: candidate pieces up to 4 chars, words longer than
+# 12 chars excluded from training (char-fallback at encode time), the
+# multi-char inventory seeded with the top-48 substrings by corpus
+# frequency, 2 hard-EM rounds (Viterbi E-step + Laplace-smoothed
+# M-step re-estimation with zero-count pruning).
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_MAX_WORD = 12
+UNIGRAM_TOP_MULTI = 48
+UNIGRAM_EM_ROUNDS = 2
+
+# starts = cut positions decoded from the mask bits (bit k-1 set = cut
+# after char k), with position 1 always a start; pieces = substrings
+# between consecutive starts. Pure integer/string ops — bit-identical
+# across engines.
+_UNIGRAM_STARTS_EXPR = (
+    "concat(array(1), transform("
+    " filter(IF(length(word) = 1, array(), sequence(1, length(word) - 1)),"
+    "        k -> (shiftright(mask, k - 1) & 1) = 1),"
+    " k -> k + 1))"
+)
+_UNIGRAM_PIECES_EXPR = (
+    "transform(sequence(1, size(starts)), i ->"
+    " substring(word, element_at(starts, i),"
+    "  IF(i < size(starts), element_at(starts, i + 1), length(word) + 1)"
+    "  - element_at(starts, i)))"
+)
+
+_UNIGRAM_TRAIN_CACHE: dict = {}
+
+
+def _unigram_estep(cand_pieces: DataFrame, inv: DataFrame) -> DataFrame:
+    """Viterbi E-step: min-cost segmentation per word over the
+    enumerated candidate splits, as one broadcast join + one keyed agg
+    + one per-word window. A mask is valid only if EVERY piece is in
+    the current inventory (n_matched == n_pieces); the all-chars split
+    is always valid because single chars are never pruned. Integer
+    micro-nat costs make the argmin exact; ties break (fewer pieces,
+    lower mask) deterministically."""
+    from pyspark.sql.window import Window
+
+    j = cand_pieces.join(
+        F.broadcast(inv.select("piece", "score_micro")), "piece", "left"
+    )
+    agg = j.groupBy("word", "n", "mask", "n_pieces").agg(
+        F.count("score_micro").alias("n_matched"),
+        F.sum("score_micro").alias("cost"),
+    )
+    w = Window.partitionBy("word").orderBy("cost", "n_pieces", "mask")
+    return (
+        agg.filter(F.col("n_matched") == F.col("n_pieces"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("word", "n", "mask", "n_pieces")
+    )
+
+
+def _unigram_mstep(
+    winners: DataFrame, cand_pieces: DataFrame, inv: DataFrame
+) -> DataFrame:
+    """M-step: expected piece counts under the Viterbi segmentation
+    (hard EM), zero-count multi-char pieces pruned, scores re-estimated
+    with Laplace(+1) smoothing over the kept inventory. Totals ride a
+    window over the inventory-sized model frame (the dsir lesson: never
+    crossJoin an agg onto a tiny frame)."""
+    from pyspark.sql.window import Window
+
+    wp = winners.select("word", "mask", "n").join(
+        cand_pieces.select("word", "mask", "piece"), ["word", "mask"]
+    )
+    cnt = wp.groupBy("piece").agg(F.sum("n").alias("cnt"))
+    kept = (
+        inv.select("piece")
+        .join(cnt, "piece", "left")
+        .select(
+            "piece", F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt")
+        )
+        .filter((F.length("piece") == 1) | (F.col("cnt") > 0))
+    )
+    w = Window.partitionBy()
+    return (
+        kept.withColumn("tot", F.sum("cnt").over(w))
+        .withColumn("p_inv", F.count(F.lit(1)).over(w))
+        .select(
+            "piece",
+            "cnt",
+            F.round(
+                F.log(
+                    (F.col("tot") + F.col("p_inv")).cast("double")
+                    / (F.col("cnt") + F.lit(1)).cast("double")
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .localCheckpoint()
+    )
+
+
+def _unigram_train(t: Tables):
+    """Shared trainer core: returns (final inventory frame
+    [piece, cnt, score_micro], final word→n_pieces segmentation frame).
+    Memoized per (session, input files) like _BPE_TRAIN_CACHE so the
+    train/encode registry pair shares one training pass.
+
+    Scale shape: training state is the VOCAB dimension (distinct
+    words ≤ 12 chars), never the corpus — the corpus collapses to
+    word→freq in the job's only corpus-sized shuffle. Candidate
+    segmentations fan out map-side, bounded by the caps
+    (≤ 2^11 masks/word); every EM round is one broadcast join + one
+    keyed agg over that bounded frame. At 100 TB the vocab is millions
+    of rows and the fan-out is still O(vocab · 2^11) worst-case —
+    SentencePiece's own max-length discipline, documented here as the
+    cap rather than hidden."""
+    from ..operators.dedup import _files_fingerprint, _lru_put
+
+    docs = t["documents"]
+    files = _files_fingerprint(docs)
+    key = (
+        docs.sparkSession.sparkContext.applicationId,
+        files,
+        UNIGRAM_EM_ROUNDS,
+    )
+    if files and key in _UNIGRAM_TRAIN_CACHE:
+        return _UNIGRAM_TRAIN_CACHE[key]
+    d = spread(docs)
+    words = d.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.length("word") <= UNIGRAM_MAX_WORD)
+        .localCheckpoint()
+    )
+    # seed inventory: all substrings ≤ 4 chars weighted by word freq;
+    # every single char + the top-48 multi-char candidates.
+    cands = vocab.select(
+        "n",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i ->"
+                f" filter(transform(sequence(1, {UNIGRAM_MAX_PIECE}), l ->"
+                "   IF(i + l - 1 <= length(word), substring(word, i, l),"
+                "      NULL)), x -> x IS NOT NULL)))"
+            )
+        ).alias("piece"),
+    )
+    freq = cands.groupBy("piece").agg(F.sum("n").alias("f"))
+    multi = (
+        freq.filter(F.length("piece") >= 2)
+        .orderBy(F.col("f").desc(), "piece")
+        .limit(UNIGRAM_TOP_MULTI)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy()
+    inv = (
+        freq.filter(F.length("piece") == 1)
+        .unionByName(multi)
+        .withColumn("tot", F.sum("f").over(w))
+        .select(
+            "piece",
+            F.col("f").cast("bigint").alias("cnt"),
+            F.round(
+                F.log(F.col("tot").cast("double") / F.col("f").cast("double"))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .localCheckpoint()
+    )
+    # candidate segmentations: round-invariant, built and checkpointed
+    # ONCE — EM rounds only re-cost them.
+    masks = vocab.select(
+        "word",
+        "n",
+        F.explode(
+            F.expr("sequence(0, shiftleft(1, length(word) - 1) - 1)")
+        ).alias("mask"),
+    )
+    cand_pieces = (
+        masks.withColumn("starts", F.expr(_UNIGRAM_STARTS_EXPR))
+        .withColumn("pieces", F.expr(_UNIGRAM_PIECES_EXPR))
+        .filter(
+            F.expr(
+                "array_max(transform(pieces, p -> length(p)))"
+                f" <= {UNIGRAM_MAX_PIECE}"
+            )
+        )
+        .select(
+            "word",
+            "n",
+            "mask",
+            F.size("pieces").alias("n_pieces"),
+            F.explode("pieces").alias("piece"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        winners = _unigram_estep(cand_pieces, inv)
+        inv = _unigram_mstep(winners, cand_pieces, inv)
+    seg = _unigram_estep(cand_pieces, inv).select(
+        "word", F.col("n_pieces").alias("wpieces")
+    ).localCheckpoint()
+    result = (inv, seg)
+    if files:
+        _lru_put(_UNIGRAM_TRAIN_CACHE, key, result)
+    return result
+
+
+def unigram_lm_train(t: Tables) -> DataFrame:
+    """X4n: the trained unigram-LM piece table (piece, piece_len,
+    piece_count, score_micro) after 2 hard-EM rounds — the artifact
+    that IS a SentencePiece-style tokenizer. The DuckDB twin unrolls
+    the identical rounds (same mask enumeration, same integer argmin,
+    same Laplace rescore), so the parity row certifies the full EM."""
+    inv, _ = _unigram_train(t)
+    return inv.select(
+        "piece",
+        F.length("piece").cast("int").alias("piece_len"),
+        F.col("cnt").alias("piece_count"),
+        "score_micro",
+    ).orderBy(F.col("piece_count").desc(), "piece")
+
+
+def unigram_lm_encode(t: Tables) -> DataFrame:
+    """X4n': the inference path — encode every document with the
+    trained model and report per-doc piece economics. The trained
+    segmentation lives on the VOCAB dimension (word → piece count from
+    the final Viterbi pass); documents explode to (doc_id, word) and
+    hash-join it — the corpus never re-enters the EM. Words the trainer
+    excluded (> 12 chars) fall back to one piece per char, spelled
+    identically in both engines."""
+    _, seg = _unigram_train(t)
+    d = spread(t["documents"])
+    dwords = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    return (
+        dwords.join(seg, "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(F.coalesce("wpieces", F.length("word")))
+            .cast("bigint")
+            .alias("n_pieces"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_chars",
+            "n_pieces",
+            (
+                F.col("n_chars").cast("double")
+                / F.col("n_pieces").cast("double")
+            ).alias("chars_per_piece"),
+        )
+    )
+
+
+def _unigram_estep_sql(r: int) -> str:
+    """One unrolled DuckDB E-step over inv{r-1} → win{r}."""
+    return f"""
+pj{r} AS (
+  SELECT c.word, c.n, c.mask, c.n_pieces,
+         COUNT(i.piece) AS n_matched,
+         SUM(i.score_micro) AS cost
+  FROM cand_pieces c LEFT JOIN inv{r - 1} i ON c.piece = i.piece
+  GROUP BY 1, 2, 3, 4
+),
+win{r} AS MATERIALIZED (
+  SELECT word, n, mask, n_pieces FROM (
+    SELECT word, n, mask, n_pieces,
+           ROW_NUMBER() OVER (PARTITION BY word
+                              ORDER BY cost, n_pieces, mask) AS rk
+    FROM pj{r} WHERE n_matched = n_pieces
+  ) WHERE rk = 1
+)"""
+
+
+def _unigram_mstep_sql(r: int) -> str:
+    """One unrolled DuckDB M-step: win{r} + inv{r-1} → inv{r}."""
+    return f"""
+cnt{r} AS (
+  SELECT c.piece, SUM(w.n) AS cnt
+  FROM win{r} w JOIN cand_pieces c ON w.word = c.word AND w.mask = c.mask
+  GROUP BY 1
+),
+inv{r} AS MATERIALIZED (
+  SELECT piece, cnt,
+         CAST(round(ln(CAST(SUM(cnt) OVER () + COUNT(*) OVER () AS DOUBLE)
+                       / CAST(cnt + 1 AS DOUBLE)) * 1e6) AS BIGINT)
+           AS score_micro
+  FROM (
+    SELECT i.piece, COALESCE(c.cnt, 0) AS cnt
+    FROM (SELECT piece FROM inv{r - 1}) i LEFT JOIN cnt{r} c USING (piece)
+    WHERE length(i.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+  )
+)"""
+
+
+_UNIGRAM_SQL_PREFIX = (
+    r"""
+WITH words AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+),
+wf AS (
+  SELECT word, COUNT(*) AS n FROM words
+  WHERE length(word) <= """
+    + str(UNIGRAM_MAX_WORD)
+    + f"""
+  GROUP BY 1
+),
+cands AS (
+  SELECT piece, SUM(n) AS f FROM (
+    SELECT n, substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece
+    FROM wf,
+         unnest(range(1, length(word) + 1)) AS t(i),
+         unnest(range(1, {UNIGRAM_MAX_PIECE + 1})) AS u(l)
+    WHERE i + l - 1 <= length(word)
+  ) GROUP BY 1
+),
+inv0 AS MATERIALIZED (
+  SELECT piece, CAST(f AS BIGINT) AS cnt,
+         CAST(round(ln(CAST(SUM(f) OVER () AS DOUBLE)
+                       / CAST(f AS DOUBLE)) * 1e6) AS BIGINT)
+           AS score_micro
+  FROM (
+    SELECT piece, f FROM cands WHERE length(piece) = 1
+    UNION ALL
+    SELECT piece, f FROM (
+      SELECT piece, f FROM cands WHERE length(piece) >= 2
+      ORDER BY f DESC, piece LIMIT {UNIGRAM_TOP_MULTI})
+  )
+),
+cand_pieces AS MATERIALIZED (
+  SELECT word, n, mask, len(pieces) AS n_pieces, unnest(pieces) AS piece
+  FROM (
+    SELECT word, n, mask,
+           list_transform(range(1, len(starts) + 1), i ->
+             substr(word, CAST(starts[i] AS INT),
+                    CAST(CASE WHEN i < len(starts) THEN starts[i + 1]
+                              ELSE length(word) + 1 END
+                         - starts[i] AS INT))) AS pieces
+    FROM (
+      SELECT word, n, mask,
+             list_concat([CAST(1 AS BIGINT)], list_transform(
+               list_filter(range(1, length(word)),
+                           k -> ((mask >> CAST(k - 1 AS INT)) & 1) = 1),
+               k -> k + 1)) AS starts
+      FROM wf, unnest(range(0, 1 << (length(word) - 1))) AS t(mask)
+    )
+  )
+  WHERE list_max(list_transform(pieces, p -> length(p)))
+        <= {UNIGRAM_MAX_PIECE}
+)"""
+    + ","
+    + ",".join(
+        _unigram_estep_sql(r) + "," + _unigram_mstep_sql(r)
+        for r in range(1, UNIGRAM_EM_ROUNDS + 1)
+    )
+)
+
+UNIGRAM_LM_TRAIN_SQL = (
+    _UNIGRAM_SQL_PREFIX
+    + f"""
+SELECT piece, CAST(length(piece) AS INT) AS piece_len,
+       CAST(cnt AS BIGINT) AS piece_count, score_micro
+FROM inv{UNIGRAM_EM_ROUNDS}
+ORDER BY piece_count DESC, piece
+"""
+)
+
+UNIGRAM_LM_ENCODE_SQL = (
+    _UNIGRAM_SQL_PREFIX
+    + ","
+    + _unigram_estep_sql(UNIGRAM_EM_ROUNDS + 1)
+    + r""",
+dwords AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)
+SELECT doc_id, COUNT(*) AS n_words,
+       CAST(SUM(length(d.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(COALESCE(s.n_pieces, length(d.word))) AS BIGINT) AS n_pieces,
+       CAST(SUM(length(d.word)) AS DOUBLE)
+         / CAST(SUM(COALESCE(s.n_pieces, length(d.word))) AS DOUBLE)
+         AS chars_per_piece
+FROM dwords d LEFT JOIN win"""
+    + str(UNIGRAM_EM_ROUNDS + 1)
+    + """ s ON d.word = s.word
+GROUP BY doc_id
+"""
+)

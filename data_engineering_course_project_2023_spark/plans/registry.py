@@ -1396,6 +1396,21 @@ REGISTRY: dict[str, Query] = {
         "G1 gold-layer SCD-2 dim maintenance: close-old/open-new + "
         "idempotent no-change + new-key + history pass-through",
     ),
+    "unigram_lm_train": Query(
+        llmops.unigram_lm_train,
+        llmops.UNIGRAM_LM_TRAIN_SQL,
+        ("documents",),
+        "X4n unigram-LM (SentencePiece-style) tokenizer trainer: "
+        "2 hard-EM rounds, Viterbi E-step over enumerated splits, "
+        "Laplace M-step with zero-count pruning (unrolled DuckDB twin)",
+    ),
+    "unigram_lm_encode": Query(
+        llmops.unigram_lm_encode,
+        llmops.UNIGRAM_LM_ENCODE_SQL,
+        ("documents",),
+        "X4n' unigram-LM inference: trained segmentation as a vocab "
+        "dimension join, per-doc piece economics + char fallback",
+    ),
 }
 
 
@@ -1557,6 +1572,8 @@ _DRIVER_VERIFIED = _DRIVER_VERIFIED + _R6_DRIVER_VERIFIED
 # list; r7 therefore re-runs the r2 vintage), padded to the 50 cap.
 _R7_NEW = [
     "scd2_dim_apply",  # G1 gold-layer SCD-2 maintenance, first row
+    "unigram_lm_train",  # X4n SentencePiece-style unigram-LM trainer
+    "unigram_lm_encode",  # X4n' its inference path
 ]
 _R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
 _R7_WINDOW += [
