@@ -1841,3 +1841,75 @@ JOIN mcnt ma ON ma.event_type = type_a
 JOIN mcnt mb ON mb.event_type = type_b
 CROSS JOIN nu
 """
+
+
+# --- VARIANT shredding: typed nested-array extraction feeding an agg --------
+def variant_shred_tags(t: Tables) -> DataFrame:
+    """VERDICT_r6 #8 (stretch): VARIANT at depth. variant_props_profile
+    proves scalar encode/decode; this query pins the SHREDDING path —
+    a nested array inside a VARIANT payload extracted with a typed
+    ``variant_get(..., 'array<bigint>')``, exploded, and aggregated.
+
+    The driver's props payload is flat, so a nested payload is built
+    deterministically from (k, user_id) with pure string ops — length
+    1 + k%3, tag_i = (k·i + user_id) % 20 — then parsed ONCE into a
+    variant; the DuckDB oracle builds the identical JSON string and
+    extracts with json_extract + CAST(... AS BIGINT[]), so the parity
+    row certifies that Spark's binary VARIANT encode → typed-array
+    decode is semantically invisible against a plain JSON engine.
+
+    Scale shape: map-side construct/parse/shred (zero joins), one
+    aggregation exchange on the 20-value tag key — the plan a shredded
+    semi-structured scan produces once variant columns are stored."""
+    base = t["events"].select(
+        "user_id",
+        F.expr("CAST(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+    )
+    payload = F.expr(
+        "concat('{\"k\": ', CAST(k AS STRING), ', \"tags\": [', "
+        " concat_ws(',', transform(sequence(1, CAST(1 + k % 3 AS INT)), "
+        "   i -> CAST((k * i + user_id) % 20 AS STRING))), ']}')"
+    )
+    shredded = (
+        base.select("user_id", "k", F.parse_json(payload).alias("v"))
+        .select(
+            "user_id",
+            "k",
+            F.explode(
+                F.expr("variant_get(v, '$.tags', 'array<bigint>')")
+            ).alias("tag"),
+        )
+    )
+    return shredded.groupBy("tag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+VARIANT_SHRED_TAGS_SQL = """
+WITH base AS (
+  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+),
+pl AS (
+  SELECT user_id, k,
+         '{"k": ' || CAST(k AS VARCHAR) || ', "tags": ['
+         || list_aggregate(
+              list_transform(range(1, CAST(1 + k % 3 AS INT) + 1),
+                             i -> CAST((k * i + user_id) % 20 AS VARCHAR)),
+              'string_agg', ',')
+         || ']}' AS payload
+  FROM base
+),
+shred AS (
+  SELECT user_id, k,
+         unnest(CAST(json_extract(payload, '$.tags') AS BIGINT[])) AS tag
+  FROM pl
+)
+SELECT tag, COUNT(*) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(k) AS BIGINT) AS sum_k
+FROM shred
+GROUP BY tag
+"""

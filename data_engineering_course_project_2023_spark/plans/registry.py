@@ -1411,6 +1411,13 @@ REGISTRY: dict[str, Query] = {
         "X4n' unigram-LM inference: trained segmentation as a vocab "
         "dimension join, per-doc piece economics + char fallback",
     ),
+    "variant_shred_tags": Query(
+        eventstream.variant_shred_tags,
+        eventstream.VARIANT_SHRED_TAGS_SQL,
+        ("events",),
+        "VARIANT shredding: typed nested-array variant_get + explode "
+        "feeding an agg, vs a plain-JSON DuckDB twin",
+    ),
 }
 
 
@@ -1574,6 +1581,7 @@ _R7_NEW = [
     "scd2_dim_apply",  # G1 gold-layer SCD-2 maintenance, first row
     "unigram_lm_train",  # X4n SentencePiece-style unigram-LM trainer
     "unigram_lm_encode",  # X4n' its inference path
+    "variant_shred_tags",  # VARIANT nested-array shredding
 ]
 _R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
 _R7_WINDOW += [

@@ -24,6 +24,14 @@ from contextlib import contextmanager
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# local[N] is a single JVM: the "driver" heap IS the whole cluster's
+# executor memory. Spark's 1 GB default leaves ~30 MB per local[32]
+# task slot — an sf1 (10× bench) scan OOMs on shuffle buffers alone,
+# which no real deployment would (cluster executors run 8–64 GB).
+# Size the local JVM like the machine it models (the env box has
+# 128 GiB); harness-owned sessions (the driver's plain builder) are
+# unaffected — this applies only to sessions built here.
+DEFAULT_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
 
 
 def get_spark(
@@ -37,6 +45,7 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -311,3 +311,53 @@ def test_kmv_kth_hash_matches_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hdr_daily_rollup_stream_equals_oracled_batch(spark, tmp_path):
+    """VERDICT_r6 #4: the daily-rollup spelling — foreachBatch writes
+    each micro-batch's PARTIAL (type|day) sketch as a batch_id delta
+    partition (streaming state = offsets only; replay rewrites its own
+    partition), and the read-side bucket merge must equal the oracled
+    ``hdr_daily_quantiles`` batch query over ALL input, across
+    maxFilesPerTrigger=1 micro-batches AND a checkpointed restart."""
+    from data_engineering_course_project_2023_spark.plans import approx
+
+    src = str(tmp_path / "src")
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ck")
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    split = F.pmod(F.hash("event_type", "value"), F.lit(3))
+    for k, mode in ((0, "overwrite"), (1, "append")):
+        events.where(split == k).coalesce(1).write.mode(mode).parquet(src)
+
+    def run():
+        stream = (
+            spark.readStream.schema(
+                "ts timestamp_ntz, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = hdrsketch.hdr_daily_rollup_stream(stream, tbl, ckpt)
+        q.awaitTermination(120)
+
+    run()
+    # late data for already-rolled-up days arrives after a restart
+    events.where(split == 2).coalesce(1).write.mode("append").parquet(src)
+    run()
+
+    got = sorted(
+        map(tuple, hdrsketch.hdr_daily_from_table(spark, tbl).collect())
+    )
+    want = sorted(
+        map(tuple, approx.hdr_daily_quantiles({"events": events}).collect())
+    )
+    assert got == want
+    # no-new-data restart is a no-op (idempotent sink)
+    run()
+    again = sorted(
+        map(tuple, hdrsketch.hdr_daily_from_table(spark, tbl).collect())
+    )
+    assert again == got
