@@ -1647,27 +1647,88 @@ def fuzzy_part_pairs(t: Tables) -> DataFrame:
     ref: src/airflow/dags/transform_dataset_stage_3.py authors dedup),
     here with the quadratic cost bounded per block.
 
-    Scale shape: the self-join is an equi-join on the blocking key
-    (hash-partitioned, never cartesian); block cardinality bounds the
-    per-task pair count, and the a<b key filter halves the work."""
+    Scale shape (r7 restructure, measured at the sf1 scale census):
+    the naive record-level self-join re-evaluates Levenshtein on every
+    candidate pair — O(block²) string compares that scale quadratically
+    when block occupancy grows (exponent 1.74 at 10×, the worst in the
+    repo). Names are low-cardinality relative to records (every real
+    catalog's property), so the compare now runs ONCE per distinct
+    (name_a, name_b) pair per block — group records to
+    (block, name) → keys[], name-level self-join (distinct-name
+    cardinality is bounded, so this stage's cost stops growing with
+    corpus size once blocks saturate their name space), then expand
+    record pairs MAP-SIDE from the two key arrays. Same-name record
+    pairs (edit 0) expand combinatorially from each group's own array.
+    Output rows are identical to the naive spelling (the oracle is
+    unchanged — parity is the losslessness proof); the output itself is
+    inherently per-block-quadratic, but it is now produced by pure
+    array expansion inside the scan/join stage, not by a quadratic
+    stream of string-distance evaluations. Measured 28.7 s → see
+    SCALE.md (r7) at sf1; the pair canonicalization (least/greatest)
+    makes the row set independent of collect_list's partition order."""
     p = t["part"].select("p_partkey", "p_brand", "p_size", "p_name")
-    a = p.select(*[F.col(c).alias(f"a_{c}") for c in p.columns])
-    b = p.select(*[F.col(c).alias(f"b_{c}") for c in p.columns])
-    return (
-        a.join(
-            b,
-            (F.col("a_p_brand") == F.col("b_p_brand"))
-            & (F.col("a_p_size") == F.col("b_p_size"))
-            & (F.col("a_p_partkey") < F.col("b_p_partkey")),
+    g = (
+        p.groupBy("p_brand", "p_size", "p_name")
+        .agg(F.collect_list("p_partkey").alias("keys"))
+        .localCheckpoint()
+    )
+    a = g.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_name").alias("name_a"),
+        F.col("keys").alias("keys_a"),
+    )
+    b = g.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_name").alias("name_b"),
+        F.col("keys").alias("keys_b"),
+    )
+    cross = (
+        a.join(b, ["brand", "size"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 6)
+        .select(
+            "brand",
+            "edit_dist",
+            F.explode("keys_a").alias("ka"),
+            "keys_b",
         )
         .select(
-            F.col("a_p_partkey").alias("key_a"),
-            F.col("b_p_partkey").alias("key_b"),
-            F.col("a_p_brand").alias("brand"),
-            F.levenshtein("a_p_name", "b_p_name").alias("edit_dist"),
+            "brand",
+            "edit_dist",
+            "ka",
+            F.explode("keys_b").alias("kb"),
         )
-        .filter(F.col("edit_dist") <= 6)
+        .select(
+            F.least("ka", "kb").alias("key_a"),
+            F.greatest("ka", "kb").alias("key_b"),
+            "brand",
+            "edit_dist",
+        )
     )
+    same = (
+        g.filter(F.size("keys") >= 2)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(1, size(keys) - 1), i ->"
+                    " transform(slice(keys, i + 1, size(keys) - i), k2 ->"
+                    "  struct(least(element_at(keys, i), k2) AS key_a,"
+                    "         greatest(element_at(keys, i), k2) AS key_b))))"
+                )
+            ).alias("pr"),
+        )
+        .select(
+            F.col("pr.key_a").alias("key_a"),
+            F.col("pr.key_b").alias("key_b"),
+            "brand",
+            F.lit(0).alias("edit_dist"),
+        )
+    )
+    return cross.unionByName(same)
 
 
 def part_golden_records(t: Tables) -> DataFrame:
