@@ -3168,3 +3168,91 @@ SELECT deg.node, degree, weighted_degree,
             ELSE 0.0 END AS clustering
 FROM deg LEFT JOIN tri ON tri.node = deg.node
 """
+
+
+# --- A10c: HITS hubs & authorities (bipartite customer→part) -----------------
+def hits_scores(t: Tables) -> DataFrame:
+    """A10c: Kleinberg HITS over the bipartite customer→part purchase
+    graph — hub customers (buy many well-bought parts) and authority
+    parts (bought by strong hubs), the link-analysis complement of
+    pagerank_trade/ppr_trade. Two full unrolled mutual-reinforcement
+    rounds (a = Σ h over in-edges, h = Σ a over out-edges).
+
+    Exactness: the textbook L2 normalization per round needs sqrt —
+    cross-engine-divergent — and only fixes the SCALE, never the
+    ranking. Degrees here are SF-invariant (orders/customer and
+    lines/order are fixed distributions), so unnormalized integer
+    scores (h₀ = 10⁶ micro-units) stay < 10¹² through both rounds and
+    every sum is exact bigint arithmetic in both engines (pagerank's
+    integer-mass discipline; DuckDB's HUGEINT sums cast back — the
+    dsir lesson). Deterministic top-20 per side (score desc, key asc).
+
+    Scale shape: the edge build is one fact-fact equi-join + distinct
+    (the only corpus-sized shuffles); each half-round is a hash join of
+    the edge list with a dimension-sized score frame + one keyed agg;
+    top-k is TakeOrderedAndProject. The edge frame feeds 4 consumers —
+    localCheckpoint once (the node_features discipline)."""
+    edges = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint()
+    )
+    a1 = edges.groupBy("p").agg(
+        (F.count(F.lit(1)) * F.lit(1_000_000)).alias("s")
+    )
+    h1 = edges.join(a1, "p").groupBy("c").agg(F.sum("s").alias("s"))
+    a2 = edges.join(h1, "c").groupBy("p").agg(F.sum("s").alias("s"))
+    h2 = edges.join(a2, "p").groupBy("c").agg(F.sum("s").alias("s"))
+    hub = (
+        h2.orderBy(F.col("s").desc(), "c")
+        .limit(20)
+        .select(
+            F.lit("hub").alias("kind"),
+            F.col("c").alias("node_key"),
+            F.col("s").cast("bigint").alias("score"),
+        )
+    )
+    auth = (
+        a2.orderBy(F.col("s").desc(), "p")
+        .limit(20)
+        .select(
+            F.lit("authority").alias("kind"),
+            F.col("p").alias("node_key"),
+            F.col("s").cast("bigint").alias("score"),
+        )
+    )
+    w = Window.partitionBy("kind").orderBy(F.col("score").desc(), "node_key")
+    return (
+        hub.unionByName(auth)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+    )
+
+
+HITS_SCORES_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+a1 AS (SELECT p, COUNT(*) * 1000000 AS s FROM edges GROUP BY 1),
+h1 AS (SELECT c, SUM(s) AS s FROM edges JOIN a1 USING (p) GROUP BY 1),
+a2 AS (SELECT p, SUM(s) AS s FROM edges JOIN h1 USING (c) GROUP BY 1),
+h2 AS (SELECT c, SUM(s) AS s FROM edges JOIN a2 USING (p) GROUP BY 1),
+hub AS (
+  SELECT 'hub' AS kind, c AS node_key, CAST(s AS BIGINT) AS score
+  FROM h2 ORDER BY s DESC, c LIMIT 20
+),
+auth AS (
+  SELECT 'authority' AS kind, p AS node_key, CAST(s AS BIGINT) AS score
+  FROM a2 ORDER BY s DESC, p LIMIT 20
+)
+SELECT kind, node_key, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY kind
+                               ORDER BY score DESC, node_key) AS INT) AS rk
+FROM (SELECT * FROM hub UNION ALL SELECT * FROM auth)
+"""

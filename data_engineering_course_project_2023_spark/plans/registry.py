@@ -1418,6 +1418,20 @@ REGISTRY: dict[str, Query] = {
         "VARIANT shredding: typed nested-array variant_get + explode "
         "feeding an agg, vs a plain-JSON DuckDB twin",
     ),
+    "scd2_as_of": Query(
+        relational.scd2_as_of,
+        relational.SCD2_AS_OF_SQL,
+        ("customer",),
+        "G1b SCD-2 time-travel read: dim reconstructed as-of two past "
+        "instants from the maintained history",
+    ),
+    "hits_scores": Query(
+        analytics.hits_scores,
+        analytics.HITS_SCORES_SQL,
+        ("orders", "lineitem"),
+        "A10c HITS hubs/authorities over the bipartite purchase graph, "
+        "2 unrolled rounds in exact integer micro-units",
+    ),
 }
 
 
@@ -1582,6 +1596,8 @@ _R7_NEW = [
     "unigram_lm_train",  # X4n SentencePiece-style unigram-LM trainer
     "unigram_lm_encode",  # X4n' its inference path
     "variant_shred_tags",  # VARIANT nested-array shredding
+    "scd2_as_of",  # G1b SCD-2 time-travel read
+    "hits_scores",  # A10c HITS hubs/authorities
 ]
 _R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
 _R7_WINDOW += [

@@ -754,7 +754,7 @@ def scd2_dim_apply(t: Tables) -> DataFrame:
     )
 
 
-SCD2_DIM_APPLY_SQL = """
+_SCD2_CTE_BODY = """
 WITH cur AS (
   SELECT c_custkey, c_mktsegment, c_acctbal,
          TIMESTAMP '2024-01-01' AS start_date
@@ -781,7 +781,9 @@ j AS (
            AND (cur.c_mktsegment IS DISTINCT FROM upd.u_seg
                 OR cur.c_acctbal IS DISTINCT FROM upd.u_bal) AS chg
   FROM cur LEFT JOIN upd ON cur.c_custkey = upd.c_custkey
-)
+)"""
+
+_SCD2_SELECT = """
 SELECT c_custkey, c_mktsegment, c_acctbal, is_current, start_date, end_date
 FROM hist
 UNION ALL
@@ -800,3 +802,56 @@ WHERE cur.c_custkey IS NULL
    OR upd.u_seg IS DISTINCT FROM cur.c_mktsegment
    OR upd.u_bal IS DISTINCT FROM cur.c_acctbal
 """
+
+SCD2_DIM_APPLY_SQL = _SCD2_CTE_BODY + _SCD2_SELECT
+
+
+# --- G1b: SCD-2 as-of (time-travel) read -------------------------------------
+def scd2_as_of(t: Tables) -> DataFrame:
+    """G1b: the read side of SCD-2 — reconstruct the dimension AS OF a
+    past instant from the maintained history (the query a backfill or
+    a point-in-time join runs against the gold dim): rows valid at T
+    are start_date ≤ T < coalesce(end_date, ∞). Two instants ride in
+    one output: 2023-07-01 (the pre-load history era — only the OLD_
+    versions exist) and 2024-03-01 (after the initial load, before the
+    2024-06-01 change batch). Input is the maintained dim from
+    :func:`scd2_dim_apply`, so this also re-checks its output shape
+    from the consumer side.
+
+    Scale shape: two predicate-pushed scans of the dim (or one scan +
+    flatMap in a real time-travel layer); no joins, no windows."""
+    dim = scd2_dim_apply(t)
+    outs = []
+    for label in ("2023-07-01", "2024-03-01"):
+        ts = F.lit(label).cast("timestamp")
+        outs.append(
+            dim.filter(
+                (F.col("start_date") <= ts)
+                & (F.col("end_date").isNull() | (F.col("end_date") > ts))
+            ).select(
+                F.lit(label).alias("as_of"),
+                "c_custkey",
+                "c_mktsegment",
+                "c_acctbal",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
+
+SCD2_AS_OF_SQL = (
+    _SCD2_CTE_BODY
+    + ", dim AS ("
+    + _SCD2_SELECT
+    + """
+)
+SELECT '2023-07-01' AS as_of, c_custkey, c_mktsegment, c_acctbal
+FROM dim
+WHERE start_date <= TIMESTAMP '2023-07-01'
+  AND (end_date IS NULL OR end_date > TIMESTAMP '2023-07-01')
+UNION ALL
+SELECT '2024-03-01' AS as_of, c_custkey, c_mktsegment, c_acctbal
+FROM dim
+WHERE start_date <= TIMESTAMP '2024-03-01'
+  AND (end_date IS NULL OR end_date > TIMESTAMP '2024-03-01')
+"""
+)
