@@ -414,6 +414,35 @@ WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 600 SECONDS
 """
 
 
+def attribution_join_outer(t: Tables) -> DataFrame:
+    """LEFT OUTER attribution — the funnel-accounting twin of
+    attribution_join: every click emits, unconverted clicks carry a
+    null purchase + converted=false, so conversion DENOMINATORS come
+    from the same join that produces the matches. Batch twin of
+    ``streaming/joins.attribution_join_outer_stream``, whose
+    watermark-driven null emission the stream==batch pytest pins."""
+    from ..streaming.joins import attribution_join_outer_batch
+
+    return attribution_join_outer_batch(t["events"])
+
+
+ATTRIBUTION_OUTER_SQL = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id AS c_user, ts AS c_ts FROM events
+  WHERE event_type = 'click'
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id AS p_user, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT click_id, c_user AS user_id, purchase_id,
+       CAST(floor(epoch(p_ts)) - floor(epoch(c_ts)) AS BIGINT) AS gap_seconds,
+       purchase_id IS NOT NULL AS converted
+FROM clicks c LEFT JOIN purchases p
+  ON c_user = p_user AND p_ts >= c_ts
+     AND p_ts <= c_ts + INTERVAL 600 SECONDS
+"""
+
+
 # --- time-series gap-fill + forward-fill -------------------------------------
 def daily_gapfill(t: Tables) -> DataFrame:
     """Time-series densification: per event_type daily counts with

@@ -1432,6 +1432,14 @@ REGISTRY: dict[str, Query] = {
         "A10c HITS hubs/authorities over the bipartite purchase graph, "
         "2 unrolled rounds in exact integer micro-units",
     ),
+    "attribution_join_outer": Query(
+        eventstream.attribution_join_outer,
+        eventstream.ATTRIBUTION_OUTER_SQL,
+        ("events",),
+        "S13+ LEFT OUTER attribution: funnel denominators from the "
+        "same join as the matches (stream twin: watermark-driven null "
+        "emission)",
+    ),
 }
 
 
@@ -1598,6 +1606,7 @@ _R7_NEW = [
     "variant_shred_tags",  # VARIANT nested-array shredding
     "scd2_as_of",  # G1b SCD-2 time-travel read
     "hits_scores",  # A10c HITS hubs/authorities
+    "attribution_join_outer",  # S13+ outer attribution (funnel denominators)
 ]
 _R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
 _R7_WINDOW += [

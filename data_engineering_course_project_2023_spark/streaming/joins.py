@@ -94,6 +94,47 @@ def attribution_join_batch(events: DataFrame) -> DataFrame:
     return _attribution_select(clicks.join(purchases, _attribution_condition()))
 
 
+def _attribution_outer_select(joined: DataFrame) -> DataFrame:
+    return joined.select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts"))
+        .cast("long")
+        .alias("gap_seconds"),
+        F.col("purchase_id").isNotNull().alias("converted"),
+    )
+
+
+def attribution_join_outer_stream(
+    events_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """LEFT OUTER stream-stream join — the funnel-accounting shape the
+    inner join cannot express: every click emits, matched rows as the
+    purchase arrives, UNMATCHED rows (null purchase, converted=false)
+    only once the watermark proves no qualifying purchase can still
+    come. That deferred null emission is state eviction made visible:
+    click state is held watermark+gap, then either matched or flushed
+    as a non-conversion — exactly-once funnel denominators at ingest
+    time. Same bounded-state argument as the inner variant."""
+    clicks, purchases = _split_clicks_purchases(events_stream)
+    return _attribution_outer_select(
+        clicks.withWatermark("c_ts", watermark).join(
+            purchases.withWatermark("p_ts", watermark),
+            _attribution_condition(),
+            "leftOuter",
+        )
+    )
+
+
+def attribution_join_outer_batch(events: DataFrame) -> DataFrame:
+    """Batch twin: identical left join over the finished table."""
+    clicks, purchases = _split_clicks_purchases(events)
+    return _attribution_outer_select(
+        clicks.join(purchases, _attribution_condition(), "leftOuter")
+    )
+
+
 def dedup_events_stream(
     events_stream: DataFrame, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -295,3 +295,59 @@ def test_streaming_topk_snapshot_equals_batch(spark, tmp_path):
     ]
     assert snap == batch
     assert dict(snap) == {"apple": 3, "banana": 4, "cherry": 2}
+
+
+def test_attribution_outer_stream_equals_batch(spark, tmp_path):
+    """LEFT OUTER stream-stream join: unmatched clicks must flush as
+    (null purchase, converted=false) rows once the watermark passes
+    them — the deferred null emission only watermarked state eviction
+    can produce. A far-future click+purchase sentinel pair advances
+    BOTH sides' watermarks past every real event (filtered-out rows
+    never move a watermark, so the sentinel must survive both filters);
+    the batch twin includes the sentinels too, so the comparison is
+    row-for-row over identical input. Run split across a checkpointed
+    restart: the unmatched-click state must survive it."""
+    src, ckpt, out = (str(tmp_path / d) for d in ("src", "ck", "out"))
+    t = datetime(2024, 1, 1, 10, 0)
+
+    def at(minute):
+        return t.replace(minute=minute)
+
+    rows1 = [
+        (1, at(0), 7, "click", 0.0),
+        (2, at(5), 7, "purchase", 9.99),   # 300 s after click 1 → match
+        (3, at(30), 7, "click", 0.0),      # NEVER converts → null flush
+        (4, at(1), 8, "click", 0.0),
+        (5, at(2), 8, "click", 0.0),
+        (6, at(9), 8, "purchase", 1.25),   # matches clicks 4 AND 5
+    ]
+    # sentinel pair: far future (advances watermark hours past the
+    # real events), same user, same instant → they match each other.
+    rows2 = [
+        (98, datetime(2024, 1, 2, 10, 0), 99, "click", 0.0),
+        (99, datetime(2024, 1, 2, 10, 0), 99, "purchase", 0.0),
+    ]
+    _write(spark, src, rows1)
+    stream = lambda: joins.attribution_join_outer_stream(  # noqa: E731
+        spark.readStream.schema(_SCHEMA).parquet(src)
+    )
+    _run(stream(), ckpt, out)
+    _write(spark, src, rows2)
+    _run(stream(), ckpt, out)  # restart from checkpoint
+
+    key = lambda r: (  # noqa: E731
+        r["click_id"], r["user_id"], r["purchase_id"], r["gap_seconds"],
+        r["converted"],
+    )
+    got = sorted(key(r) for r in spark.read.parquet(out).collect())
+    want = sorted(
+        key(r)
+        for r in joins.attribution_join_outer_batch(
+            spark.createDataFrame(rows1 + rows2, _SCHEMA)
+        ).collect()
+    )
+    assert got == want
+    # the load-bearing rows: the match emitted AND the never-converted
+    # click flushed as a null row after the sentinel moved the watermark
+    assert (1, 7, 2, 300, True) in got
+    assert (3, 7, None, None, False) in got
