@@ -549,3 +549,172 @@ SELECT split_part(grp, '|', 1) AS event_type,
        n, hdr_p25, hdr_p50, hdr_p75
 FROM sk
 """
+
+
+# --- X5f: KMV cross-sketch set similarity ----------------------------------
+def kmv_set_similarity(t: Tables) -> DataFrame:
+    """X5f (theta-sketch-style set operations — the capability KMV
+    sketches exist for beyond distinct counts): estimated Jaccard
+    similarity between every pair of event types' USER SETS computed
+    from their bottom-k sketches alone, next to the exact Jaccard as
+    the error pin (the hdr_value_quantiles discipline).
+
+    Estimator (Beyer et al. / theta-sketch): take the bottom-k of the
+    UNION of the two sketches (union of bottom-k sets ⊇ global
+    bottom-k, so this is the union's own sketch); the fraction of
+    those ≤k union-minima present in BOTH input sketches estimates
+    |A∩B|/|A∪B|. When the union has fewer than k distinct hashes the
+    denominator is the union size and the estimate is exact. Ratios
+    ship as floor-ppm integers so parity is bit-exact cross-engine.
+
+    Scale shape: the ONLY corpus-sized work is the per-type distinct
+    hash shuffle the sketch build already does (shared with
+    kmv_distinct_users); everything after — pair enumeration, union
+    ranking, membership counting — runs on (types × k)-row frames.
+    The exact columns are the audit path a 100 TB run would sample or
+    drop; the sketch columns are the product."""
+    from pyspark.sql.window import Window
+
+    ev = t["events"]
+    sk = _kmv_bottomk(ev)
+    types = ev.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    memb = (
+        pairs.join(sk, sk["event_type"] == F.col("type_a"))
+        .select("type_a", "type_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(sk, sk["event_type"] == F.col("type_b")).select(
+                "type_a", "type_b", "h",
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("type_a", "type_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    est = (
+        memb.withColumn("rk", F.row_number().over(wu))
+        .filter(F.col("rk") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("denom_k"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("inter_in_k"),
+        )
+    )
+    users = ev.select("event_type", "user_id").distinct()
+    ex = (
+        pairs.join(
+            users.select(
+                F.col("event_type").alias("type_a"), "user_id"
+            ),
+            "type_a",
+        )
+        .select("type_a", "type_b", "user_id", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(
+                users.select(
+                    F.col("event_type").alias("type_b"), "user_id"
+                ),
+                "type_b",
+            ).select(
+                "type_a", "type_b", "user_id",
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("type_a", "type_b", "user_id")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_union"),
+            F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter"),
+        )
+    )
+    return est.join(ex, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        F.col("inter_in_k").cast("long").alias("inter_in_k"),
+        F.col("denom_k").cast("long").alias("denom_k"),
+        F.floor(
+            F.lit(1000000) * F.col("inter_in_k") / F.col("denom_k")
+        ).cast("long").alias("est_jaccard_ppm"),
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_union").cast("long").alias("n_union"),
+        F.floor(
+            F.lit(1000000) * F.col("n_inter") / F.col("n_union")
+        ).cast("long").alias("exact_jaccard_ppm"),
+    )
+
+
+KMV_SET_SIMILARITY_SQL = f"""
+WITH sk AS (
+  SELECT event_type, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk
+    FROM (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    )
+  ) WHERE rk <= {KMV_K}
+),
+types AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+),
+memb AS (
+  SELECT type_a, type_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM (
+    SELECT p.type_a, p.type_b, s.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN sk s ON s.event_type = p.type_a
+    UNION ALL
+    SELECT p.type_a, p.type_b, s.h, 0, 1
+    FROM pairs p JOIN sk s ON s.event_type = p.type_b
+  ) GROUP BY 1, 2, 3
+),
+est AS (
+  SELECT type_a, type_b,
+         COUNT(*) AS denom_k,
+         SUM(in_a * in_b) AS inter_in_k
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY type_a, type_b ORDER BY h
+    ) AS rk
+    FROM memb
+  ) WHERE rk <= {KMV_K}
+  GROUP BY 1, 2
+),
+users AS (SELECT DISTINCT event_type, user_id FROM events),
+ex AS (
+  SELECT type_a, type_b,
+         COUNT(*) AS n_union, SUM(in_a * in_b) AS n_inter
+  FROM (
+    SELECT type_a, type_b, user_id,
+           MAX(in_a) AS in_a, MAX(in_b) AS in_b
+    FROM (
+      SELECT p.type_a, p.type_b, u.user_id, 1 AS in_a, 0 AS in_b
+      FROM pairs p JOIN users u ON u.event_type = p.type_a
+      UNION ALL
+      SELECT p.type_a, p.type_b, u.user_id, 0, 1
+      FROM pairs p JOIN users u ON u.event_type = p.type_b
+    ) GROUP BY 1, 2, 3
+  ) GROUP BY 1, 2
+)
+SELECT est.type_a, est.type_b,
+       CAST(inter_in_k AS BIGINT) AS inter_in_k,
+       CAST(denom_k AS BIGINT) AS denom_k,
+       CAST(FLOOR(1000000.0 * inter_in_k / denom_k) AS BIGINT)
+         AS est_jaccard_ppm,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       CAST(n_union AS BIGINT) AS n_union,
+       CAST(FLOOR(1000000.0 * n_inter / n_union) AS BIGINT)
+         AS exact_jaccard_ppm
+FROM est JOIN ex ON est.type_a = ex.type_a AND est.type_b = ex.type_b
+"""

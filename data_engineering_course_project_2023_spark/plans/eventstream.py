@@ -1942,3 +1942,193 @@ SELECT tag, COUNT(*) AS n_rows,
 FROM shred
 GROUP BY tag
 """
+
+
+# --- TS: top user journeys (path mining) ------------------------------------
+PATH_FIRST_N = 5
+PATH_TOP_K = 20
+
+
+def event_paths(t: Tables) -> DataFrame:
+    """TS path mining (complements user_event_sequences, the per-user
+    raw shape, and event_transitions, the first-order summary): the
+    TOP-K most common user journeys, where a journey is each user's
+    FIRST ``PATH_FIRST_N`` event types in chronological order joined
+    with ``>`` — the product-analytics "top paths" report.
+
+    Determinism: the prefix is picked by a (ts, event_id) row_number
+    (a total order), re-sorted chronologically via sort_array on the
+    (ts, event_id, event_type) struct (collect_list order is
+    partition-dependent), and the top-k tie-breaks on the path string.
+
+    Scale shape: one shuffle on user_id (ranking window + collect,
+    same key, per-user state capped at PATH_FIRST_N before any array
+    materializes), one shuffle on the path string (cardinality ≤
+    |event_types|^N — a dimension, not a fact), and the top-k is
+    TakeOrderedAndProject. No global sort at any scale."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = t["events"].select(
+        "user_id", "ts", "event_id", "event_type",
+        F.row_number().over(w).alias("rn"),
+    )
+    paths = (
+        ranked.filter(F.col("rn") <= PATH_FIRST_N)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(PATH_TOP_K)
+    )
+
+
+EVENT_PATHS_SQL = f"""
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rn <= {PATH_FIRST_N}
+  GROUP BY 1
+)
+SELECT path, n_users
+FROM (
+  SELECT path, COUNT(*) AS n_users,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS rk
+  FROM paths GROUP BY 1
+)
+WHERE rk <= {PATH_TOP_K}
+"""
+
+
+# --- TS: CUSUM change-point flags over the daily series ---------------------
+CUSUM_REF_DAYS = 7
+CUSUM_SLACK_SCALED = 14   # ≡ 2 events/day allowance × REF_DAYS scale
+CUSUM_H_SCALED = 140      # ≡ 20-event cumulative excursion × REF_DAYS
+
+
+def cusum_shift_flags(t: Tables) -> DataFrame:
+    """TS change-point detection (the sequential sibling of
+    daily_anomaly_flags' independent 3σ test): one-sided CUSUM over
+    each event type's daily count series. The reference level is the
+    first ``CUSUM_REF_DAYS`` observed days' total; to stay in exact
+    integers the recursion runs ×REF_DAYS-scaled:
+
+        dev_d   = REF_DAYS·x_d − ref_sum − SLACK_SCALED
+        cusum_d = max(0, cusum_{d-1} + dev_d),  flag = cusum_d > H
+
+    CUSUM is a prefix-dependent nonlinear recursion — not expressible
+    as a window function in either engine — so the Spark side folds a
+    per-type chronologically sorted (day, x) array with F.aggregate
+    (the series is calendar-bounded: per-type state is days, not
+    events) and the oracle replays the identical recursion as a
+    WITH RECURSIVE CTE. All-integer arithmetic ⇒ bit-equal
+    cross-engine under any partitioning.
+
+    Scale shape: one keyed shuffle to (type, day) counts — the only
+    corpus-sized motion — then one shuffle of the day-count frame to
+    per-type arrays (≤ days rows per type). The fold is map-side over
+    a bounded array. Gap days are absent by construction (observed-day
+    series; compose with daily_gapfill for calendar semantics)."""
+    daily = (
+        t["events"]
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    r, s = CUSUM_REF_DAYS, CUSUM_SLACK_SCALED
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("a")
+    )
+    ref_sum = F.aggregate(
+        F.slice("a", 1, r),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e["x"],
+    )
+    with_ref = per_type.withColumn("ref_sum", ref_sum)
+    cusums = F.aggregate(
+        "a",
+        F.array().cast("array<long>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.when(F.size(acc) == 0, F.lit(0).cast("long"))
+                    .otherwise(F.element_at(acc, F.size(acc)))
+                    + F.lit(r) * e["x"] - F.col("ref_sum") - F.lit(s),
+                )
+            ),
+        ),
+    )
+    zipped = with_ref.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("a", cusums.alias("c"))).alias(
+            "pos", "z"
+        ),
+    )
+    return zipped.select(
+        "event_type",
+        F.col("z.a.day").alias("day"),
+        F.col("z.a.x").alias("daily_count"),
+        F.col("z.c").alias("cusum"),
+        (F.col("z.c") > F.lit(CUSUM_H_SCALED)).alias("shift_flag"),
+    )
+
+
+CUSUM_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         COUNT(*) AS x
+  FROM events GROUP BY 1, 2
+),
+numbered AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY day
+  ) AS rn
+  FROM daily
+),
+ref AS (
+  SELECT event_type, CAST(SUM(x) AS BIGINT) AS ref_sum
+  FROM numbered WHERE rn <= {CUSUM_REF_DAYS} GROUP BY 1
+),
+rec AS (
+  SELECT n.event_type, n.day, n.x, n.rn,
+         GREATEST(0, {CUSUM_REF_DAYS} * n.x - r.ref_sum
+                     - {CUSUM_SLACK_SCALED}) AS cusum
+  FROM numbered n JOIN ref r USING (event_type)
+  WHERE n.rn = 1
+  UNION ALL
+  SELECT n.event_type, n.day, n.x, n.rn,
+         GREATEST(0, rec.cusum + {CUSUM_REF_DAYS} * n.x - r.ref_sum
+                     - {CUSUM_SLACK_SCALED})
+  FROM rec
+  JOIN numbered n
+    ON n.event_type = rec.event_type AND n.rn = rec.rn + 1
+  JOIN ref r ON r.event_type = n.event_type
+)
+SELECT event_type, day, x AS daily_count,
+       CAST(cusum AS BIGINT) AS cusum,
+       cusum > {CUSUM_H_SCALED} AS shift_flag
+FROM rec
+"""

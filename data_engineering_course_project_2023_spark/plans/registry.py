@@ -1440,6 +1440,32 @@ REGISTRY: dict[str, Query] = {
         "same join as the matches (stream twin: watermark-driven null "
         "emission)",
     ),
+    "cdc_apply": Query(
+        relational.cdc_apply,
+        relational.CDC_APPLY_SQL,
+        ("orders",),
+        "G2 CDC changelog apply: latest-wins upsert + tombstones "
+        "(format-free MERGE twin)",
+    ),
+    "event_paths": Query(
+        eventstream.event_paths,
+        eventstream.EVENT_PATHS_SQL,
+        ("events",),
+        "TS top-k user journeys (ordered first-N event-type paths)",
+    ),
+    "cusum_shift_flags": Query(
+        eventstream.cusum_shift_flags,
+        eventstream.CUSUM_SQL,
+        ("events",),
+        "TS one-sided CUSUM change-point flags (array fold vs "
+        "WITH RECURSIVE oracle)",
+    ),
+    "kmv_set_similarity": Query(
+        approx.kmv_set_similarity,
+        approx.KMV_SET_SIMILARITY_SQL,
+        ("events",),
+        "X5f theta-sketch-style cross-sketch Jaccard with exact pin",
+    ),
 }
 
 
@@ -1607,6 +1633,10 @@ _R7_NEW = [
     "scd2_as_of",  # G1b SCD-2 time-travel read
     "hits_scores",  # A10c HITS hubs/authorities
     "attribution_join_outer",  # S13+ outer attribution (funnel denominators)
+    "cdc_apply",  # G2 CDC changelog apply (MERGE twin)
+    "event_paths",  # TS top-k user journeys
+    "cusum_shift_flags",  # TS CUSUM change-point recursion
+    "kmv_set_similarity",  # X5f cross-sketch Jaccard
 ]
 _R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
 _R7_WINDOW += [

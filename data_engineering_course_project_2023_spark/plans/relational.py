@@ -855,3 +855,95 @@ WHERE start_date <= TIMESTAMP '2024-03-01'
   AND (end_date IS NULL OR end_date > TIMESTAMP '2024-03-01')
 """
 )
+
+
+# --- G2: CDC changelog apply (latest-wins upsert + tombstones) --------------
+def cdc_apply(t: Tables) -> DataFrame:
+    """G2 (ref: src/airflow/dags/check_DWH.py:30-32 — the DWH's
+    insert-only loader has no path for upstream corrections or
+    deletions; this is the lakehouse-standard CDC compaction that
+    closes that gap): apply an ordered changelog of upserts and
+    tombstones to a base snapshot and emit the final table state —
+    the semantics of a Delta/Iceberg MERGE replayed as latest-wins.
+
+    Base + changelog are derived deterministically from ``orders`` so
+    the oracle can rebuild them:
+
+    - base snapshot (seq 0): o_orderkey % 4 != 0, payload as loaded;
+    - seq 1 upsert: key % 3 == 0 → status ``U1``, price +10 (keys
+      absent from base become inserts — MERGE's not-matched arm);
+    - seq 2 tombstone: key % 7 == 0 → delete;
+    - seq 3 upsert: key % 21 == 0 → status ``RES``, price +20 — a
+      delete-then-reinsert, exercising resurrection.
+
+    Scale shape: ONE shuffle on the key shared by the ranking window;
+    per-key state is the op count (bounded by the changelog, not the
+    table). On a real lakehouse the base side is the stored table and
+    only the changelog scans fresh — the window spelling here is the
+    format-free twin of MERGE, exactly as scd2_dim_apply is for SCD-2.
+    """
+    o = t["orders"]
+    k = F.col("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+
+    def row(flt, status, pr, seq, op):
+        return o.filter(flt).select(
+            k.alias("o_orderkey"),
+            status.alias("status"),
+            pr.cast("decimal(18,2)").alias("price"),
+            F.lit(seq).alias("seq"),
+            F.lit(op).alias("op"),
+        )
+
+    log = (
+        row(k % 4 != 0, F.col("o_orderstatus"), price, 0, "U")
+        .unionByName(row(k % 3 == 0, F.lit("U1"), price + F.lit(10), 1, "U"))
+        .unionByName(
+            row(
+                k % 7 == 0,
+                F.lit(None).cast("string"),
+                F.lit(None).cast("decimal(18,2)"),
+                2,
+                "D",
+            )
+        )
+        .unionByName(row(k % 21 == 0, F.lit("RES"), price + F.lit(20), 3, "U"))
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(
+            "o_orderkey", "status", F.col("price").cast("double").alias("price")
+        )
+    )
+
+
+CDC_APPLY_SQL = """
+WITH log AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price, 0 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 4 <> 0
+  UNION ALL
+  SELECT o_orderkey, 'U1',
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 10 AS DECIMAL(18,2)),
+         1, 'U'
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, NULL, NULL, 2, 'D'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'RES',
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 20 AS DECIMAL(18,2)),
+         3, 'U'
+  FROM orders WHERE o_orderkey % 21 = 0
+)
+SELECT o_orderkey, status, CAST(price AS DOUBLE) AS price
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_orderkey ORDER BY seq DESC
+  ) AS rn
+  FROM log
+)
+WHERE rn = 1 AND op <> 'D'
+"""

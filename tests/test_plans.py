@@ -98,6 +98,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         # one-row n_users basket-count broadcast for support/lift (the
         # windowed alternative would single-partition the user frame)
         "event_type_lift",
+        # |types|² pair enumeration over the DISTINCT event-type dim
+        # (a handful of rows both sides; every corpus-sized frame after
+        # it moves through keyed equi-joins only)
+        "kmv_set_similarity",
     }
     offenders = {}
     for name in registry.REGISTRY:
