@@ -882,6 +882,13 @@ def cdc_apply(t: Tables) -> DataFrame:
     only the changelog scans fresh — the window spelling here is the
     format-free twin of MERGE, exactly as scd2_dim_apply is for SCD-2.
     """
+    return cdc_read_view(cdc_latest(cdc_synthetic_log(t)))
+
+
+def cdc_synthetic_log(t: Tables) -> DataFrame:
+    """The deterministic changelog ``cdc_apply`` replays (also written
+    to files by the streaming twin's test so stream==batch runs over
+    the identical log)."""
     o = t["orders"]
     k = F.col("o_orderkey")
     price = F.col("o_totalprice").cast("decimal(18,2)")
@@ -895,7 +902,7 @@ def cdc_apply(t: Tables) -> DataFrame:
             F.lit(op).alias("op"),
         )
 
-    log = (
+    return (
         row(k % 4 != 0, F.col("o_orderstatus"), price, 0, "U")
         .unionByName(row(k % 3 == 0, F.lit("U1"), price + F.lit(10), 1, "U"))
         .unionByName(
@@ -909,13 +916,25 @@ def cdc_apply(t: Tables) -> DataFrame:
         )
         .unionByName(row(k % 21 == 0, F.lit("RES"), price + F.lit(20), 3, "U"))
     )
+
+
+def cdc_latest(log: DataFrame) -> DataFrame:
+    """Latest-wins compaction of a (key, seq, op, payload) changelog —
+    KEEPS tombstones (a delete must survive compaction so later merges
+    with lower-seq strays still lose); ``cdc_read_view`` hides them.
+    Shared by the batch query and the streaming materialized view."""
     w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
     return (
         log.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
-        .select(
-            "o_orderkey", "status", F.col("price").cast("double").alias("price")
-        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def cdc_read_view(state: DataFrame) -> DataFrame:
+    """The queryable face of the compacted state: live rows only."""
+    return state.filter(F.col("op") != "D").select(
+        "o_orderkey", "status", F.col("price").cast("double").alias("price")
     )
 
 
