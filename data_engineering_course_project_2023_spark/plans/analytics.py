@@ -414,10 +414,16 @@ def pricing_summary(t: Tables) -> DataFrame:
         .agg(
             F.sum(money("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(money("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(revenue()).cast("double").alias("sum_disc_price"),
+            # high-scale decimal sums round to cents BEFORE the double
+            # cast: a decimal(38,6) sum at 1e10 magnitude carries >2^53
+            # units, and the decimal->double conversion is off-by-one-
+            # ulp BETWEEN engines at that width (sf1 parity census
+            # catch) — at scale 2 the conversion is exact in both.
+            F.sum(revenue())
+            .cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
             F.sum(
                 revenue() * (F.lit(1).cast(MONEY) + money("l_tax"))
-            ).cast("double").alias("sum_charge"),
+            ).cast("decimal(38,2)").cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -428,12 +434,24 @@ SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
          AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+       -- ROUND, not a DECIMAL(38,2) cast: DuckDB's decimal cast
+       -- TRUNCATES where Spark's rounds HALF_UP; ROUND() matches.
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE)
          AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE)
+       -- the tax multiply must stay inside DECIMAL(38): DuckDB widens
+       -- a triple product past precision 38 and silently promotes to
+       -- DOUBLE, which diverged from Spark's exact decimal(38,6) at
+       -- sf1 magnitudes (caught by the sf1 parity census) — so the
+       -- revenue product is clamped to DECIMAL(30,4) and the tax
+       -- factor to DECIMAL(6,2) before multiplying (36,6): exact.
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           AS DECIMAL(30,4))
+                      * CAST(1 + CAST(l_tax AS DECIMAL(4,2))
+                             AS DECIMAL(6,2))), 2)
+            AS DOUBLE)
          AS sum_charge,
        COUNT(*) AS count_order
 FROM lineitem

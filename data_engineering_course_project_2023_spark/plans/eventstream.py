@@ -82,8 +82,20 @@ def sessionize(t: Tables, gap_minutes: int = 30) -> DataFrame:
     session_window/applyInPandasWithState; one shuffle on user_id.
     Output: per-user session count + event totals."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-    is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
+    # unix_micros, not unix_timestamp: the gap must be measured on the
+    # exact timestamp — unix_timestamp() TRUNCATES to whole seconds,
+    # which silently disagrees with both the oracle and Spark's own
+    # native session_window once timestamps carry sub-second precision
+    # (invisible on the second-granular driver data; caught by the sf1
+    # parity census, whose generated events are microsecond-grained).
+    # (unix_micros needs TIMESTAMP; the NTZ column converts under the
+    # UTC session timezone run_query pins, and the gap is a DIFFERENCE,
+    # so the fixed offset cancels either way)
+    mus = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = mus - F.lag(mus).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1
+    ).otherwise(0)
     sessions = t["events"].withColumn(
         "session_id", F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -97,7 +109,7 @@ SESSIONIZE_SQL = """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -193,7 +205,7 @@ SESSION_WINDOW_SQL = """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
