@@ -75,7 +75,9 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, outdir: str, seed: int = 7) -> None:
+def generate(
+    sf: float, outdir: str, seed: int = 7, vocab_mode: str = "fixed"
+) -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
     n_cust = int(150_000 * sf)
@@ -178,10 +180,42 @@ def generate(sf: float, outdir: str, seed: int = 7) -> None:
     }))
 
     nwords = rng.integers(10, 101, n_doc)
-    vocab = np.array(VOCAB)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in nwords
-    ]
+    if vocab_mode == "zipf":
+        # Realistic-corpus mode: vocabulary GROWS with N (Heaps' law,
+        # V = 8·N^0.55) and word frequencies follow a Zipf-Mandelbrot
+        # curve — the regime where relative-df cuts and prefix filters
+        # behave as designed. The driver drop's fixed 31-word vocab is
+        # the worst case for any inverted-index scheme (every shingle's
+        # df saturates as N grows); this mode is the other end of the
+        # axis, so the dedup/similarity family can be stress-measured
+        # on both. Near-dup pairs are INJECTED (~0.3%, 10% of words
+        # rewritten) because a growing vocabulary no longer produces
+        # natural collisions.
+        v_size = int(np.ceil(8 * n_doc ** 0.55))
+        ranks = np.arange(1, v_size + 1)
+        w = 1.0 / (ranks + 2.7)
+        cdf = np.cumsum(w / w.sum())
+        vocab = np.array([f"w{r:05d}" for r in ranks])
+        texts = [
+            " ".join(vocab[np.searchsorted(cdf, rng.random(k), side="right")])
+            for k in nwords
+        ]
+        for i in rng.choice(
+            n_doc, size=max(0, int(0.003 * n_doc)), replace=False
+        ):
+            if i > 0:
+                srcw = texts[int(rng.integers(0, i))].split()
+                m = max(1, len(srcw) // 10)
+                pos = rng.choice(len(srcw), size=m, replace=False)
+                ids = np.searchsorted(cdf, rng.random(m), side="right")
+                for p_, wid in zip(pos, ids):
+                    srcw[p_] = vocab[wid]
+                texts[i] = " ".join(srcw)
+    else:
+        vocab = np.array(VOCAB)
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in nwords
+        ]
     # exact-dup injection at the sf0.1 observed rate (~0.16%)
     dup_idx = rng.choice(n_doc, size=max(0, int(0.0016 * n_doc)),
                          replace=False)
@@ -213,6 +247,13 @@ if __name__ == "__main__":
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument(
+        "--vocab", choices=("fixed", "zipf"), default="fixed",
+        help="documents vocabulary: 'fixed' replays the driver drop's "
+        "31-word worst case; 'zipf' grows vocabulary with N (Heaps' "
+        "law) with injected near-dups — the realistic-corpus stress "
+        "mode for the dedup/similarity family",
+    )
     args = ap.parse_args()
-    print(f"generating sf={args.sf} -> {args.out}")
-    generate(args.sf, args.out, args.seed)
+    print(f"generating sf={args.sf} ({args.vocab} vocab) -> {args.out}")
+    generate(args.sf, args.out, args.seed, args.vocab)
