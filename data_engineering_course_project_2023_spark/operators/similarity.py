@@ -72,6 +72,87 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# --- bit-deterministic cosine (quantized integer units) ----------------------
+# Float cosines agree across engines only to ~1 ulp (summation order,
+# compiler contraction), which is USUALLY absorbed by a 6-dp round —
+# until a value lands within an ulp of the rounding grid and the round
+# AMPLIFIES the ulp into a visible mismatch (caught by the sf1z parity
+# census on mmr_rerank). This variant is bit-identical cross-engine by
+# construction:
+#   1. quantize: floor(x · 2^20) — the multiply is EXACT in float64
+#      (power-of-two scale), floor has no ties, so both engines get the
+#      same BIGINT from the same stored float;
+#   2. dot and squared norms are exact integer sums (|x| ≤ 1 ⇒ products
+#      ≤ 2^40, 64-dim sums ≤ 2^46 — no overflow, order-free);
+#   3. the float finish is three individually-rounded IEEE ops with no
+#      fusable multiply-add: (double)dot / sqrt((double)na2 · (double)nb2).
+# Quantization error is ~2^-20 — inside the 6-dp presentation round.
+Q_SCALE = 1 << 20
+
+
+def quantize_vec(a: Column) -> Column:
+    """floor(x·2^20) per component, as BIGINTs (exact, tie-free)."""
+    return F.transform(
+        a, lambda x: F.floor(x.cast("double") * F.lit(float(Q_SCALE)))
+    )
+
+
+def quantize_py(vec) -> list[int]:
+    """The same quantization driver-side (for embedding picked vectors
+    as plan literals): float32→float64 is exact, ·2^20 is exact, floor
+    is exact — identical to the engine expression."""
+    import math
+
+    return [int(math.floor(float(x) * Q_SCALE)) for x in vec]
+
+
+def _int_dot(qa: Column, qb: Column) -> Column:
+    # explicit long casts: a quantized LITERAL array arrives as
+    # array<int> and int*int would overflow 32 bits at (2^20)^2
+    return F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_exact(a: Column, b: Column) -> Column:
+    """Cosine over floor-quantized integer units — bit-identical in
+    Spark and DuckDB (see block comment above). ``b`` may already be a
+    quantized BIGINT array literal (pass ``b_quantized=True`` spelling
+    via :func:`cosine_exact_q`)."""
+    return cosine_exact_q(a, quantize_vec(b))
+
+
+def cosine_exact_q(a: Column, qb: Column) -> Column:
+    qa = quantize_vec(a)
+    na2 = _int_dot(qa, qa)
+    nb2 = _int_dot(qb, qb)
+    return _int_dot(qa, qb).cast("double") / F.sqrt(
+        na2.cast("double") * nb2.cast("double")
+    )
+
+
+def dd_qvec(expr: str) -> str:
+    """DuckDB spelling of :func:`quantize_vec` (oracle twin)."""
+    return (
+        f"list_transform(CAST({expr} AS DOUBLE[]), "
+        f"v -> CAST(FLOOR(v * {float(Q_SCALE)!r}) AS BIGINT))"
+    )
+
+
+def dd_qcos(qx: str, qy: str) -> str:
+    """DuckDB spelling of the quantized cosine over two pre-quantized
+    BIGINT[] expressions (oracle twin of :func:`cosine_exact_q`)."""
+    dot = f"list_sum(list_transform(list_zip({qx}, {qy}), s -> s[1] * s[2]))"
+    n2 = "list_sum(list_transform({q}, v -> v * v))"
+    return (
+        f"(CAST({dot} AS DOUBLE) / sqrt("
+        f"CAST({n2.format(q=qx)} AS DOUBLE)"
+        f" * CAST({n2.format(q=qy)} AS DOUBLE)))"
+    )
+
+
 def brute_force_topk(
     df: DataFrame,
     query_vec_id: int = 0,

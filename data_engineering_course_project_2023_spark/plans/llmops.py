@@ -2534,6 +2534,20 @@ UNION ALL SELECT 3, 'decontaminated', COUNT(*) FROM c
 # float fraction). An absolute cut like ngram's max_df=1000 breaks under SF
 # scaling: at sf0.1 every token shared by near-dup pairs also rides in >100
 # template docs, so absolute-100 emptied the candidate set entirely.
+#
+# MEASURED LIMIT (round-7 sf1z stress census): the relative cut alone has
+# a distribution-dependent cost wall in the other direction — on a Zipf
+# corpus (tools/gen_sf --vocab zipf, n = 50k, V = 3073) the mid-frequency
+# band df ∈ (133, n/5] carries Σdf² ≈ 1.97e9 candidate slots: 525 s for
+# 248 output pairs, and the naive DuckDB oracle needs spill. Capping
+# candidates to rare shared tokens (df ≤ 500 keeps recall ≈ 1−8e-6 for
+# real near-dups) cuts slots 27× but makes the exact-verify oracle
+# intractable cross-engine, so the cap is NOT shipped: lexical TF-cosine
+# at saturated-mid-band scale is the wrong tool, and the census proves the
+# right ones — minhash_pairs (4.4 s), simhash (3.9 s), prefix_jaccard —
+# on the identical corpus. This query's contract is exactness on corpora
+# where the relative cut leaves Σdf² tractable; SCALE.md carries the
+# numbers.
 COSINE_DF_DIV = 5
 
 
@@ -4154,10 +4168,14 @@ def mmr_rerank(t: Tables) -> DataFrame:
     vectors embedded as literals — bounded driver state (MLlib
     discipline), zero corpus rescans, no candidate×candidate join.
 
-    Cross-engine exactness: rel and every pairwise sim are rounded to
-    6 dp before the identically-spelled ``0.5·rel − 0.5·maxsim`` double
-    arithmetic; ranks/tiebreaks are (score desc, vec_id asc). The oracle
-    unrolls the same greedy loop as 5 chained CTEs.
+    Cross-engine exactness: rel and every pairwise sim are the
+    QUANTIZED-integer cosine (``similarity.cosine_exact`` — bit-identical
+    in both engines by construction; the earlier float cosine agreed
+    only to ~1 ulp, which the sf1z parity census caught straddling the
+    6-dp rounding grid), rounded to 6 dp before the identically-spelled
+    ``0.5·rel − 0.5·maxsim`` double arithmetic; ranks/tiebreaks are
+    (score desc, vec_id asc). The oracle unrolls the same greedy loop
+    as 5 chained CTEs over the same quantized spelling.
     """
     emb = t["embeddings"]
     q = emb.filter(F.col("vec_id") == 0).select(
@@ -4171,7 +4189,10 @@ def mmr_rerank(t: Tables) -> DataFrame:
             "vec_id",
             "embedding",
             F.round(
-                similarity.cosine(F.col("embedding"), F.col("query_vec")), 6
+                similarity.cosine_exact(
+                    F.col("embedding"), F.col("query_vec")
+                ),
+                6,
             ).alias("rel"),
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
@@ -4185,9 +4206,14 @@ def mmr_rerank(t: Tables) -> DataFrame:
         else:
             sims = [
                 F.round(
-                    similarity.cosine(
+                    similarity.cosine_exact_q(
                         F.col("embedding"),
-                        F.array(*[F.lit(float(x)) for x in vec]),
+                        F.array(
+                            *[
+                                F.lit(q)
+                                for q in similarity.quantize_py(vec)
+                            ]
+                        ),
                     ),
                     6,
                 )
@@ -4248,7 +4274,7 @@ p{step} AS (
   SELECT c.vec_id, c.rel,
          ROUND(CAST(0.5 AS DOUBLE) * c.rel
                - CAST(0.5 AS DOUBLE)
-                 * MAX(ROUND(list_cosine_similarity(c.emb, s.emb), 6)),
+                 * MAX(ROUND({similarity.dd_qcos("c.qemb", "s.qemb")}, 6)),
                6) AS mmr
   FROM cand c
   JOIN cand s ON s.vec_id IN ({prev_union})
@@ -4262,9 +4288,10 @@ s{step} AS (SELECT vec_id, rel, mmr FROM p{step}
 MMR_RERANK_SQL = f"""
 WITH qv AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
 cand AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
-         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-                                      CAST(query_vec AS DOUBLE[])), 6) AS rel
+  SELECT vec_id, {similarity.dd_qvec("embedding")} AS qemb,
+         ROUND({similarity.dd_qcos(similarity.dd_qvec("embedding"),
+                                   similarity.dd_qvec("query_vec"))},
+               6) AS rel
   FROM embeddings, qv
   WHERE vec_id <> 0
   ORDER BY rel DESC, vec_id ASC LIMIT {MMR_SHORTLIST}
