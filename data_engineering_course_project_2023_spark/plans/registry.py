@@ -1466,6 +1466,13 @@ REGISTRY: dict[str, Query] = {
         ("events",),
         "X5f theta-sketch-style cross-sketch Jaccard with exact pin",
     ),
+    "conversion_latency": Query(
+        eventstream.conversion_latency,
+        eventstream.CONVERSION_LATENCY_SQL,
+        ("events",),
+        "TS funnel latency: nearest-click range join -> exact disc "
+        "p25/p50/p90",
+    ),
 }
 
 
@@ -1637,6 +1644,7 @@ _R7_NEW = [
     "event_paths",  # TS top-k user journeys
     "cusum_shift_flags",  # TS CUSUM change-point recursion
     "kmv_set_similarity",  # X5f cross-sketch Jaccard
+    "conversion_latency",  # TS funnel latency disc-quantiles
 ]
 _R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
 _R7_WINDOW += [
