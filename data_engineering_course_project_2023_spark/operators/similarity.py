@@ -118,9 +118,9 @@ def _int_dot(qa: Column, qb: Column) -> Column:
 
 def cosine_exact(a: Column, b: Column) -> Column:
     """Cosine over floor-quantized integer units — bit-identical in
-    Spark and DuckDB (see block comment above). ``b`` may already be a
-    quantized BIGINT array literal (pass ``b_quantized=True`` spelling
-    via :func:`cosine_exact_q`)."""
+    Spark and DuckDB (see block comment above). If ``b`` is already a
+    quantized BIGINT array literal, call :func:`cosine_exact_q`
+    directly instead of this wrapper."""
     return cosine_exact_q(a, quantize_vec(b))
 
 

@@ -710,11 +710,11 @@ ex AS (
 SELECT est.type_a, est.type_b,
        CAST(inter_in_k AS BIGINT) AS inter_in_k,
        CAST(denom_k AS BIGINT) AS denom_k,
-       CAST(FLOOR(1000000.0 * inter_in_k / denom_k) AS BIGINT)
+       CAST(FLOOR(CAST(1000000 AS BIGINT) * inter_in_k / denom_k) AS BIGINT)
          AS est_jaccard_ppm,
        CAST(n_inter AS BIGINT) AS n_inter,
        CAST(n_union AS BIGINT) AS n_union,
-       CAST(FLOOR(1000000.0 * n_inter / n_union) AS BIGINT)
+       CAST(FLOOR(CAST(1000000 AS BIGINT) * n_inter / n_union) AS BIGINT)
          AS exact_jaccard_ppm
 FROM est JOIN ex ON est.type_a = ex.type_a AND est.type_b = ex.type_b
 """

@@ -195,6 +195,9 @@ def generate(
         ranks = np.arange(1, v_size + 1)
         w = 1.0 / (ranks + 2.7)
         cdf = np.cumsum(w / w.sum())
+        # float normalization can leave cdf[-1] fractionally below 1.0;
+        # force it so searchsorted(side="right") never returns v_size
+        cdf[-1] = 1.0
         vocab = np.array([f"w{r:05d}" for r in ranks])
         texts = [
             " ".join(vocab[np.searchsorted(cdf, rng.random(k), side="right")])
