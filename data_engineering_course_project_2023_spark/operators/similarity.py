@@ -895,23 +895,29 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
     """X3 training-data op: HARD-NEGATIVE mining — for each query
     vector, the k most-similar vectors with a DIFFERENT label (the
     negatives that actually move a contrastive/triplet loss; random
     negatives are trivially easy).
 
-    Scale shape: the query set (here the pinned ids < n_queries; in a
-    real run a sampled anchor set) is broadcast, the corpus is scanned
-    once map-side for the cosine, and one window per query id takes
-    the top-k — identical topology to brute_force_topk, times a small
-    constant. At billion-vector scale swap the scan for the IVF/LSH
-    probe and keep the same label-exclusion filter and window cut.
-    Scores round to 6 dp for cross-engine float agreement (~1 ulp).
+    Scale shape: the query set (an explicit ``query_ids`` anchor list,
+    or the pinned ids < n_queries fallback) is broadcast, the corpus is
+    scanned once map-side for the cosine, and one window per query id
+    takes the top-k — identical topology to brute_force_topk, times a
+    small constant. At billion-vector scale swap the scan for the
+    IVF/LSH probe and keep the same label-exclusion filter and window
+    cut. Scores round to 6 dp for cross-engine float agreement (~1 ulp).
     """
     from pyspark.sql.window import Window
 
-    q = df.filter(F.col(id_col) < n_queries).select(
+    anchor_pred = (
+        F.col(id_col).isin(query_ids)
+        if query_ids is not None
+        else F.col(id_col) < n_queries
+    )
+    q = df.filter(anchor_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("query_vec"),
         F.col(label_col).alias("query_label"),

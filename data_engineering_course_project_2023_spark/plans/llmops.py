@@ -2661,6 +2661,151 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.5
 """
 
 
+# Candidate-generation df cap for the scale-safe cosine variant. The r7
+# sf1z census measured the exact operator's wall: the mid-frequency df
+# band (133, n/5] carries Σdf² ≈ 1.97e9 candidate slots → 525 s for 248
+# pairs on the 50k-doc Zipf corpus. Capping the CANDIDATE tokens at
+# df ≤ 500 cuts the slots 27× while real near-dups (which share many
+# rare tokens — that is what makes them near-dups on a Heaps'-law
+# vocabulary) still collide on at least one seed token with probability
+# ≈ 1−8e-6 (measured, SCALE.md). The cap is deterministic (an integer
+# df compare), so the DuckDB twin applies the identical cap and the
+# parity row certifies the whole pruned plan, not a lucky sample.
+COSINE_DF_CAP = 500
+
+
+def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFrame:
+    """Scale-safe lexical TF-cosine near-dup pairs: identical metric to
+    :func:`doc_cosine_pairs` (exact BIGINT dot / sqrt-norm cosine over
+    the relative-df-pruned token space, threshold 0.5) but candidate
+    pairs are generated ONLY from seed tokens with df ≤ COSINE_DF_CAP.
+    Every emitted pair's cosine is the EXACT full-vector value — the
+    candidate set is then re-joined against the complete kept tf frame
+    for scoring — so capping can only MISS pairs (pairs sharing no rare
+    token), never mis-score one. Measured recall vs the exact operator:
+    1.0 at sf0.1z, and ≈ 1−8e-6 at sf1z (pytest pin in
+    tests/test_text_ops.py; slow sf1z pin env-gated).
+
+    This is the variant a curation pipeline should compose: the exact
+    operator's Σdf² term is quadratic in the mid-frequency band of a
+    Zipf corpus (525 s/248 pairs at sf1z), while the capped generator's
+    Σdf² is bounded by cap²·|vocab_rare| and the scoring join is
+    O(pairs · doc_len). Shuffle shape: tf hash-partitioned by token for
+    candidate generation, by doc_id for scoring — both keyed, never
+    all-pairs.
+    """
+    tf = (
+        spread(t["documents"])
+        .select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if stage_dir is not None:
+        files = dedup._files_fingerprint(t["documents"])
+        stage_key = (files, "cosine_tf")
+        if not (files and dedup._STAGE_CACHE.get(stage_dir) == stage_key):
+            tf.write.mode("overwrite").parquet(stage_dir)
+            if files:
+                dedup._lru_put(dedup._STAGE_CACHE, stage_dir, stage_key)
+        tf = t["documents"].sparkSession.read.parquet(stage_dir)
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    heavy = (
+        dfc.crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * COSINE_DF_DIV > F.col("n_docs"))
+        .select("tok")
+    )
+    kept = tf.join(F.broadcast(heavy), "tok", "left_anti")
+    # seed tokens: sub-ubiquitous AND rare enough to bound the self-join
+    seed = (
+        dfc.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (F.col("df") * COSINE_DF_DIV <= F.col("n_docs"))
+            & (F.col("df") <= COSINE_DF_CAP)
+        )
+        .select("tok")
+    )
+    ctf = kept.join(seed, "tok")
+    ca, cb = ctf.alias("ca"), ctf.alias("cb")
+    cand = (
+        ca.join(cb, "tok")
+        .filter(F.col("ca.doc_id") < F.col("cb.doc_id"))
+        .select(
+            F.col("ca.doc_id").alias("doc_a"),
+            F.col("cb.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # exact scoring: full kept-vector dot for each surviving candidate
+    ka = kept.select(
+        F.col("doc_id").alias("doc_a"), F.col("tok"), F.col("tf").alias("tf_a")
+    )
+    kb = kept.select(
+        F.col("doc_id").alias("doc_b"), F.col("tok"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    norms = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    cos = F.col("dot").cast("double") / F.sqrt(
+        (F.col("na2") * F.col("nb2")).cast("double")
+    )
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )
+
+
+DOC_COSINE_PAIRS_CAPPED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfc AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+kept AS (
+  SELECT tf.doc_id, tf.tok, tf.tf FROM tf
+  JOIN dfc USING (tok) CROSS JOIN tot
+  WHERE dfc.df * {COSINE_DF_DIV} <= tot.n_docs
+),
+seed AS (
+  SELECT tok FROM dfc CROSS JOIN tot
+  WHERE dfc.df * {COSINE_DF_DIV} <= tot.n_docs
+    AND dfc.df <= {COSINE_DF_CAP}
+),
+ctf AS (SELECT kept.* FROM kept JOIN seed USING (tok)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ctf a JOIN ctf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+),
+dots AS (
+  SELECT c.doc_a, c.doc_b, SUM(a.tf * b.tf) AS dot
+  FROM cand c
+  JOIN kept a ON a.doc_id = c.doc_a
+  JOIN kept b ON b.doc_id = c.doc_b AND b.tok = a.tok
+  GROUP BY 1, 2
+),
+norms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM kept GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) AS cosine
+FROM dots
+JOIN norms na ON dots.doc_a = na.doc_id
+JOIN norms nb ON dots.doc_b = nb.doc_id
+WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.5
+"""
+
+
 # --- X4: out-of-vocabulary rate (tokenizer / vocab governance) ---------------
 OOV_VOCAB_SIZE = 100
 
@@ -3897,14 +4042,115 @@ FROM comp GROUP BY 1
 
 
 # --- X3/X4: BM25 ranking (classic lexical retrieval) -------------------------
+# Historical fixed query ("spark", "join", "stream") — kept only as the
+# unit-test spelling. The REGISTERED queries derive their terms from
+# the corpus (see corpus_query_terms): the r7 sf1z census showed the
+# fixed literals return 0 rows on any corpus whose vocabulary doesn't
+# contain them (a Zipf corpus), silently de-fanging the whole retrieval
+# family on exactly the corpus shape that matters (VERDICT_r7 #2).
 BM25_QUERY = ("spark", "join", "stream")
 BM25_K1 = 1.2
 BM25_B = 0.75
+BM25_N_TERMS = 3
+
+# driver-side picks memoized per input-files fingerprint (same bounded-
+# collect precedent as the Bloom bitmap / k-means centroids: the
+# collected artifact is O(n_terms) strings / O(n_anchors) ints, never
+# corpus-sized).
+_CORPUS_PICK_MEMO: dict = {}
 
 
-def _bm25_scored(t: Tables):
+def corpus_query_terms(docs: DataFrame, n: int = BM25_N_TERMS) -> list[str]:
+    """Deterministic corpus-derived retrieval terms: the n tokens whose
+    document frequency is closest to 10% of the corpus (ties broken by
+    md5(tok) then tok — a total order), in that selection order. The
+    rule is pure integer/hash arithmetic, so the DuckDB twins spell the
+    IDENTICAL selection in SQL and the parity row certifies it.
+
+    Scale shape: df counts are one keyed agg over the token stream; the
+    pick is TakeOrdered(n) (per-partition heads merged on the driver —
+    no global sort shuffle); the n strings then feed a map-side literal
+    scoring plan exactly like a user-typed query would."""
+    files = dedup._files_fingerprint(docs)
+    key = (files, "query_terms", n)
+    if files and key in _CORPUS_PICK_MEMO:
+        return _CORPUS_PICK_MEMO[key]
+    n_docs = docs.count()
+    dfc = (
+        docs.select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    rows = (
+        dfc.orderBy(
+            F.abs(F.col("df") * 10 - F.lit(n_docs)).asc(),
+            F.md5("tok").asc(),
+            F.col("tok").asc(),
+        )
+        .limit(n)
+        .collect()
+    )
+    terms = [r["tok"] for r in rows]
+    if files:
+        dedup._lru_put(_CORPUS_PICK_MEMO, key, terms)
+    return terms
+
+
+def hash_picked_ids(df: DataFrame, id_col: str, n: int) -> list[int]:
+    """Deterministic corpus-derived anchor ids: the n ids ranked by
+    (md5(id-as-string), id) — a content-independent but data-derived
+    sample, so anchor sets exist and are non-degenerate on ANY corpus
+    axis (the old `id < n` spelling silently assumed dense ids from 0).
+    TakeOrdered(n) + an n-int driver collect, memoized per fingerprint."""
+    files = dedup._files_fingerprint(df)
+    key = (files, id_col, n)
+    if files and key in _CORPUS_PICK_MEMO:
+        return _CORPUS_PICK_MEMO[key]
+    rows = (
+        df.select(id_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc())
+        .limit(n)
+        .collect()
+    )
+    ids = [r[0] for r in rows]
+    if files:
+        dedup._lru_put(_CORPUS_PICK_MEMO, key, ids)
+    return ids
+
+
+# SQL spelling of the two pickers (shared by every retrieval twin)
+def _qterms_cte(n: int = BM25_N_TERMS) -> str:
+    return f"""
+qtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM documents
+),
+qtot AS (SELECT COUNT(*) AS n_docs FROM documents),
+qdfc AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM qtoks GROUP BY 1),
+qterms AS (
+  SELECT tok, qi FROM (
+    SELECT tok,
+           CAST(row_number() OVER (
+             ORDER BY ABS(df * 10 - n_docs), md5(tok), tok
+           ) AS INTEGER) AS qi
+    FROM qdfc CROSS JOIN qtot
+  ) WHERE qi <= {n}
+)"""
+
+
+def _anchors_cte(table: str, id_col: str, n: int, name: str = "anch") -> str:
+    return (
+        f"{name} AS (SELECT {id_col} FROM {table} "
+        f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col} LIMIT {n})"
+    )
+
+
+def _bm25_scored(t: Tables, query: tuple[str, ...] | None = None):
     """Shared scorer for bm25_topk / hybrid_rrf: per-doc raw BM25 over
-    the fixed 3-term query, computed entirely MAP-SIDE — per-term tf
+    the 3-term query (corpus-derived by default), computed entirely
+    MAP-SIDE — per-term tf
     and doc length come from array ops on the token array (no explode,
     no inverted index, no join); the only non-map work is the 1-row
     corpus-stats aggregate broadcast back for idf/avgdl. At 100 TB the
@@ -3915,7 +4161,12 @@ def _bm25_scored(t: Tables):
     to integer micro-nats per term; every other factor is a division /
     multiply chain spelled identically in both engines, and the three
     term scores are added in FIXED textual order — no aggregation-order
-    ambiguity anywhere."""
+    ambiguity anywhere. The twin computes per-term tf by JOINING the
+    token stream against its qterms CTE (it cannot hold literals it
+    hasn't derived); count-of-equal-elements and join-group-count are
+    the same integer, so the spellings agree exactly."""
+    if query is None:
+        query = tuple(corpus_query_terms(t["documents"]))
     w = textops.tokens("text")
 
     def _matches(term: str):
@@ -3931,7 +4182,7 @@ def _bm25_scored(t: Tables):
         F.size(w).alias("dl"),
         *[
             F.size(F.filter(w, _matches(q))).alias(f"tf{i}")
-            for i, q in enumerate(BM25_QUERY)
+            for i, q in enumerate(query)
         ],
     )
     stats = base.agg(
@@ -3939,12 +4190,12 @@ def _bm25_scored(t: Tables):
         F.sum("dl").alias("n_toks"),
         *[
             F.sum((F.col(f"tf{i}") > 0).cast("bigint")).alias(f"df{i}")
-            for i in range(len(BM25_QUERY))
+            for i in range(len(query))
         ],
     )
     avgdl = F.col("n_toks").cast("double") / F.col("n_docs").cast("double")
     terms = []
-    for i in range(len(BM25_QUERY)):
+    for i in range(len(query)):
         idf_micro = (
             F.round(
                 F.log(
@@ -3971,13 +4222,15 @@ def _bm25_scored(t: Tables):
     )
 
 
-def bm25_topk(t: Tables) -> DataFrame:
+def bm25_topk(t: Tables, query: tuple[str, ...] | None = None) -> DataFrame:
     """X3/X4: top-10 documents by Okapi BM25 (k1=1.2, b=0.75) for the
-    fixed query — the classic lexical-retrieval operator, scored
-    map-side (see _bm25_scored). Global top-k runs as TakeOrdered
-    (driver-merged per-partition heads, no global sort shuffle)."""
+    corpus-derived 3-term query (see corpus_query_terms; unit tests
+    pass an explicit ``query`` to pin the scoring math) — the classic
+    lexical-retrieval operator, scored map-side (see _bm25_scored).
+    Global top-k runs as TakeOrdered (driver-merged per-partition
+    heads, no global sort shuffle)."""
     return (
-        _bm25_scored(t)
+        _bm25_scored(t, query)
         .orderBy(F.desc("score_raw"), F.asc("doc_id"))
         .limit(10)
         .select("doc_id", F.round("score_raw", 6).alias("bm25"))
@@ -3985,7 +4238,7 @@ def bm25_topk(t: Tables) -> DataFrame:
 
 
 _BM25_TERMS_SQL = []
-for _i, _q in enumerate(BM25_QUERY):
+for _i in range(BM25_N_TERMS):
     _BM25_TERMS_SQL.append(
         f"(CAST(CAST(round(ln((CAST(n_docs AS DOUBLE) - CAST(df{_i} AS DOUBLE)"
         f" + 0.5) / (CAST(df{_i} AS DOUBLE) + 0.5)) * 1e6) AS BIGINT)"
@@ -3996,22 +4249,35 @@ for _i, _q in enumerate(BM25_QUERY):
         f" / (CAST(n_toks AS DOUBLE) / CAST(n_docs AS DOUBLE))))))"
     )
 
-_BM25_SCORED_CTE = f"""
+# Twin tf computation is join-based (the SQL cannot hold literals it
+# hasn't derived): per-(doc, qi) counts from qtoks ⋈ qterms, pivoted to
+# the same tf0..tf2 columns the Spark literal plan produces. Counting
+# equal array elements and counting joined token rows are the same
+# integer, so the two spellings agree exactly.
+_BM25_SCORED_CTE = f"""{_qterms_cte().strip()},
 base AS (
-  SELECT doc_id,
-         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS dl,
+  SELECT d.doc_id, d.dl,
          {", ".join(
-            f"len(list_filter(list_filter(string_split(trim(text), ' '),"
-            f" x -> x <> ''), x -> x = '{q}')) AS tf{i}"
-            for i, q in enumerate(BM25_QUERY)
+            f"COALESCE(MAX(CASE WHEN qi = {i + 1} THEN tf END), 0) AS tf{i}"
+            for i in range(BM25_N_TERMS)
          )}
-  FROM documents
+  FROM (
+    SELECT doc_id,
+           len(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+             AS dl
+    FROM documents
+  ) d
+  LEFT JOIN (
+    SELECT qt.doc_id, q.qi, COUNT(*) AS tf
+    FROM qtoks qt JOIN qterms q USING (tok) GROUP BY 1, 2
+  ) f ON d.doc_id = f.doc_id
+  GROUP BY 1, 2
 ),
 stats AS (
   SELECT COUNT(*) AS n_docs, SUM(dl) AS n_toks,
          {", ".join(
             f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-            for i in range(len(BM25_QUERY))
+            for i in range(BM25_N_TERMS)
          )}
   FROM base
 ),
@@ -4037,10 +4303,16 @@ RRF_K = 60
 RRF_SHORTLIST = 100
 
 
-def hybrid_rrf(t: Tables) -> DataFrame:
+def hybrid_rrf(
+    t: Tables,
+    query: tuple[str, ...] | None = None,
+    anchor_id: int | None = None,
+) -> DataFrame:
     """X3: reciprocal-rank fusion of a lexical shortlist (BM25 over the
-    fixed query) and a vector shortlist (cosine to stored query vector
-    0) — the standard two-tower hybrid-retrieval merge:
+    corpus-derived query — see corpus_query_terms) and a vector
+    shortlist (cosine to the hash-picked anchor vector — see
+    hash_picked_ids; unit tests pass explicit ``query``/``anchor_id``)
+    — the standard two-tower hybrid-retrieval merge:
     rrf(d) = Σ_signals 1/(60 + rank_signal(d)), missing signal = 0.
 
     Rank-based fusion is what makes this cross-engine exact: ranks are
@@ -4057,7 +4329,7 @@ def hybrid_rrf(t: Tables) -> DataFrame:
     from pyspark.sql.window import Window
 
     lex_short = (
-        _bm25_scored(t)
+        _bm25_scored(t, query)
         .orderBy(F.desc("score_raw"), F.asc("doc_id"))
         .limit(RRF_SHORTLIST)
     )
@@ -4068,12 +4340,14 @@ def hybrid_rrf(t: Tables) -> DataFrame:
         .alias("lex_rank"),
     )
     emb = t["embeddings"]
-    q = emb.filter(F.col("vec_id") == 0).select(
+    if anchor_id is None:
+        anchor_id = hash_picked_ids(emb, "vec_id", 1)[0]
+    q = emb.filter(F.col("vec_id") == anchor_id).select(
         F.col("embedding").alias("query_vec")
     )
     vec_short = (
         spread(emb)
-        .filter(F.col("vec_id") != 0)
+        .filter(F.col("vec_id") != anchor_id)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
@@ -4123,13 +4397,15 @@ lex AS (
          row_number() OVER (ORDER BY score_raw DESC, doc_id ASC) AS lex_rank
   FROM lex_short
 ),
-qv AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0),
+{_anchors_cte("embeddings", "vec_id", 1, "vanch")},
+qv AS (SELECT embedding AS query_vec, vec_id AS qid
+       FROM embeddings JOIN vanch USING (vec_id)),
 vec_short AS (
   SELECT vec_id,
          ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
                                       CAST(query_vec AS DOUBLE[])), 6) AS cos6
   FROM embeddings, qv
-  WHERE vec_id <> 0
+  WHERE vec_id <> qid
   ORDER BY cos6 DESC, vec_id ASC LIMIT {RRF_SHORTLIST}
 ),
 vec AS (
@@ -4691,19 +4967,26 @@ FROM tot LEFT JOIN re ON tot.doc_id = re.doc_id
 
 # --- X3: hard-negative mining -------------------------------------------------
 def hard_negatives_query(t: Tables) -> DataFrame:
-    """X3 training-data op: per anchor (the pinned vec_id < 5 set) the
-    3 most-cosine-similar vectors with a DIFFERENT label — the
+    """X3 training-data op: per anchor (the hash-picked 5-id set — see
+    hash_picked_ids; exists on ANY corpus axis, unlike the old
+    vec_id < 5 spelling that assumed dense ids from 0) the 3
+    most-cosine-similar vectors with a DIFFERENT label — the
     contrastive-loss negatives random sampling can't provide. Anchor
     set broadcast, corpus scanned once map-side, one window per anchor
     (see operators/similarity.hard_negatives for the 100 TB notes)."""
-    return similarity.hard_negatives(t["embeddings"], n_queries=5, k=3)
+    return similarity.hard_negatives(
+        t["embeddings"],
+        k=3,
+        query_ids=hash_picked_ids(t["embeddings"], "vec_id", 5),
+    )
 
 
-HARD_NEGATIVES_SQL = """
+HARD_NEGATIVES_SQL = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-q AS (SELECT vec_id AS query_id, label AS query_label, v AS qv
-      FROM e WHERE vec_id < 5),
+{_anchors_cte("e", "vec_id", 5)},
+q AS (SELECT e.vec_id AS query_id, label AS query_label, v AS qv
+      FROM e JOIN anch USING (vec_id)),
 scored AS (
   SELECT q.query_id, e.vec_id AS neg_id, e.label AS neg_label,
          ROUND(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
@@ -4818,7 +5101,9 @@ def retrieval_metrics(t: Tables) -> DataFrame:
     """X3 eval op: recall@10 and MRR@10 of the exact-cosine ranking,
     with deterministic qrels (relevant = same label as the anchor) —
     the offline retrieval-quality readout every embedding refresh runs
-    before the index ships. Anchors are the pinned vec_id < 10 set.
+    before the index ships. Anchors are the hash-picked 10-id set (see
+    hash_picked_ids) — corpus-derived, so the anchor set exists and is
+    non-degenerate on ANY corpus axis.
 
     Scale shape: the anchor rows broadcast (the allowlisted
     O(N·|anchors|) scalar-attach NLJ, same as hard_negatives), ONE
@@ -4831,8 +5116,11 @@ def retrieval_metrics(t: Tables) -> DataFrame:
     orders of magnitude larger)."""
     from pyspark.sql.window import Window
 
+    anchor_ids = hash_picked_ids(
+        t["embeddings"], "vec_id", RETRIEVAL_N_ANCHORS
+    )
     embs = spread(t["embeddings"])
-    q = embs.filter(F.col("vec_id") < RETRIEVAL_N_ANCHORS).select(
+    q = embs.filter(F.col("vec_id").isin(anchor_ids)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("qlabel"),
@@ -4887,8 +5175,9 @@ def retrieval_metrics(t: Tables) -> DataFrame:
 RETRIEVAL_METRICS_SQL = f"""
 WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
-q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv
-      FROM e WHERE vec_id < {RETRIEVAL_N_ANCHORS}),
+{_anchors_cte("e", "vec_id", RETRIEVAL_N_ANCHORS)},
+q AS (SELECT e.vec_id AS query_id, label AS qlabel, v AS qv
+      FROM e JOIN anch USING (vec_id)),
 scored AS (
   SELECT q.query_id,
          CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,

@@ -993,6 +993,12 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X2/X3 lexical TF-cosine near-dup pairs via inverted index",
     ),
+    "doc_cosine_pairs_capped": Query(
+        llmops.doc_cosine_pairs_capped,
+        llmops.DOC_COSINE_PAIRS_CAPPED_SQL,
+        ("documents",),
+        "X2/X3 scale-safe TF-cosine: df-capped candidates, exact scoring",
+    ),
     "oov_rate": Query(
         llmops.oov_rate,
         llmops.OOV_RATE_SQL,
@@ -1646,36 +1652,53 @@ _R7_NEW = [
     "kmv_set_similarity",  # X5f cross-sketch Jaccard
     "conversion_latency",  # TS funnel latency disc-quantiles
 ]
-_R7_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R7_NEW
-_R7_WINDOW += [
-    n for n in _R2_DRIVER_VERIFIED if n not in _R7_WINDOW
-][: 50 - len(_R7_WINDOW)]
-assert len(_R7_WINDOW) == 50, len(_R7_WINDOW)
+# CORRECTNESS_r07: the r7 window landed 50/50 green (judge recomputed:
+# zero errs, zero mismatches) — fold the genuinely-new r7 queries in.
+_DRIVER_VERIFIED = _DRIVER_VERIFIED + _R7_NEW
+# r8 window — same standing order: flagship + arxiv re-check lead,
+# round-8-new queries right behind, then backfill rotates to the
+# OLDEST rows not re-verified since their vintage (r7 re-ran the r2
+# vintage; r8 therefore re-runs the r3 vintage), padded to the 50 cap.
+_R8_NEW = [
+    "doc_cosine_pairs_capped",  # X2/X3 scale-safe cosine (VERDICT_r7 #1)
+    # VERDICT_r7 #2 — semantics changed (corpus-derived query terms /
+    # hash-picked anchors), so their r4-vintage green rows no longer
+    # certify current code; re-verify in the r8 window:
+    "bm25_topk",
+    "hybrid_rrf",
+    "retrieval_metrics",
+    "hard_negatives",
+]
+_R8_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R8_NEW
+_R8_WINDOW += [
+    n for n in _R3_DRIVER_VERIFIED if n not in _R8_WINDOW
+][: 50 - len(_R8_WINDOW)]
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
-assert set(_R7_WINDOW) <= set(REGISTRY)
+assert set(_R8_WINDOW) <= set(REGISTRY)
 assert set(_NO_ORACLE_PARK) <= set(REGISTRY)
 # Every registry query must be placed in exactly one rotation bucket:
 # a query in none of them would land in the catch-all front section
 # ahead of the window, displacing a promised row — the assert below
 # fails LOUDLY at import time instead (listing the unplaced names), so
-# a new query cannot ship without an explicit _R7_NEW/_R7_WINDOW slot.
+# a new query cannot ship without an explicit _R8_NEW/_R8_WINDOW slot.
 assert set(REGISTRY) == (
     set(_DRIVER_VERIFIED)
-    | set(_R7_WINDOW)
+    | set(_R8_WINDOW)
     | set(_NO_ORACLE_PARK)
 ), sorted(
     set(REGISTRY)
     - set(_DRIVER_VERIFIED)
-    - set(_R7_WINDOW)
+    - set(_R8_WINDOW)
     - set(_NO_ORACLE_PARK)
 )
 # Within the still-awaiting front section, oracled queries outrank
 # rows-only ones (oracle=None gets only a weak row-count check from the
 # driver, so losing its row to the cap costs the least).
 _BACK = (
-    set(_DRIVER_VERIFIED) | set(_R7_WINDOW) | set(_NO_ORACLE_PARK)
+    set(_DRIVER_VERIFIED) | set(_R8_WINDOW) | set(_NO_ORACLE_PARK)
 )
-_R7 = set(_R7_WINDOW)
+_R8 = set(_R8_WINDOW)
 REGISTRY = {
     **{
         n: q
@@ -1687,8 +1710,8 @@ REGISTRY = {
         for n, q in REGISTRY.items()
         if n not in _BACK and q.oracle is None
     },
-    **{n: REGISTRY[n] for n in _R7_WINDOW},
-    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R7},
+    **{n: REGISTRY[n] for n in _R8_WINDOW},
+    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R8},
     **{n: REGISTRY[n] for n in _NO_ORACLE_PARK},
 }
 

@@ -113,10 +113,45 @@ def test_bm25_ranks_tf_and_idf_correctly(spark):
     )
     rows = [
         (r["doc_id"], r["bm25"])
-        for r in llmops.bm25_topk({"documents": docs}).collect()
+        for r in llmops.bm25_topk(
+            {"documents": docs}, query=("spark", "join", "stream")
+        ).collect()
     ]
     assert [d for d, _ in rows] == [4, 1, 2]
     assert all(s > 0 for _, s in rows)
+
+
+def test_corpus_query_terms_pick_mid_df_band_deterministically(spark):
+    """Term derivation contract (VERDICT_r7 #2): the 3 tokens whose df
+    is closest to n_docs/10 win, ties broken by md5(tok) then tok — a
+    total order, so the pick is identical cross-engine and never empty
+    on any corpus whose vocabulary has >= 3 tokens. Fixture: 20 docs;
+    'rare' (df=2, |2*10-20|=0) is the unique best; 'mid' (df=4, 20)
+    beats 'common' (df=20, 180); fillers fa..fc (df=1, 10) fill the
+    remaining two slots by md5 order."""
+    import hashlib
+
+    rows = []
+    for i in range(20):
+        words = ["common"]
+        if i < 2:
+            words.append("rare")
+        if i < 4:
+            words.append("mid")
+        if i == 5:
+            words += ["fa"]
+        if i == 6:
+            words += ["fb"]
+        if i == 7:
+            words += ["fc"]
+        rows.append((i, " ".join(words)))
+    docs = _docs(spark, rows)
+    terms = llmops.corpus_query_terms(docs)
+    fillers = sorted(
+        ["fa", "fb", "fc"],
+        key=lambda w: (hashlib.md5(w.encode()).hexdigest(), w),
+    )
+    assert terms == ["rare"] + fillers[:2]
 
 
 def test_hybrid_rrf_rewards_presence_in_both_lists(spark):
@@ -139,7 +174,11 @@ def test_hybrid_rrf_rewards_presence_in_both_lists(spark):
         ],
         "vec_id long, embedding array<float>",
     )
-    rows = llmops.hybrid_rrf({"documents": docs, "embeddings": emb}).collect()
+    rows = llmops.hybrid_rrf(
+        {"documents": docs, "embeddings": emb},
+        query=("spark", "join", "stream"),
+        anchor_id=0,
+    ).collect()
     ids = [r["id"] for r in rows]
     assert ids[0] == 1
     assert 0 not in ids
