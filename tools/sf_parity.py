@@ -39,8 +39,47 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from tests.parity import duck_con  # noqa: E402
 from tools.driver_sim import _canon, _cell_key, _hashable_probe  # noqa: E402
 
-# oracle constants trained on the sf0.01 fixture (see pytest sweep)
+# oracle constants trained on the sf0.01 fixture (see pytest sweep).
+# For SFs with regenerated constants (tools/gen_ann_fixtures.py ->
+# plans/ann_fixtures.py) the per-SF oracle is built instead of skipped.
 SF001_PINNED = {"ivf_topk", "pq_codes", "pq_topk", "ivfpq_topk"}
+
+
+def per_sf_ann_oracle(name: str, sf_dir: str) -> str | None:
+    """Value-exact oracle SQL for the four codebook-pinned ANN queries
+    at a non-sf0.01 SF, from the regenerated per-SF constants; None if
+    no constants exist for this SF (caller records pinned_skip)."""
+    from data_engineering_course_project_2023_spark.plans import (
+        ivf_fixture,
+        pq_fixture,
+    )
+
+    try:
+        from data_engineering_course_project_2023_spark.plans.ann_fixtures import (
+            ANN_FIXTURES,
+        )
+    except ImportError:
+        return None
+    base = os.path.basename(os.path.normpath(sf_dir))
+    if base == "sf0.01":
+        # the driver SF — the registered static oracle IS this SF's twin
+        from data_engineering_course_project_2023_spark.plans import registry
+
+        return registry.REGISTRY[name].oracle
+    fx = ANN_FIXTURES.get(base)
+    if fx is None:
+        return None
+    if name == "ivf_topk":
+        return ivf_fixture.ivf_topk_sql(cents=fx["ivf"])
+    if name == "pq_codes":
+        return pq_fixture.pq_codes_oracle_sql(codebook=fx["pq"])
+    if name == "pq_topk":
+        return pq_fixture.pq_topk_oracle_sql(codebook=fx["pq"])
+    if name == "ivfpq_topk":
+        return ivf_fixture.ivfpq_topk_oracle_sql(
+            cents=fx["ivf"], codebook=fx["ivfpq"]
+        )
+    return None
 
 
 def compare_frames(sp, du) -> list[str]:
@@ -121,6 +160,22 @@ def main() -> int:
             if bad:
                 rec["status"] = "mismatch"
                 rec["detail"] = f"unhashable spark columns {bad}"
+            elif name in SF001_PINNED and (
+                per_sf := per_sf_ann_oracle(name, args.sf)
+            ) is not None:
+                t0 = time.monotonic()
+                du, timed_out = run_duck_with_budget(
+                    per_sf, args.sf, args.duck_timeout
+                )
+                rec["duck_s"] = round(time.monotonic() - t0, 2)
+                if timed_out:
+                    rec["status"] = "oracle_timeout"
+                else:
+                    problems = compare_frames(sp, du)
+                    rec["status"] = "match" if not problems else "mismatch"
+                    rec["detail"] = "per-SF regenerated codebook oracle" + (
+                        "" if not problems else "; " + "; ".join(problems)[:380]
+                    )
             elif name in SF001_PINNED:
                 rec["status"] = "pinned_skip"
                 rec["detail"] = "oracle constants trained on sf0.01 fixture"
