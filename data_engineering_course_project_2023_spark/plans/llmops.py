@@ -2539,15 +2539,13 @@ UNION ALL SELECT 3, 'decontaminated', COUNT(*) FROM c
 # a distribution-dependent cost wall in the other direction — on a Zipf
 # corpus (tools/gen_sf --vocab zipf, n = 50k, V = 3073) the mid-frequency
 # band df ∈ (133, n/5] carries Σdf² ≈ 1.97e9 candidate slots: 525 s for
-# 248 output pairs, and the naive DuckDB oracle needs spill. Capping
-# candidates to rare shared tokens (df ≤ 500 keeps recall ≈ 1−8e-6 for
-# real near-dups) cuts slots 27× but makes the exact-verify oracle
-# intractable cross-engine, so the cap is NOT shipped: lexical TF-cosine
-# at saturated-mid-band scale is the wrong tool, and the census proves the
-# right ones — minhash_pairs (4.4 s), simhash (3.9 s), prefix_jaccard —
-# on the identical corpus. This query's contract is exactness on corpora
-# where the relative cut leaves Σdf² tractable; SCALE.md carries the
-# numbers.
+# 248 output pairs, and the naive DuckDB oracle needs spill. This
+# query's contract is therefore EXACTNESS on corpora where the relative
+# cut leaves Σdf² tractable; the scale-safe sibling shipped in round 8
+# is :func:`doc_cosine_pairs_capped` (per-doc rarest-R prefix blocking,
+# measured recall 0.980 at sf1z with a 48× slot cut — see its block
+# comment), and compositions use THAT variant. SCALE.md carries the
+# numbers for both.
 COSINE_DF_DIV = 5
 
 
@@ -2661,39 +2659,56 @@ WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.5
 """
 
 
-# Candidate-generation df cap for the scale-safe cosine variant. The r7
-# sf1z census measured the exact operator's wall: the mid-frequency df
-# band (133, n/5] carries Σdf² ≈ 1.97e9 candidate slots → 525 s for 248
-# pairs on the 50k-doc Zipf corpus. Capping the CANDIDATE tokens at
-# df ≤ 500 cuts the slots 27× while real near-dups (which share many
-# rare tokens — that is what makes them near-dups on a Heaps'-law
-# vocabulary) still collide on at least one seed token with probability
-# ≈ 1−8e-6 (measured, SCALE.md). The cap is deterministic (an integer
-# df compare), so the DuckDB twin applies the identical cap and the
-# parity row certifies the whole pruned plan, not a lucky sample.
-COSINE_DF_CAP = 500
+# Candidate policy for the scale-safe cosine variant (VERDICT_r7 #1).
+# The r7 sf1z census measured the exact operator's wall: the
+# mid-frequency df band (133, n/5] carries Σdf² ≈ 1.97e9 candidate
+# slots → 525 s for 248 pairs on the 50k-doc Zipf corpus. Three
+# policies were MEASURED against the exact sf1z ground truth (248
+# pairs) this round before shipping:
+#   global df cap 500, ≥1 shared seed:   P = 70.8M, recall 229/248
+#   global df cap 1000, ≥2 shared:       P = 15.2M, recall 229/248
+#   per-doc rarest-R prefix (PPJoin style), R=10, ≥2 shared:
+#                                         P = 0.67M, recall 243/248
+# The per-doc prefix dominates both cap policies on BOTH axes at once:
+# near-dup pairs share their rarest tokens almost surely (what makes
+# them near-dups on a Heaps'-law vocabulary), while a global cap either
+# admits the whole mid-band (huge P) or misses docs whose rarest tokens
+# sit above the cap. The residual 5 misses are low-cosine pairs of
+# common tokens only (max missed cosine 0.943 occurs under every
+# policy; the other 4 are ≤ 0.53) — reachable only by the exact
+# quadratic operator. Both knobs are deterministic integer ranks, so
+# the DuckDB twin applies the IDENTICAL policy and the parity row
+# certifies the whole pruned plan, not a lucky sample.
+COSINE_PREFIX_R = 10
+COSINE_MIN_SHARED = 2
 
 
 def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFrame:
     """Scale-safe lexical TF-cosine near-dup pairs: identical metric to
     :func:`doc_cosine_pairs` (exact BIGINT dot / sqrt-norm cosine over
     the relative-df-pruned token space, threshold 0.5) but candidate
-    pairs are generated ONLY from seed tokens with df ≤ COSINE_DF_CAP.
-    Every emitted pair's cosine is the EXACT full-vector value — the
-    candidate set is then re-joined against the complete kept tf frame
-    for scoring — so capping can only MISS pairs (pairs sharing no rare
-    token), never mis-score one. Measured recall vs the exact operator:
-    1.0 at sf0.1z, and ≈ 1−8e-6 at sf1z (pytest pin in
-    tests/test_text_ops.py; slow sf1z pin env-gated).
+    pairs must share >= COSINE_MIN_SHARED tokens from BOTH docs'
+    rarest-COSINE_PREFIX_R prefixes (per-doc df-ascending rank — the
+    PPJoin prefix idea applied to TF-cosine blocking). Every emitted
+    pair's cosine is the EXACT full-vector value — candidates are
+    re-joined against the complete kept tf frame for scoring — so the
+    policy can only MISS pairs, never mis-score one. Measured recall vs
+    the exact operator: 1.0 at sf0.1z, 243/248 = 0.980 at sf1z (pytest
+    pin in tests/test_text_ops.py; slow sf1z pin env-gated), with the
+    misses all being accidental common-token pairs, not injected
+    near-dups.
 
     This is the variant a curation pipeline should compose: the exact
-    operator's Σdf² term is quadratic in the mid-frequency band of a
-    Zipf corpus (525 s/248 pairs at sf1z), while the capped generator's
-    Σdf² is bounded by cap²·|vocab_rare| and the scoring join is
-    O(pairs · doc_len). Shuffle shape: tf hash-partitioned by token for
-    candidate generation, by doc_id for scoring — both keyed, never
-    all-pairs.
+    operator's Σdf² is quadratic in the mid-frequency band of a Zipf
+    corpus (525 s/248 pairs at sf1z), while the prefix index holds
+    exactly R rows per doc, the generation join carries Σ(prefix-df)²
+    slots (41M vs 1.97e9 at sf1z — 48× less), and scoring touches only
+    P·doc_len rows. Shuffle shape: tf hash-partitioned by token for
+    candidate generation, by doc_id for scoring — keyed end-to-end,
+    never all-pairs.
     """
+    from pyspark.sql.window import Window
+
     tf = (
         spread(t["documents"])
         .select("doc_id", F.explode(textops.tokens("text")).alias("tok"))
@@ -2716,25 +2731,45 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
         .select("tok")
     )
     kept = tf.join(F.broadcast(heavy), "tok", "left_anti")
-    # seed tokens: sub-ubiquitous AND rare enough to bound the self-join
-    seed = (
-        dfc.crossJoin(F.broadcast(n_docs))
-        .filter(
-            (F.col("df") * COSINE_DF_DIV <= F.col("n_docs"))
-            & (F.col("df") <= COSINE_DF_CAP)
+    # per-doc prefix: each doc's R rarest kept tokens (df asc, tok asc —
+    # a total order, so the prefix is deterministic cross-engine)
+    pref = (
+        kept.join(dfc, "tok")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
         )
-        .select("tok")
+        .filter(F.col("rk") <= COSINE_PREFIX_R)
+        .select("doc_id", "tok")
     )
-    ctf = kept.join(seed, "tok")
-    ca, cb = ctf.alias("ca"), ctf.alias("cb")
+    # adaptive floor: a doc whose whole prefix is shorter than
+    # COSINE_MIN_SHARED (fixed-vocab corpora leave some docs a single
+    # kept token) can still collide on everything it has — otherwise
+    # the policy silently empties on exactly those axes (measured: the
+    # strict >=2 rule returned 0 rows on the driver's own sf0.01 drop).
+    pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
-        ca.join(cb, "tok")
-        .filter(F.col("ca.doc_id") < F.col("cb.doc_id"))
-        .select(
-            F.col("ca.doc_id").alias("doc_a"),
-            F.col("cb.doc_id").alias("doc_b"),
+        pa.join(pb, "tok")
+        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .groupBy(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(pn.select(F.col("doc_id").alias("doc_a"), F.col("pn").alias("pn_a")), "doc_a")
+        .join(pn.select(F.col("doc_id").alias("doc_b"), F.col("pn").alias("pn_b")), "doc_b")
+        .filter(
+            F.col("n_shared")
+            >= F.least(
+                F.lit(COSINE_MIN_SHARED), F.col("pn_a"), F.col("pn_b")
+            )
+        )
+        .select("doc_a", "doc_b")
     )
     # exact scoring: full kept-vector dot for each surviving candidate
     ka = kept.select(
@@ -2778,15 +2813,25 @@ kept AS (
   JOIN dfc USING (tok) CROSS JOIN tot
   WHERE dfc.df * {COSINE_DF_DIV} <= tot.n_docs
 ),
-seed AS (
-  SELECT tok FROM dfc CROSS JOIN tot
-  WHERE dfc.df * {COSINE_DF_DIV} <= tot.n_docs
-    AND dfc.df <= {COSINE_DF_CAP}
+pref AS (
+  SELECT doc_id, tok FROM (
+    SELECT k.doc_id, k.tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY k.doc_id ORDER BY d.df, k.tok) AS rk
+    FROM kept k JOIN dfc d USING (tok)
+  ) WHERE rk <= {COSINE_PREFIX_R}
 ),
-ctf AS (SELECT kept.* FROM kept JOIN seed USING (tok)),
+pn AS (SELECT doc_id, COUNT(*) AS pn FROM pref GROUP BY 1),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM ctf a JOIN ctf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  SELECT g.doc_a, g.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM pref a JOIN pref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) g
+  JOIN pn na ON g.doc_a = na.doc_id
+  JOIN pn nb ON g.doc_b = nb.doc_id
+  WHERE g.n_shared >= LEAST({COSINE_MIN_SHARED}, na.pn, nb.pn)
 ),
 dots AS (
   SELECT c.doc_a, c.doc_b, SUM(a.tf * b.tf) AS dot
@@ -2803,6 +2848,158 @@ FROM dots
 JOIN norms na ON dots.doc_a = na.doc_id
 JOIN norms nb ON dots.doc_b = nb.doc_id
 WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.5
+"""
+
+
+# --- X4k': the funnel with a NEAR-dup stage (VERDICT_r7 #1 composition) ------
+def curation_funnel_neardup(t: Tables) -> DataFrame:
+    """X4k': curation_funnel extended with a near-duplicate removal
+    stage — quality filter → exact dedup (keep-first) → NEAR-dup
+    removal (the scale-safe :func:`doc_cosine_pairs_capped` prefix
+    policy applied to the deduped pool; keep-first survivorship drops
+    every pair's higher doc_id) → benchmark decontamination, all one
+    lazy plan with per-stage survivor counts. This is the composition
+    the verdict asked to route through the CAPPED variant: the exact
+    quadratic operator would wall at scale exactly here, inside the
+    widest frame of the pipeline."""
+    from pyspark.sql import Window
+
+    docs = spread(t["documents"])
+    pool = docs.filter(F.col("source") != "src0").select("doc_id", "text")
+    flags = gopher_quality(
+        {"documents": docs.filter(F.col("source") != "src0")}
+    ).select("doc_id", "keep")
+    q = pool.join(flags.filter(F.col("keep")), "doc_id").select("doc_id", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = (
+        q.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "text")
+    )
+    neardup_b = (
+        doc_cosine_pairs_capped({"documents": d})
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = d.join(neardup_b, "doc_id", "left_anti")
+    eval_sh = (
+        dedup.shingles(docs.filter(F.col("source") == "src0"), n=8)
+        .select("shingle")
+        .distinct()
+    )
+    contaminated = (
+        dedup.shingles(nd, n=8)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    c = nd.join(contaminated, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(0, "pool", pool)
+        .unionByName(stage(1, "quality", q))
+        .unionByName(stage(2, "dedup", d))
+        .unionByName(stage(3, "neardup", nd))
+        .unionByName(stage(4, "decontaminated", c))
+    )
+
+
+# the twin reuses CURATION_FUNNEL_SQL's CTE chain up to d, replays the
+# doc_cosine_pairs_capped policy ON d (df counts, heavy cut, prefix
+# ranks, adaptive min-shared, exact dots, 0.5 threshold), then runs the
+# decontamination leg on the near-dup survivors.
+_FUNNEL_HEAD_SQL = CURATION_FUNNEL_SQL.split("\nev AS (")[0]
+_FUNNEL_PREFIX_R = COSINE_PREFIX_R
+CURATION_FUNNEL_NEARDUP_SQL = f"""{_FUNNEL_HEAD_SQL.rstrip().rstrip(',')},
+ntoks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(trim(text), ' '), x -> x <> ''))
+           AS tok
+  FROM d
+),
+ntf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ntoks GROUP BY 1, 2),
+ndfc AS (SELECT tok, COUNT(*) AS df FROM ntf GROUP BY 1),
+ntot AS (SELECT COUNT(*) AS n_docs FROM d),
+nkept AS (
+  SELECT ntf.doc_id, ntf.tok, ntf.tf FROM ntf
+  JOIN ndfc USING (tok) CROSS JOIN ntot
+  WHERE ndfc.df * {COSINE_DF_DIV} <= ntot.n_docs
+),
+npref AS (
+  SELECT doc_id, tok FROM (
+    SELECT k.doc_id, k.tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY k.doc_id ORDER BY dd.df, k.tok) AS rk
+    FROM nkept k JOIN ndfc dd USING (tok)
+  ) WHERE rk <= {_FUNNEL_PREFIX_R}
+),
+npn AS (SELECT doc_id, COUNT(*) AS pn FROM npref GROUP BY 1),
+ncand AS (
+  SELECT g.doc_a, g.doc_b
+  FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM npref a JOIN npref b ON a.tok = b.tok AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+  ) g
+  JOIN npn na ON g.doc_a = na.doc_id
+  JOIN npn nb ON g.doc_b = nb.doc_id
+  WHERE g.n_shared >= LEAST({COSINE_MIN_SHARED}, na.pn, nb.pn)
+),
+ndots AS (
+  SELECT cnd.doc_a, cnd.doc_b, SUM(a.tf * b.tf) AS dot
+  FROM ncand cnd
+  JOIN nkept a ON a.doc_id = cnd.doc_a
+  JOIN nkept b ON b.doc_id = cnd.doc_b AND b.tok = a.tok
+  GROUP BY 1, 2
+),
+nnorms AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM nkept GROUP BY 1),
+npairs AS (
+  SELECT doc_b FROM ndots
+  JOIN nnorms na ON ndots.doc_a = na.doc_id
+  JOIN nnorms nb ON ndots.doc_b = nb.doc_id
+  WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)) >= 0.5
+),
+nd AS (
+  SELECT doc_id, text FROM d
+  WHERE doc_id NOT IN (SELECT doc_b FROM npairs)
+),
+ev AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  WHERE source = 'src0'
+),
+evidx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM ev),
+evsh AS (
+  SELECT DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           AS shingle
+  FROM evidx
+),
+dt AS (SELECT doc_id, string_split(text, ' ') AS w FROM nd),
+dtidx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM dt),
+dsh AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' '
+         || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7]
+           AS shingle
+  FROM dtidx
+),
+contaminated AS (SELECT DISTINCT dsh.doc_id FROM dsh JOIN evsh USING (shingle)),
+c AS (
+  SELECT nd.doc_id FROM nd
+  WHERE NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = nd.doc_id)
+)
+SELECT 0 AS stage_idx, 'pool' AS stage, COUNT(*) AS n_docs FROM pool
+UNION ALL SELECT 1, 'quality', COUNT(*) FROM q
+UNION ALL SELECT 2, 'dedup', COUNT(*) FROM d
+UNION ALL SELECT 3, 'neardup', COUNT(*) FROM nd
+UNION ALL SELECT 4, 'decontaminated', COUNT(*) FROM c
 """
 
 

@@ -997,7 +997,13 @@ REGISTRY: dict[str, Query] = {
         llmops.doc_cosine_pairs_capped,
         llmops.DOC_COSINE_PAIRS_CAPPED_SQL,
         ("documents",),
-        "X2/X3 scale-safe TF-cosine: df-capped candidates, exact scoring",
+        "X2/X3 scale-safe TF-cosine: prefix-blocked candidates, exact scoring",
+    ),
+    "curation_funnel_neardup": Query(
+        llmops.curation_funnel_neardup,
+        llmops.CURATION_FUNNEL_NEARDUP_SQL,
+        ("documents",),
+        "X4k' curation funnel with prefix-blocked near-dup removal stage",
     ),
     "oov_rate": Query(
         llmops.oov_rate,
@@ -1661,6 +1667,7 @@ _DRIVER_VERIFIED = _DRIVER_VERIFIED + _R7_NEW
 # vintage; r8 therefore re-runs the r3 vintage), padded to the 50 cap.
 _R8_NEW = [
     "doc_cosine_pairs_capped",  # X2/X3 scale-safe cosine (VERDICT_r7 #1)
+    "curation_funnel_neardup",  # X4k' its composition into the funnel
     # VERDICT_r7 #2 — semantics changed (corpus-derived query terms /
     # hash-picked anchors), so their r4-vintage green rows no longer
     # certify current code; re-verify in the r8 window:

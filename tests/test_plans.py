@@ -79,8 +79,10 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "neardup_clusters",
         # one-row n_docs scalar broadcast feeding the relative df cut
         "doc_cosine_pairs",
-        # same scalar broadcast, twice (heavy cut + df-cap seed cut)
+        # same scalar broadcast, twice (heavy cut + prefix seed cut)
         "doc_cosine_pairs_capped",
+        # composes doc_cosine_pairs_capped -> inherits its scalar NLJ
+        "curation_funnel_neardup",
         # one-row corpus-total scalar broadcast for the heavy-hitter cut
         "cms_token_counts",
         # one-row (N1, N2) totals broadcast for the exact-TVD division
