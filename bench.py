@@ -29,8 +29,17 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     registry.run_query("star_revenue_by_region_year", spark, sf_dir).count()
 
+    # census subsetting (sf10 second-decade runs target the top-N by
+    # sf1 time + the quadratic/iterative families, not all 234 — the
+    # fast tail adds wall-clock without adding exponent information)
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = (
+        [n for n in only.split(",") if n in registry.REGISTRY]
+        if only
+        else list(registry.REGISTRY)
+    )
     timings: dict[str, float] = {}
-    for name in registry.REGISTRY:
+    for name in names:
         best = None
         for attempt in range(2):  # min-of-2: steady-state, damps noise
             t0 = time.perf_counter()
