@@ -46,6 +46,13 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", DEFAULT_DRIVER_MEM)
+        # pyspark.ml MinHashLSH's approxSimilarityJoin collects >1 GiB
+        # of serialized task results at sf10 (census finding, round 8);
+        # the 1g default aborts the job on a 48g driver. Engine-side
+        # operators never collect corpus-sized results (plan-sweep
+        # pinned) — this guards the ml-library and driver-artifact
+        # paths only.
+        .config("spark.driver.maxResultSize", "4g")
         # --- adaptive execution: the scale story ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

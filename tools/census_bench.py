@@ -1,0 +1,138 @@
+"""Resilient per-query census bench (round 8, for the sf10 decade).
+
+bench.py assumes every query completes; at sf10 the vocab-saturated
+quadratic family (containment_pairs / prefix_jaccard on the FIXED
+31-word axis) spills past the sandbox's free disk and kills the run
+(measured: java.io.IOException No space left on device, 34 GB free).
+This runner makes the census itself resilient: per-query try/except
+(a failure is RECORDED as a measurement, not a crash), a free-disk
+precheck before each query, partial results flushed to disk after
+every query, and a per-query wall-clock budget enforced by a watchdog
+thread that cancels the job group instead of hanging the census.
+
+Usage:
+  python -m tools.census_bench --sf DIR --out FILE \
+      --only a,b,c [--budget 600] [--min-free-gb 20]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--only", default=None)
+    ap.add_argument("--budget", type=float, default=600.0)
+    ap.add_argument("--min-free-gb", type=float, default=20.0)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--append",
+        action="store_true",
+        help="load existing --out and merge (phased runs: the disk-"
+        "eating shingle family runs in its own process so its spill "
+        "garbage — freed only at JVM exit — can't starve the rest)",
+    )
+    args = ap.parse_args()
+
+    from data_engineering_course_project_2023_spark.plans import registry
+    from data_engineering_course_project_2023_spark.session import get_spark
+
+    spark = get_spark(app_name="census_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    names = (
+        [n for n in args.only.split(",") if n in registry.REGISTRY]
+        if args.only
+        else list(registry.REGISTRY)
+    )
+    # warm-up
+    registry.run_query("star_revenue_by_region_year", spark, args.sf).count()
+
+    results: dict[str, dict] = {}
+    if args.append and os.path.exists(args.out):
+        prior = json.load(open(args.out))
+        for k, v in prior.get("queries", {}).items():
+            results[k] = {"sec": v}
+        for k, v in prior.get("failed", {}).items():
+            results[k] = v
+
+    def flush() -> None:
+        ok = {k: v["sec"] for k, v in results.items() if "sec" in v}
+        doc = {
+            "metric": "total_query_time",
+            "value": round(sum(ok.values()), 3),
+            "unit": "sec",
+            "queries": ok,
+            "failed": {
+                k: v for k, v in results.items() if "sec" not in v
+            },
+            "sf_dir": args.sf,
+            "n_queries": len(ok),
+            "budget_sec": args.budget,
+        }
+        with open(args.out, "w") as f:
+            json.dump(doc, f, indent=1)
+
+    for name in names:
+        free_gb = shutil.disk_usage("/tmp").free / 1e9
+        if free_gb < args.min_free_gb:
+            results[name] = {"status": "skipped_low_disk", "free_gb": round(free_gb, 1)}
+            flush()
+            print(f"{name:32s} SKIP low disk {free_gb:.1f}G", flush=True)
+            continue
+        best = None
+        err = None
+        for _ in range(args.runs):
+            group = f"census:{name}"
+            sc.setJobGroup(group, name, interruptOnCancel=True)
+            done = threading.Event()
+
+            def watchdog() -> None:
+                if not done.wait(args.budget):
+                    sc.cancelJobGroup(group)
+
+            w = threading.Thread(target=watchdog, daemon=True)
+            w.start()
+            t0 = time.perf_counter()
+            try:
+                registry.run_query(name, spark, args.sf).count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None or dt < best else best
+            except Exception as ex:  # noqa: BLE001 - census records failures
+                dt = time.perf_counter() - t0
+                kind = (
+                    "budget_exceeded"
+                    if dt >= args.budget
+                    else type(ex).__name__
+                )
+                err = {"status": kind, "after_sec": round(dt, 1),
+                       "detail": str(ex)[:200]}
+                done.set()
+                break
+            finally:
+                done.set()
+                sc.setJobGroup("", "")
+        if best is not None:
+            results[name] = {"sec": round(best, 3)}
+            print(f"{name:32s} {best:8.2f}s", flush=True)
+        else:
+            results[name] = err or {"status": "unknown"}
+            print(f"{name:32s} FAIL {err}", flush=True)
+        flush()
+
+    print(json.dumps({"done": True, "out": args.out}))
+
+
+if __name__ == "__main__":
+    main()
