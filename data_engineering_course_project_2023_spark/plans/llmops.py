@@ -2875,6 +2875,12 @@ def curation_funnel_neardup(t: Tables) -> DataFrame:
         q.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text")
+        # stage the dedup survivors once: the near-dup stage fans d out
+        # to five consumers (tf -> dfc/heavy/kept x2/prefix) and each
+        # would replan the quality+dedup subtree (measured 8.2 s -> 4.6 s
+        # at sf0.1); at 100 TB this is the inter-stage parquet stage a
+        # real pipeline writes anyway
+        .localCheckpoint()
     )
     neardup_b = (
         doc_cosine_pairs_capped({"documents": d})
