@@ -110,3 +110,66 @@ def run_stages(
         else:
             raise StageFailure(st.name, last)  # type: ignore[arg-type]
     return report
+
+
+# --- time trigger (the reference's weekly cron, as a testable seam) ----------
+def due_run_dates(
+    anchor: str,
+    interval_days: int,
+    now: str,
+) -> list[str]:
+    """Logical run dates due by ``now`` — Airflow's schedule_interval +
+    catchup semantics as a PURE function (reference:
+    src/airflow/dags/download_dataset_stage_1.py:24 runs weekly): one
+    run per interval boundary in [anchor, now), each labeled by its
+    interval START (Airflow's execution_date convention — the run FOR
+    week W fires after W closes). Pure date arithmetic so the trigger
+    is unit-testable with any clock and identical on every host."""
+    from datetime import date, timedelta
+
+    a = date.fromisoformat(anchor)
+    n = date.fromisoformat(now)
+    out: list[str] = []
+    cur = a
+    while cur + timedelta(days=interval_days) <= n:
+        out.append(cur.isoformat())
+        cur += timedelta(days=interval_days)
+    return out
+
+
+def run_scheduled(
+    spark: SparkSession,
+    stages: list[Stage],
+    root: str,
+    anchor: str,
+    interval_days: int,
+    now: str,
+    sources_for: Callable[[str], dict[str, DataFrame]] | None = None,
+) -> dict[str, dict]:
+    """The scheduler leg over :func:`run_stages`: every logical run due
+    by ``now`` (catchup included — a host down for three weeks runs
+    three backfills, the Airflow behavior) executes the DAG under its
+    own ``root/run=<date>`` subtree. State is DERIVED, not stored: a
+    run is complete iff its final stage's atomic _SUCCESS marker
+    exists, so re-invocations are idempotent and a run that died
+    mid-DAG resumes from its last good stage on the next trigger —
+    no scheduler database, no locks, the markers ARE the state.
+    ``now`` is injected (no wall-clock read) so tests drive a virtual
+    clock and production passes its own notion of now."""
+    report: dict[str, dict] = {}
+    final = stages[-1].name
+    for run_date in due_run_dates(anchor, interval_days, now):
+        run_root = os.path.join(root, f"run={run_date}")
+        if _done(os.path.join(run_root, final)):
+            report[run_date] = {"status": "run-skipped"}
+            continue
+        srcs = sources_for(run_date) if sources_for else None
+        stage_report = run_stages(spark, stages, run_root, sources=srcs)
+        built = any(
+            v["status"] == "done-built" for v in stage_report.values()
+        )
+        report[run_date] = {
+            "status": "run-built" if built else "run-skipped",
+            "stages": stage_report,
+        }
+    return report

@@ -131,3 +131,50 @@ def test_force_rebuilds_named_stage_only(spark, tmp_path):
     # report's marker is intact, so it still skips (a scheduler wanting
     # transitive invalidation forces the downstream set explicitly)
     assert rep["report"]["status"] == "done-skipped"
+
+
+def test_weekly_trigger_catchup_and_idempotence(spark, tmp_path):
+    """The scheduler leg (reference: weekly schedule_interval +
+    catchup): (a) a virtual clock two closed weeks past the anchor
+    triggers TWO backfill runs, each materialized under its own
+    run=<date> subtree; (b) re-invoking at the same clock is a no-op
+    (marker-derived state); (c) advancing one week triggers exactly
+    the newly-closed run; (d) the execution_date convention — a week
+    runs only after it CLOSES."""
+    from data_engineering_course_project_2023_spark.plans.orchestrate import (
+        due_run_dates,
+        run_scheduled,
+    )
+
+    assert due_run_dates("2024-01-01", 7, "2024-01-16") == [
+        "2024-01-01", "2024-01-08",
+    ]
+    assert due_run_dates("2024-01-01", 7, "2024-01-07") == []
+
+    root = str(tmp_path / "sched")
+    docs = load_table(spark, SF, "documents")
+    stages = _stages([0])
+
+    rep = run_scheduled(
+        spark, stages, root, "2024-01-01", 7, "2024-01-16",
+        sources_for=lambda d: {"documents": docs},
+    )
+    assert {k: v["status"] for k, v in rep.items()} == {
+        "2024-01-01": "run-built", "2024-01-08": "run-built",
+    }
+    assert os.path.exists(
+        os.path.join(root, "run=2024-01-08", "report", "_SUCCESS")
+    )
+
+    rep2 = run_scheduled(
+        spark, stages, root, "2024-01-01", 7, "2024-01-16",
+        sources_for=lambda d: {"documents": docs},
+    )
+    assert {v["status"] for v in rep2.values()} == {"run-skipped"}
+
+    rep3 = run_scheduled(
+        spark, stages, root, "2024-01-01", 7, "2024-01-23",
+        sources_for=lambda d: {"documents": docs},
+    )
+    assert rep3["2024-01-15"]["status"] == "run-built"
+    assert rep3["2024-01-01"]["status"] == "run-skipped"
