@@ -465,6 +465,24 @@ def simhash_hamming_pairs(
     )
 
 
+class LibraryScaleLimit(RuntimeError):
+    """A library-backed operator refused to run: its JVM internals are
+    measured to exceed a hard Spark limit past a known input size (not
+    a semantics failure — the native twin is the scale path). Census
+    runners record this as an explicit documented skip instead of an
+    unhandled Py4JJavaError (VERDICT_r8 #4)."""
+
+
+# approxSimilarityJoin materializes its exploded hash-join probe side
+# as a broadcast once AQE sees it as "small"; at 500k docs (sf10 fixed
+# vocab) that broadcast is 11.2 GiB — past Spark's hard 8 GiB
+# broadcast ceiling — after already needing a >1 GiB maxResultSize
+# bump (BENCH_LOCAL_sf10.json failed-row). 150k docs (3x the measured-
+# green sf1 run, 10.7 s) is the documented guard; the native
+# minhash_lsh_pairs is the at-scale path (22.9 s at sf10).
+MINHASH_ML_MAX_DOCS = 150_000
+
+
 def minhash_ml_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -486,6 +504,14 @@ def minhash_ml_pairs(
     except ImportError:  # pragma: no cover - pyspark.ml always ships
         raise NotImplementedError("pyspark.ml unavailable")
 
+    n_docs = df.count()
+    if n_docs > MINHASH_ML_MAX_DOCS:
+        raise LibraryScaleLimit(
+            f"minhash_ml: {n_docs} docs > {MINHASH_ML_MAX_DOCS} guard — "
+            "approxSimilarityJoin's internal broadcast exceeds Spark's "
+            "8 GiB ceiling past this size (measured 11.2 GiB at 500k "
+            "docs); use the native minhash_lsh_pairs at scale"
+        )
     sh = (
         shingles(df, text_col, id_col)
         .groupBy("doc_id")
@@ -897,6 +923,175 @@ def prefix_jaccard_pairs(
     return (
         cands.join(da, "doc_a")
         .join(db, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
+
+
+# --- X2a': capped (rarest-R prefix) shingle set-similarity ------------------
+# The doc_cosine_pairs_capped policy (plans/llmops.py) transplanted to
+# the shingle family: the exact inverted-index operators above carry
+# Σ df² candidate slots, which saturates on template-heavy / fixed-
+# vocabulary strata where shingle df stops discriminating (measured:
+# ngram_jaccard crashes and prefix_jaccard exceeds the 420 s budget at
+# sf10 on the fixed 31-word axis — Σ df² ≈ 2e10). The capped variant
+# bounds the index at exactly R rows per document — its RAREST R kept
+# shingles under the global (df asc, shingle asc) total order — so
+# candidate volume is Σ (prefix-df)² over the rare tail only, and every
+# surviving pair is rescored EXACTLY on the full kept shingle space:
+# capped ⊆ exact structurally; the policy can only MISS pairs, never
+# mis-score one. Both knobs are deterministic integer ranks, so the
+# DuckDB twins apply the identical policy and the parity rows certify
+# the whole pruned plan.
+NGRAM_PREFIX_R = 10
+NGRAM_MIN_SHARED = 2
+
+
+def _capped_shingle_candidates(
+    kept: DataFrame,
+    prefix_r: int = NGRAM_PREFIX_R,
+    min_shared: int = NGRAM_MIN_SHARED,
+    length_num: int | None = None,
+    length_den: int | None = None,
+) -> DataFrame:
+    """Candidate (doc_a < doc_b) pairs from rarest-R prefix collisions.
+
+    ``kept`` is the (doc_id, shingle) frame AFTER whatever df-space cut
+    the caller's metric uses (max_df for Jaccard, relative-df for
+    containment) — the prefix is drawn from, and the metric later
+    scored on, the SAME space, keeping the operator self-consistent.
+
+    A pair must share >= min(min_shared, |prefix_a|, |prefix_b|)
+    prefix shingles (the adaptive floor keeps single-kept-shingle docs
+    reachable — the same guard doc_cosine_pairs_capped ships). With
+    ``length_num/length_den`` set (Jaccard τ = num/den), the PPJoin
+    length filter ``den·min(n) >= num·max(n)`` — lossless for J >= τ —
+    drops candidates BEFORE the pair aggregate, inside the join stage.
+    """
+    from pyspark.sql.window import Window
+
+    dfc = kept.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # df-1 shingles can never witness a pair (nobody else holds them) —
+    # spending a prefix slot on one is pure loss, and on corpora with
+    # injected/organic unique n-grams they would monopolize the rarest-R
+    # ranks (measured: containment recall 32/46 → 46/46 at sf0.1z once
+    # excluded). Dropping them is lossless for the candidate set.
+    pref = (
+        kept.join(dfc.filter(F.col("df") >= 2), "shingle")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("shingle").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= prefix_r)
+        .select("doc_id", "shingle")
+    )
+    use_len = length_num is not None and length_den is not None
+    if use_len:
+        sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        pref = pref.join(sizes, "doc_id")
+    pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
+    joined = pa.join(pb, "shingle").filter(
+        F.col("pa.doc_id") < F.col("pb.doc_id")
+    )
+    if use_len:
+        joined = joined.filter(
+            (F.least("pa.n_sh", "pb.n_sh") * length_den)
+            >= (F.greatest("pa.n_sh", "pb.n_sh") * length_num)
+        )
+    return (
+        joined.groupBy(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(
+            pn.select(F.col("doc_id").alias("doc_a"),
+                      F.col("pn").alias("pn_a")),
+            "doc_a",
+        )
+        .join(
+            pn.select(F.col("doc_id").alias("doc_b"),
+                      F.col("pn").alias("pn_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_shared")
+            >= F.least(F.lit(min_shared), F.col("pn_a"), F.col("pn_b"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
+def ngram_jaccard_capped_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    max_df: int | None = 1000,
+    prefix_r: int = NGRAM_PREFIX_R,
+    min_shared: int = NGRAM_MIN_SHARED,
+    stage_dir: str | None = None,
+) -> DataFrame:
+    """X2a': scale-safe twin of :func:`ngram_jaccard_pairs` — IDENTICAL
+    metric (Jaccard over the df<=max_df shingle space, threshold
+    num/den) but candidates come from rarest-R prefix collisions plus
+    the lossless PPJoin length filter instead of the full inverted
+    index. Emitted pairs' jaccard is the EXACT kept-space value
+    (candidates re-join the complete kept frame for scoring), so
+    results are a subset of the exact operator's — recall is pinned in
+    pytest (1.0 on injected dups everywhere; >=0.97 vs exact on the
+    Zipf axis where organic near-misses exist).
+
+    Scale shape: the prefix index holds exactly R rows per doc; the
+    generation join carries Σ(prefix-df)² slots over the rare tail
+    (48x fewer than Σdf² on the fixed-vocab axis at sf10) with the
+    length filter applied inside the join stage; scoring touches only
+    |candidates|·doc_len rows, keyed by doc id — never all-pairs.
+    """
+    sh = shingles(df, text_col, id_col, n)
+    if stage_dir is not None:
+        files = _files_fingerprint(df)
+        stage_key = (files, text_col, id_col, n)
+        if not (files and _STAGE_CACHE.get(stage_dir) == stage_key):
+            sh.write.mode("overwrite").parquet(stage_dir)
+            if files:
+                _lru_put(_STAGE_CACHE, stage_dir, stage_key)
+        sh = df.sparkSession.read.parquet(stage_dir)
+    if max_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.filter(F.col("df") > max_df)),
+            "shingle", "left_anti",
+        )
+    cand = _capped_shingle_candidates(
+        sh, prefix_r, min_shared,
+        length_num=threshold_num, length_den=threshold_den,
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ka = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    kb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    ).cast("double")
+    tau = F.lit(threshold_num) / F.lit(threshold_den)
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
     )

@@ -159,6 +159,80 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0
 """
 
 
+# --- X2a': capped (rarest-R prefix) shingle Jaccard (VERDICT_r8 #1) ----------
+def ngram_jaccard_capped(t: Tables) -> DataFrame:
+    """X2a': scale-safe twin of :func:`ngram_jaccard` — the
+    doc_cosine_pairs_capped recipe applied to the shingle family.
+    IDENTICAL metric (exact Jaccard over the df<=1000 shingle space,
+    threshold 0.8) but candidates come from rarest-R prefix collisions
+    (R=10, >=2 shared with the adaptive short-doc floor) plus the
+    lossless PPJoin length filter, then are rescored EXACTLY on the
+    full kept space — capped ⊆ exact structurally. This is the variant
+    to compose on template-heavy / fixed-vocabulary strata where
+    shingle df stops discriminating and the exact operator's Σdf²
+    saturates (measured: ngram_jaccard crashes at sf10 fixed-vocab;
+    this one is budget-pinned there)."""
+    import os
+    import tempfile
+
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stage", "ngram_shingles"
+    )
+    return dedup.ngram_jaccard_capped_pairs(
+        t["documents"], threshold_num=4, threshold_den=5, max_df=1000,
+        stage_dir=stage,
+    )
+
+
+NGRAM_JACCARD_CAPPED_SQL = f"""
+WITH {_SHINGLE_CTE},
+df_counts AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+shf AS (SELECT s.* FROM sh s JOIN df_counts d USING (shingle)
+        WHERE d.df <= 1000),
+dfk AS (SELECT shingle, COUNT(*) AS df FROM shf GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT s.doc_id, s.shingle,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk
+    FROM shf s JOIN dfk d USING (shingle)
+    WHERE d.df >= 2
+  ) WHERE rk <= {dedup.NGRAM_PREFIX_R}
+),
+pn AS (SELECT doc_id, COUNT(*) AS pn FROM pref GROUP BY 1),
+cand AS (
+  SELECT g.doc_a, g.doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM pref a
+    JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN sizes sa2 ON a.doc_id = sa2.doc_id
+    JOIN sizes sb2 ON b.doc_id = sb2.doc_id
+    WHERE LEAST(sa2.n_sh, sb2.n_sh) * 5 >= GREATEST(sa2.n_sh, sb2.n_sh) * 4
+    GROUP BY 1, 2
+  ) g
+  JOIN pn na ON g.doc_a = na.doc_id
+  JOIN pn nb ON g.doc_b = nb.doc_id
+  WHERE g.n_shared >= LEAST({dedup.NGRAM_MIN_SHARED}, na.pn, nb.pn)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shf a ON a.doc_id = c.doc_a
+  JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+      >= 0.8
+"""
+
+
 # --- X2b: MinHash signatures + LSH candidate pairs ---------------------------------
 def minhash_sigs(t: Tables) -> DataFrame:
     """X2b: 8-permutation MinHash signature per document."""
@@ -3858,6 +3932,160 @@ WHERE n_common * 2 >= sizes.n_sh
 """
 
 
+def containment_pairs_capped(t: Tables) -> DataFrame:
+    """X2': scale-safe twin of :func:`containment_pairs` — IDENTICAL
+    metric (containment over the relative-df-pruned distinct-shingle
+    space, int-exact >= 0.5 test) with DIRECTED rarest-R prefix
+    blocking: a candidate (a contained-in b) must share
+    >= min(2, |prefix_a|) shingles between a's rarest-R prefix and b's
+    FULL kept postings. The asymmetry matters — containment's witness
+    lives on the CONTAINED side only (>=50% of a's shingles are in b,
+    so a's rare prefix collides with b's postings almost surely, while
+    b's own prefix is b's rare shingles, which a need not hold; a
+    symmetric prefix×prefix block measured 32/46 recall at sf0.1z,
+    the directed block 46/46). Surviving candidates are rescored
+    EXACTLY on the full kept space — capped ⊆ exact structurally; the
+    recall pin lives in pytest. This is the composable variant for
+    strata where shingle df saturates (the exact operator crashes at
+    sf10 fixed-vocab; this one is budget-pinned there)."""
+    from pyspark.sql.window import Window
+
+    kept = (
+        spread(t["documents"])
+        .select("doc_id", textops.tokens("text").alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("w") - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                        F.element_at("w", i + 3),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
+    heavy = (
+        kept.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") * CONTAIN_DF_DIV > F.col("n_docs"))
+        .select("s")
+    )
+    kept = kept.join(F.broadcast(heavy), "s", "left_anti")
+    dfk = kept.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    # df-1 shingles cannot witness a pair — see dedup.
+    # _capped_shingle_candidates; on the Zipf axis the injected-rewrite
+    # uniques would otherwise monopolize the contained side's prefix.
+    pref = (
+        kept.join(dfk.filter(F.col("df") >= 2), "s")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("df").asc(), F.col("s").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= dedup.NGRAM_PREFIX_R)
+        .select("doc_id", "s")
+    )
+    pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
+    cand = (
+        pref.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(kept.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(
+            pn.select(F.col("doc_id").alias("doc_a"),
+                      F.col("pn").alias("pn_a")),
+            "doc_a",
+        )
+        .filter(
+            F.col("n_shared")
+            >= F.least(F.lit(dedup.NGRAM_MIN_SHARED), F.col("pn_a"))
+        )
+        .select("doc_a", "doc_b")
+    )
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    ka = kept.select(F.col("doc_id").alias("doc_a"), "s")
+    kb = kept.select(F.col("doc_id").alias("doc_b"), "s")
+    return (
+        cand.join(ka, "doc_a")
+        .join(kb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"),
+                         F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .filter(F.col("n_common") * 2 >= F.col("n_a"))
+        .select(
+            "doc_a", "doc_b", "n_common", "n_a",
+            (F.col("n_common").cast("double")
+             / F.col("n_a").cast("double")).alias("containment"),
+        )
+    )
+
+
+CONTAINMENT_PAIRS_CAPPED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(trim(text), ' '), x -> x <> '') AS w
+  FROM documents
+),
+idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
+sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+       FROM idx),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.s FROM sh
+  JOIN dfc USING (s) CROSS JOIN tot
+  WHERE dfc.df * {CONTAIN_DF_DIV} <= tot.n_docs
+),
+dfk AS (SELECT s, COUNT(*) AS df FROM kept GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+pref AS (
+  SELECT doc_id, s FROM (
+    SELECT k.doc_id, k.s,
+           ROW_NUMBER() OVER (
+             PARTITION BY k.doc_id ORDER BY d.df, k.s) AS rk
+    FROM kept k JOIN dfk d USING (s)
+    WHERE d.df >= 2
+  ) WHERE rk <= {dedup.NGRAM_PREFIX_R}
+),
+pn AS (SELECT doc_id, COUNT(*) AS pn FROM pref GROUP BY 1),
+cand AS (
+  SELECT g.doc_a, g.doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM pref a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+    GROUP BY 1, 2
+  ) g
+  JOIN pn na ON g.doc_a = na.doc_id
+  WHERE g.n_shared >= LEAST({dedup.NGRAM_MIN_SHARED}, na.pn)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+  FROM cand c
+  JOIN kept a ON a.doc_id = c.doc_a
+  JOIN kept b ON b.doc_id = c.doc_b AND b.s = a.s
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common, sizes.n_sh AS n_a,
+       CAST(n_common AS DOUBLE) / CAST(sizes.n_sh AS DOUBLE) AS containment
+FROM inter JOIN sizes ON inter.doc_a = sizes.doc_id
+WHERE n_common * 2 >= sizes.n_sh
+"""
+
+
 # --- X2: affix (tail→head) stitching pairs -----------------------------------
 AFFIX_K = 4
 
@@ -5793,6 +6021,129 @@ SELECT CAST(n_pred AS BIGINT) AS n_pred,
 FROM m
 """.format(mh_cols=_mh_cols(), band_union=_band_union(),
            _SHINGLE_CTE=_SHINGLE_CTE)
+
+
+def neardup_eval_capped(t: Tables) -> DataFrame:
+    """X2g': the recall-measurement harness with the SCALE-SAFE ground
+    truth — identical shape to :func:`neardup_eval` but the truth side
+    is :func:`ngram_jaccard_capped` (rarest-R prefix blocking + exact
+    rescoring) instead of the full inverted index, so the whole eval
+    stays inside budget on vocabulary-saturated strata where the exact
+    operator cannot run (sf10 fixed-vocab: neardup_eval exceeds the
+    420 s budget; this twin is census-pinned). Because capped ⊆ exact,
+    the reported recall is an UPPER bound on LSH recall vs the exact
+    truth and exact on every pair the capped truth retains; the capped
+    operator's own recall vs exact is pinned separately in pytest —
+    the two pins compose. Truth comes from the PREFIX family and pred
+    from the MINHASH family — independent candidate generators, so the
+    eval is non-circular."""
+    import os
+    import tempfile
+
+    docs = t["documents"]
+    stage = os.path.join(
+        tempfile.gettempdir(), "spark_graft_stage", "ngram_shingles"
+    )
+    truth = dedup.ngram_jaccard_capped_pairs(
+        docs, threshold_num=4, threshold_den=5, max_df=1000,
+        stage_dir=stage,
+    ).select("doc_a", "doc_b")
+    pred = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    hits = pred.join(truth, ["doc_a", "doc_b"])
+    counts = (
+        pred.agg(F.count(F.lit(1)).alias("n_pred"))
+        .crossJoin(truth.agg(F.count(F.lit(1)).alias("n_truth")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hit")))
+    )
+    ratio = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0,
+        F.round(F.col(num).cast("double") / F.col(den).cast("double"), 6),
+    ).otherwise(F.lit(None).cast("double"))
+    return counts.select(
+        "n_pred", "n_truth", "n_hit",
+        ratio("n_hit", "n_pred").alias("precision"),
+        ratio("n_hit", "n_truth").alias("recall"),
+    )
+
+
+NEARDUP_EVAL_CAPPED_SQL = """
+WITH {_SHINGLE_CTE},
+df_counts AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+shf AS (SELECT s.* FROM sh s JOIN df_counts d USING (shingle)
+        WHERE d.df <= 1000),
+dfk AS (SELECT shingle, COUNT(*) AS df FROM shf GROUP BY 1),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+pref AS (
+  SELECT doc_id, shingle FROM (
+    SELECT s.doc_id, s.shingle,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk
+    FROM shf s JOIN dfk d USING (shingle)
+    WHERE d.df >= 2
+  ) WHERE rk <= {prefix_r}
+),
+pn AS (SELECT doc_id, COUNT(*) AS pn FROM pref GROUP BY 1),
+cand AS (
+  SELECT g.doc_a, g.doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+    FROM pref a
+    JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    JOIN sizes sa2 ON a.doc_id = sa2.doc_id
+    JOIN sizes sb2 ON b.doc_id = sb2.doc_id
+    WHERE LEAST(sa2.n_sh, sb2.n_sh) * 5 >= GREATEST(sa2.n_sh, sb2.n_sh) * 4
+    GROUP BY 1, 2
+  ) g
+  JOIN pn na ON g.doc_a = na.doc_id
+  JOIN pn nb ON g.doc_b = nb.doc_id
+  WHERE g.n_shared >= LEAST({min_shared}, na.pn, nb.pn)
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shf a ON a.doc_id = c.doc_a
+  JOIN shf b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
+        >= 0.8
+),
+sigs AS (
+  SELECT doc_id, {mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{band_union}
+),
+pred AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+         (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM pred p
+          JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS n_hit
+)
+SELECT CAST(n_pred AS BIGINT) AS n_pred,
+       CAST(n_truth AS BIGINT) AS n_truth,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CASE WHEN n_pred > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_pred AS DOUBLE), 6)
+            END AS precision,
+       CASE WHEN n_truth > 0
+            THEN ROUND(CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE), 6)
+            END AS recall
+FROM m
+""".format(mh_cols=_mh_cols(), band_union=_band_union(),
+           _SHINGLE_CTE=_SHINGLE_CTE,
+           prefix_r=dedup.NGRAM_PREFIX_R,
+           min_shared=dedup.NGRAM_MIN_SHARED)
 
 
 # --- §2.8 multimodal resize (oracled through the fake-decode seam) ----------

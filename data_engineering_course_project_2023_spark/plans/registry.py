@@ -1198,6 +1198,27 @@ REGISTRY: dict[str, Query] = {
         ("documents",),
         "X2 asymmetric shingle containment (short-in-long dedup)",
     ),
+    "ngram_jaccard_capped": Query(
+        llmops.ngram_jaccard_capped,
+        llmops.NGRAM_JACCARD_CAPPED_SQL,
+        ("documents",),
+        "X2a' scale-safe capped Jaccard (rarest-R prefix blocking + "
+        "exact rescoring; capped ⊆ exact)",
+    ),
+    "containment_pairs_capped": Query(
+        llmops.containment_pairs_capped,
+        llmops.CONTAINMENT_PAIRS_CAPPED_SQL,
+        ("documents",),
+        "X2' scale-safe capped containment (rarest-R prefix blocking "
+        "+ exact rescoring; capped ⊆ exact)",
+    ),
+    "neardup_eval_capped": Query(
+        llmops.neardup_eval_capped,
+        llmops.NEARDUP_EVAL_CAPPED_SQL,
+        ("documents",),
+        "X2g' LSH precision/recall vs the scale-safe capped-Jaccard "
+        "ground truth (prefix family vs minhash family — non-circular)",
+    ),
     "affix_overlap": Query(
         llmops.affix_overlap,
         llmops.AFFIX_OVERLAP_SQL,
@@ -1681,31 +1702,50 @@ _R8_WINDOW += [
     n for n in _R3_DRIVER_VERIFIED if n not in _R8_WINDOW
 ][: 50 - len(_R8_WINDOW)]
 assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+# CORRECTNESS_r08: the r8 window landed 50/50 green (judge recomputed:
+# zero errs, zero mismatches) — fold the genuinely-new r8 queries in.
+_DRIVER_VERIFIED = _DRIVER_VERIFIED + [
+    n for n in _R8_NEW if n not in _DRIVER_VERIFIED
+]
+# r9 window — same standing order: flagship + arxiv re-check lead,
+# round-9-new queries right behind, then backfill rotates to the
+# OLDEST rows not re-verified since their vintage (r8 re-ran the r3
+# vintage; r9 therefore re-runs the r4 vintage), padded to the 50 cap.
+_R9_NEW = [
+    "ngram_jaccard_capped",  # X2a' scale-safe shingle Jaccard (VERDICT_r8 #1)
+    "containment_pairs_capped",  # X2' scale-safe containment twin
+    "neardup_eval_capped",  # X2g' the eval re-pointed at the capped truth
+]
+_R9_WINDOW = ["star_revenue_by_region_year", "arxiv_clean_silver"] + _R9_NEW
+_R9_WINDOW += [
+    n for n in _R4_DRIVER_VERIFIED if n not in _R9_WINDOW
+][: 50 - len(_R9_WINDOW)]
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)
 assert set(_DRIVER_VERIFIED) <= set(REGISTRY)
-assert set(_R8_WINDOW) <= set(REGISTRY)
+assert set(_R9_WINDOW) <= set(REGISTRY)
 assert set(_NO_ORACLE_PARK) <= set(REGISTRY)
 # Every registry query must be placed in exactly one rotation bucket:
 # a query in none of them would land in the catch-all front section
 # ahead of the window, displacing a promised row — the assert below
 # fails LOUDLY at import time instead (listing the unplaced names), so
-# a new query cannot ship without an explicit _R8_NEW/_R8_WINDOW slot.
+# a new query cannot ship without an explicit _R9_NEW/_R9_WINDOW slot.
 assert set(REGISTRY) == (
     set(_DRIVER_VERIFIED)
-    | set(_R8_WINDOW)
+    | set(_R9_WINDOW)
     | set(_NO_ORACLE_PARK)
 ), sorted(
     set(REGISTRY)
     - set(_DRIVER_VERIFIED)
-    - set(_R8_WINDOW)
+    - set(_R9_WINDOW)
     - set(_NO_ORACLE_PARK)
 )
 # Within the still-awaiting front section, oracled queries outrank
 # rows-only ones (oracle=None gets only a weak row-count check from the
 # driver, so losing its row to the cap costs the least).
 _BACK = (
-    set(_DRIVER_VERIFIED) | set(_R8_WINDOW) | set(_NO_ORACLE_PARK)
+    set(_DRIVER_VERIFIED) | set(_R9_WINDOW) | set(_NO_ORACLE_PARK)
 )
-_R8 = set(_R8_WINDOW)
+_R9 = set(_R9_WINDOW)
 REGISTRY = {
     **{
         n: q
@@ -1717,8 +1757,8 @@ REGISTRY = {
         for n, q in REGISTRY.items()
         if n not in _BACK and q.oracle is None
     },
-    **{n: REGISTRY[n] for n in _R8_WINDOW},
-    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R8},
+    **{n: REGISTRY[n] for n in _R9_WINDOW},
+    **{n: REGISTRY[n] for n in _DRIVER_VERIFIED if n not in _R9},
     **{n: REGISTRY[n] for n in _NO_ORACLE_PARK},
 }
 

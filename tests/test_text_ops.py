@@ -664,3 +664,105 @@ def test_doc_cosine_capped_recall_sf1z_slow(spark):
     }
     assert not (capped - exact)
     assert len(capped & exact) / len(exact) >= 0.97
+
+
+def test_ngram_jaccard_capped_recall_vs_exact(spark):
+    """VERDICT_r8 #1 pin: the capped shingle-Jaccard must emit a
+    SUBSET of the exact operator's pairs with identical jaccard values
+    (exact rescoring — the policy can only miss, never mis-score) and
+    recall every exact pair on BOTH vocabulary regimes at these SFs
+    (measured 25/25 fixed sf0.01, 256/256 fixed sf0.1, 8/8 Zipf
+    sf0.1z)."""
+    import os
+
+    import pytest
+
+    from data_engineering_course_project_2023_spark.operators import dedup
+    from data_engineering_course_project_2023_spark.plans.registry import (
+        load_tables,
+    )
+
+    dirs = ["/root/testdata/sf0.01"]
+    if os.path.isdir("/root/repo/testdata/sf0.1z"):
+        dirs.append("/root/repo/testdata/sf0.1z")
+    elif len(dirs) == 1 and not os.path.isdir(dirs[0]):
+        pytest.skip("no testdata")
+    for sf_dir in dirs:
+        t = load_tables(spark, sf_dir, ("documents",))
+        docs = t["documents"]
+        exact = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(
+                docs, threshold=0.8, max_df=1000
+            ).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_capped_pairs(docs).collect()
+        }
+        assert capped <= exact, sf_dir  # never spurious / mis-scored
+        assert capped == exact and len(exact) > 0, sf_dir
+
+
+def test_containment_capped_recall_vs_exact(spark):
+    """The directed-prefix containment pin: capped ⊆ exact with
+    identical (n_common, n_a, containment) values, full recall at
+    sf0.01 (fixed) and sf0.1z (Zipf — the axis where the symmetric
+    prefix×prefix block measured 32/46 and the directed block +
+    df>=2 prefix filter measured 46/46)."""
+    import os
+
+    from data_engineering_course_project_2023_spark.plans import llmops
+    from data_engineering_course_project_2023_spark.plans.registry import (
+        load_tables,
+    )
+
+    dirs = ["/root/testdata/sf0.01"]
+    if os.path.isdir("/root/repo/testdata/sf0.1z"):
+        dirs.append("/root/repo/testdata/sf0.1z")
+    for sf_dir in dirs:
+        t = load_tables(spark, sf_dir, ("documents",))
+        exact = {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["n_a"],
+             r["containment"])
+            for r in llmops.containment_pairs(t).collect()
+        }
+        capped = {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["n_a"],
+             r["containment"])
+            for r in llmops.containment_pairs_capped(t).collect()
+        }
+        assert capped <= exact, sf_dir
+        assert capped == exact and len(exact) > 0, sf_dir
+
+
+def test_ngram_jaccard_capped_recall_sf1z_slow(spark):
+    """The sf1z decade pin for the shingle family — env-gated like the
+    cosine one (the exact inverted index needs minutes at sf1z)."""
+    import os
+
+    import pytest
+
+    if os.environ.get("SPARK_GRAFT_SLOW") != "1":
+        pytest.skip("slow sf1z recall pin (set SPARK_GRAFT_SLOW=1)")
+    if not os.path.isdir("/root/repo/testdata/sf1z"):
+        pytest.skip("self-generated sf1z absent (tools/gen_sf.py)")
+    from data_engineering_course_project_2023_spark.operators import dedup
+    from data_engineering_course_project_2023_spark.plans.registry import (
+        load_tables,
+    )
+
+    t = load_tables(spark, "/root/repo/testdata/sf1z", ("documents",))
+    docs = t["documents"]
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.8, max_df=1000
+        ).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_capped_pairs(docs).collect()
+    }
+    assert not (capped - exact)
+    assert len(capped & exact) / max(len(exact), 1) >= 0.97
