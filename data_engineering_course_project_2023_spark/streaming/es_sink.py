@@ -130,14 +130,21 @@ def stream_daily_counts_to_es(
     endpoint: str,
     index_prefix: str = "logs",
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """The deployable serving job: tail a log directory, roll up per
     (day, level), bulk-index every update into the daily search index.
     Update mode re-emits only changed (day, level) rows per microbatch
-    — the replayed/updated docs overwrite idempotently by _id."""
+    — the replayed/updated docs overwrite idempotently by _id.
+    ``max_files_per_trigger`` bounds each microbatch (backfill pacing:
+    an availableNow catch-up over a large backlog indexes in bounded
+    chunks instead of one giant bulk storm)."""
     from .loganalytics import daily_level_counts, parse_log_lines
 
-    lines = spark.readStream.text(log_dir)
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    lines = reader.text(log_dir)
     agg = daily_level_counts(parse_log_lines(lines))
     writer = (
         agg.writeStream.outputMode("update")

@@ -89,6 +89,11 @@ def test_no_query_plans_nested_loop_or_cartesian(spark):
         "corpus_drift",
         # one-row n_docs scalar broadcast feeding the relative df cut
         "containment_pairs",
+        # same one-row n_docs broadcast inside the capped twin's df cut
+        "containment_pairs_capped",
+        # three 1-row metric aggregates broadcast-joined into the report
+        # (the capped-truth variant of neardup_eval below)
+        "neardup_eval_capped",
         # one-row corpus-total scalar broadcast for the surprisal table
         "unigram_surprisal",
         # one-row (Σ√n, Σn) denominator broadcast over the source frame

@@ -1,0 +1,302 @@
+"""At-scale census for the reference-parity arXiv chain (VERDICT_r8 #2).
+
+The clean→enrich→star→graph chain (SURVEY §3.1) has driver-green
+oracle rows and pytest semantics coverage, but until round 9 it only
+ever *executed* on a 5-row inline fixture. This census runs it
+end-to-end on the generated arXiv axis (tools/gen_arxiv.py, ~2.5 M
+papers with Zipf author/category skew and real mega-collaboration
+papers), through the repo's own orchestration layer:
+
+- **per-stage timing** via incremental :func:`orchestrate.run_stages`
+  calls — each call builds exactly one new stage (earlier stages skip
+  on their atomic _SUCCESS markers), so the deltas are honest stage
+  wall-times including the parquet materialization the reference's
+  Airflow DAG boundaries imply;
+- **scheduler-leg timing** via :func:`orchestrate.run_scheduled` — a
+  second logical run date builds the whole DAG cold under its own
+  ``run=<date>`` subtree (chain end-to-end, one number), then the same
+  trigger re-fires to pin the idempotent skip path;
+- **cross-engine value checks**: chain invariants recomputed by DuckDB
+  twins on the SAME parquet — silver survivorship (scan predicate,
+  utils.py:27), malformed-GMT passthrough (databases.py:62-64),
+  category dedup (utils.py:45-46), enrichment fallback survivorship
+  (api.py:199-241), AUTHORED_BY edge cardinality, and the
+  co-authorship pair-weight multiset (count / Σweight / max weight /
+  heavy-pair count) under the mega-collab skew — the J4 self-join's
+  canonical-pair semantics checked at 20 M+ pairs, not 2.
+
+Artifacts: BENCH_ARXIV.json (stage + scheduler timings, rows, skew
+witnesses) and CORRECTNESS_ARXIV.json (named check → match).
+
+Usage:
+  python -m tools.arxiv_census --data testdata/arxiv25 \
+      --root /tmp/arxiv_runs --out-bench BENCH_ARXIV.json \
+      --out-correct CORRECTNESS_ARXIV.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ANCHOR = "2023-01-02"  # weekly anchor, mirrors download_dataset_stage_1.py:24
+
+TABLES = (
+    "arxiv_raw", "crossref", "s2_papers", "s2_authors",
+    "s2_citations", "s2_references",
+)
+
+# ---------------------------------------------------------------------------
+# DuckDB twins. `hits` replays the fallback-join survivorship
+# (enrich_s2_with_fallback): primary lookup by arxiv id, miss retried by
+# doi, both-miss dropped; lookup keys are unique so the left joins do
+# not fan out. `ab` is the distinct (paper, author) edge set AUTHORED_BY
+# materializes (keyed by the surrogate id engine-side — 1:1 with the
+# raw id, so cardinalities and pair weights are representation-free).
+# ---------------------------------------------------------------------------
+_HITS_CTE = """
+WITH kept AS (
+  SELECT id, doi, update_date, categories FROM arxiv_raw
+  WHERE doi IS NOT NULL AND id IS NOT NULL
+),
+hits AS (
+  SELECT k.id AS arxiv, COALESCE(p1.paperId, p2.paperId) AS pid
+  FROM kept k
+  LEFT JOIN s2_papers p1 ON k.id = p1.arxiv_id
+  LEFT JOIN s2_papers p2 ON k.doi = p2.s2_doi
+  WHERE COALESCE(p1.paperId, p2.paperId) IS NOT NULL
+),
+ab AS (
+  SELECT DISTINCT h.pid, a.name
+  FROM hits h JOIN s2_authors a ON a.paperId = h.pid
+)
+"""
+
+
+def duckdb_checks(data: str) -> dict[str, object]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{data}/{t}.parquet'"
+        )
+    out: dict[str, object] = {}
+    out["silver_rows"] = con.execute(
+        "SELECT count(*) FROM arxiv_raw"
+        " WHERE doi IS NOT NULL AND id IS NOT NULL"
+    ).fetchone()[0]
+    out["malformed_dates_kept"] = con.execute(
+        "SELECT count(*) FROM arxiv_raw"
+        " WHERE doi IS NOT NULL AND id IS NOT NULL"
+        " AND update_date NOT SIMILAR TO '[A-Za-z]{3}, .*GMT'"
+    ).fetchone()[0]
+    out["category_token_sum"] = con.execute(
+        "SELECT sum(nd) FROM (SELECT count(DISTINCT tok) AS nd"
+        " FROM (SELECT id, unnest(string_split(categories, ' ')) AS tok"
+        "       FROM arxiv_raw WHERE doi IS NOT NULL AND id IS NOT NULL)"
+        " GROUP BY id)"
+    ).fetchone()[0]
+    out["enriched_rows"] = con.execute(
+        _HITS_CTE + "SELECT count(*) FROM hits"
+    ).fetchone()[0]
+    out["authored_by_edges"] = con.execute(
+        _HITS_CTE + "SELECT count(*) FROM ab"
+    ).fetchone()[0]
+    cnt, s, mx, heavy = con.execute(
+        _HITS_CTE
+        + """, pairs AS (
+  SELECT x.name AS n1, y.name AS n2, count(*) AS c
+  FROM ab x JOIN ab y ON x.pid = y.pid AND x.name < y.name
+  GROUP BY 1, 2
+)
+SELECT count(*), sum(c), max(c),
+       count(*) FILTER (WHERE c >= 2) FROM pairs"""
+    ).fetchone()
+    out["collab_pairs"] = cnt
+    out["collab_weight_sum"] = s
+    out["collab_weight_max"] = mx
+    out["collab_heavy_pairs"] = heavy
+    # skew witnesses for SCALE.md (not compared — descriptive)
+    out["_max_authors_per_paper"] = con.execute(
+        "SELECT max(c) FROM (SELECT paperId, count(*) c"
+        " FROM s2_authors GROUP BY 1)"
+    ).fetchone()[0]
+    out["_top_author_papers"] = con.execute(
+        "SELECT max(c) FROM (SELECT name, count(DISTINCT paperId) c"
+        " FROM s2_authors GROUP BY 1)"
+    ).fetchone()[0]
+    con.close()
+    return out
+
+
+def build_stages():
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans import (
+        arxiv_clean,
+        arxiv_enrich,
+        arxiv_graph,
+        arxiv_star,
+    )
+    from data_engineering_course_project_2023_spark.plans.orchestrate import Stage
+
+    def silver(up):
+        return arxiv_clean.clean_publications(up["arxiv_raw"])
+
+    def enriched(up):
+        return arxiv_enrich.full_enrichment(
+            up["silver"], up["crossref"], up["s2_papers"],
+            up["s2_authors"], up["s2_citations"], up["s2_references"],
+        )
+
+    def star_fact(up):
+        return arxiv_star.build_star(up["enriched"])["publication_fact"]
+
+    def dim_authors(up):
+        return arxiv_star.build_star(up["enriched"])["dim_authors"]
+
+    def authored_by(up):
+        e = up["enriched"]
+        nodes = arxiv_graph.build_nodes(e)
+        return arxiv_graph.build_edges(e, nodes)["AUTHORED_BY"]
+
+    def collab(up):
+        return arxiv_graph.collaboration_graph(up["authored_by"])
+
+    lookups = ("crossref", "s2_papers", "s2_authors",
+               "s2_citations", "s2_references")
+    return [
+        Stage("silver", silver, inputs=("arxiv_raw",)),
+        Stage("enriched", enriched, inputs=("silver",) + lookups),
+        Stage("star_fact", star_fact, inputs=("enriched",)),
+        Stage("dim_authors", dim_authors, inputs=("enriched",)),
+        Stage("authored_by", authored_by, inputs=("enriched",)),
+        Stage("collab", collab, inputs=("authored_by",)),
+    ]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--root", default="/tmp/arxiv_census_runs")
+    ap.add_argument("--out-bench", default="BENCH_ARXIV.json")
+    ap.add_argument("--out-correct", default="CORRECTNESS_ARXIV.json")
+    ap.add_argument("--keep-root", action="store_true")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans import orchestrate
+    from data_engineering_course_project_2023_spark.session import get_spark
+
+    spark = get_spark(app_name="arxiv_census")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if not args.keep_root and os.path.exists(args.root):
+        shutil.rmtree(args.root)
+
+    sources = {
+        t: spark.read.parquet(os.path.join(args.data, f"{t}.parquet"))
+        for t in TABLES
+    }
+    n_papers = sources["arxiv_raw"].count()
+    stages = build_stages()
+
+    # ---- per-stage timing: each incremental call builds ONE new stage
+    run_root = os.path.join(args.root, f"run={ANCHOR}")
+    stage_secs: dict[str, float] = {}
+    for i in range(1, len(stages) + 1):
+        t0 = time.monotonic()
+        orchestrate.run_stages(spark, stages[:i], run_root, sources)
+        stage_secs[stages[i - 1].name] = round(time.monotonic() - t0, 3)
+        print(f"  stage {stages[i-1].name}: {stage_secs[stages[i-1].name]} s",
+              flush=True)
+
+    # ---- scheduler leg: second due run builds cold under its own root
+    now = "2023-01-17"  # two weekly runs due; first is pre-built above
+    t0 = time.monotonic()
+    rep = orchestrate.run_scheduled(
+        spark, stages, args.root, ANCHOR, 7, now, lambda _d: sources
+    )
+    cold = round(time.monotonic() - t0, 3)
+    assert rep[ANCHOR]["status"] == "run-skipped", rep[ANCHOR]
+    t0 = time.monotonic()
+    rep2 = orchestrate.run_scheduled(
+        spark, stages, args.root, ANCHOR, 7, now, lambda _d: sources
+    )
+    skip = round(time.monotonic() - t0, 3)
+    assert all(v["status"] == "run-skipped" for v in rep2.values()), rep2
+
+    # ---- Spark-side invariants from the materialized run tree
+    rd = lambda st: spark.read.parquet(os.path.join(run_root, st))  # noqa: E731
+    silver = rd("silver")
+    got: dict[str, object] = {}
+    got["silver_rows"] = silver.count()
+    got["malformed_dates_kept"] = silver.filter(
+        ~F.col("update_date").rlike(r"^\d{4}-")
+    ).count()
+    got["category_token_sum"] = silver.select(
+        F.sum(F.size(F.split("categories", " "))).alias("s")
+    ).first()["s"]
+    got["enriched_rows"] = rd("enriched").count()
+    got["authored_by_edges"] = rd("authored_by").count()
+    coll = rd("collab")
+    agg = coll.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("collab_count").alias("s"),
+        F.max("collab_count").alias("mx"),
+        F.sum((F.col("collab_count") >= 2).cast("long")).alias("heavy"),
+    ).first()
+    got["collab_pairs"] = agg["cnt"]
+    got["collab_weight_sum"] = agg["s"]
+    got["collab_weight_max"] = agg["mx"]
+    got["collab_heavy_pairs"] = agg["heavy"]
+
+    print("running DuckDB twins...", flush=True)
+    t0 = time.monotonic()
+    exp = duckdb_checks(args.data)
+    duck_secs = round(time.monotonic() - t0, 3)
+
+    correct = {}
+    for k in got:
+        correct[k] = {
+            "spark": int(got[k]),
+            "oracle": int(exp[k]),
+            "match": int(got[k]) == int(exp[k]),
+        }
+    with open(args.out_correct, "w") as f:
+        json.dump(correct, f, indent=2)
+
+    bench = {
+        "metric": "arxiv_chain_total",
+        "value": round(sum(stage_secs.values()), 3),
+        "unit": "sec",
+        "stages": stage_secs,
+        "run_scheduled_cold": cold,
+        "run_scheduled_skip": skip,
+        "duckdb_twin_secs": duck_secs,
+        "n_papers": int(n_papers),
+        "rows": {k: int(v["spark"]) for k, v in correct.items()},
+        "skew": {
+            "max_authors_per_paper": int(exp["_max_authors_per_paper"]),
+            "top_author_papers": int(exp["_top_author_papers"]),
+        },
+        "data": args.data,
+    }
+    with open(args.out_bench, "w") as f:
+        json.dump(bench, f, indent=2)
+    print(json.dumps(bench))
+    bad = [k for k, v in correct.items() if not v["match"]]
+    print("MISMATCHES:" if bad else "all checks match:", bad or len(correct))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -75,8 +75,20 @@ def _write(outdir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
+def _zipf_draw(rng: np.random.Generator, n_keys: int, size: int,
+               s: float = 0.9) -> np.ndarray:
+    """Zipf(s)-distributed key draws over [0, n_keys) — the skewed-key
+    mode for relational fact keys (VERDICT_r8 #5: the salted/AQE skew
+    paths were only ever exercised on uniform keys)."""
+    w = 1.0 / np.arange(1, n_keys + 1, dtype=np.float64) ** s
+    cdf = np.cumsum(w / w.sum())
+    cdf[-1] = 1.0
+    return np.searchsorted(cdf, rng.random(size), side="right")
+
+
 def generate(
-    sf: float, outdir: str, seed: int = 7, vocab_mode: str = "fixed"
+    sf: float, outdir: str, seed: int = 7, vocab_mode: str = "fixed",
+    keys_mode: str = "uniform",
 ) -> None:
     os.makedirs(outdir, exist_ok=True)
     rng = np.random.default_rng(seed)
@@ -133,7 +145,9 @@ def generate(
     order_days = rng.integers(0, 2405, n_ord)
     _write(outdir, "orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord)),
+        "o_custkey": pa.array(
+            _zipf_draw(rng, n_cust, n_ord) if keys_mode == "zipf"
+            else rng.integers(0, n_cust, n_ord)),
         "o_orderstatus": pa.array(
             np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)]),
         "o_totalprice": np.round(rng.uniform(1000, 500000, n_ord), 2),
@@ -152,8 +166,12 @@ def generate(
     ).astype(np.int32)
     _write(outdir, "lineitem", pa.table({
         "l_orderkey": pa.array(l_orderkey),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li)),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li)),
+        "l_partkey": pa.array(
+            _zipf_draw(rng, n_part, n_li) if keys_mode == "zipf"
+            else rng.integers(0, n_part, n_li)),
+        "l_suppkey": pa.array(
+            _zipf_draw(rng, n_supp, n_li) if keys_mode == "zipf"
+            else rng.integers(0, n_supp, n_li)),
         "l_linenumber": pa.array(l_linenumber),
         "l_quantity": rng.integers(1, 51, n_li).astype(np.float64),
         "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
@@ -257,6 +275,29 @@ if __name__ == "__main__":
         "law) with injected near-dups — the realistic-corpus stress "
         "mode for the dedup/similarity family",
     )
+    ap.add_argument(
+        "--keys", choices=("uniform", "zipf"), default="uniform",
+        help="relational fact keys: 'uniform' replays the driver drop; "
+        "'zipf' skews o_custkey / l_partkey / l_suppkey (Zipf 0.9) so "
+        "the salted-aggregation and AQE-skew-join paths face real hot "
+        "keys (VERDICT_r8 #5)",
+    )
+    ap.add_argument(
+        "--arxiv", type=int, default=None, metavar="N_PAPERS",
+        help="instead of the TPC-H-ish tables, generate the arXiv-"
+        "shaped reference-parity axis (bronze + crossref/s2 lookups "
+        "with Zipf author/category skew) at N papers — see "
+        "tools/gen_arxiv.py (VERDICT_r8 #2)",
+    )
     args = ap.parse_args()
-    print(f"generating sf={args.sf} ({args.vocab} vocab) -> {args.out}")
-    generate(args.sf, args.out, args.seed, args.vocab)
+    if args.arxiv is not None:
+        from tools.gen_arxiv import generate_arxiv
+
+        print(f"generating arxiv axis n={args.arxiv} -> {args.out}")
+        generate_arxiv(args.arxiv, args.out, args.seed)
+    else:
+        print(
+            f"generating sf={args.sf} ({args.vocab} vocab, "
+            f"{args.keys} keys) -> {args.out}"
+        )
+        generate(args.sf, args.out, args.seed, args.vocab, args.keys)
