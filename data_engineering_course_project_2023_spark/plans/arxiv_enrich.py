@@ -30,8 +30,16 @@ def enrich_crossref(silver: DataFrame, crossref: DataFrame) -> DataFrame:
     """J5: left join against the CrossRef works table on doi, then P10
     nested-field extraction (journal.{name,pages,volume},
     license[0].start, deposited, ISSN_type[].value/type —
-    api.py:21-48). The lookup side is dimension-sized → broadcast."""
-    joined = silver.join(F.broadcast(crossref), "doi", "left")
+    api.py:21-48).
+
+    Join strategy is left to AQE: the CrossRef works table is NOT
+    dimension-sized — it carries ~one row per published paper, so at
+    corpus scale it is as big as the fact side (round-9 census: a
+    forced broadcast of the 2 M-row works table made this stage 66% of
+    the whole chain's runtime, and at 100 TB it would exceed the 8 GiB
+    broadcast ceiling outright). AQE broadcasts it when it is actually
+    small and shuffles on doi otherwise."""
+    joined = silver.join(crossref, "doi", "left")
     return joined.withColumn(
         "issn_values",
         F.transform("ISSN_type", lambda x: x.getField("value")),
@@ -47,9 +55,14 @@ def enrich_s2_with_fallback(
     """J6 + J9 (api.py:199-241): primary lookup by arxiv id; misses
     retried by doi; rows missing both dropped.
 
-    Two broadcast left joins + coalesce, then the drop — the relational
-    spelling of the reference's no_response_indices retry loop. Each
-    join is map-side; nothing shuffles the fact table.
+    Two left joins + coalesce, then the drop — the relational spelling
+    of the reference's no_response_indices retry loop. The S2 lookup
+    is one row per covered paper — fact-sized, not a dimension — so
+    the join strategy is AQE's call (round-9 census: forcing these two
+    broadcasts serialized a 2.25 M-row struct table twice per run and
+    dominated the chain; at 100 TB a forced broadcast here is simply
+    wrong). When a deployment's S2 slice IS small, AQE still
+    broadcasts it dynamically.
     """
     by_arxiv = s2_papers.select(
         F.col("arxiv_id").alias("_k1"), F.struct("*").alias("_hit1")
@@ -58,8 +71,8 @@ def enrich_s2_with_fallback(
         F.col("s2_doi").alias("_k2"), F.struct("*").alias("_hit2")
     )
     joined = (
-        silver.join(F.broadcast(by_arxiv), silver.arxiv == F.col("_k1"), "left")
-        .join(F.broadcast(by_doi), silver.doi == F.col("_k2"), "left")
+        silver.join(by_arxiv, silver.arxiv == F.col("_k1"), "left")
+        .join(by_doi, silver.doi == F.col("_k2"), "left")
         .withColumn("_hit", F.coalesce("_hit1", "_hit2"))
         .filter(F.col("_hit").isNotNull())  # J9: drop both-miss rows
     )

@@ -54,13 +54,15 @@ def build_nodes(enriched: DataFrame) -> dict[str, DataFrame]:
 
 def build_edges(enriched: DataFrame, nodes: dict[str, DataFrame]) -> dict[str, DataFrame]:
     """Edge frames (databases.py:275-332). J1/J2: equi-joins on the
-    paper key; J3: metrics↔paper on doi. Author side is broadcast
-    (dimension-sized after dedup)."""
+    paper key; J3: metrics↔paper on doi. The Author node table grows
+    with the corpus (~n_papers/2 distinct names at the round-9 census
+    scale), so its join strategy is AQE's call — a forced broadcast
+    here stops fitting exactly when the data gets interesting."""
     paper_author = (
         enriched.select("id", F.explode_outer("s2_authors_data").alias("a"))
         .select("id", F.col("a.name").alias("name"))
         .filter(F.col("name").isNotNull())
-        .join(F.broadcast(nodes["Author"]), "name")
+        .join(nodes["Author"], "name")
         .select(F.col("id").alias("paper_id"), "author_id")
     )
     authored_by = paper_author.distinct()
