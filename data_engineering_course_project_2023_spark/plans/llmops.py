@@ -3831,6 +3831,16 @@ GROUP BY N1, N2
 
 # --- X2: asymmetric containment pairs ----------------------------------------
 CONTAIN_DF_DIV = 5  # shingles in more than 1/5 of docs are cut (skew/noise)
+# Postings-side cap for the DIRECTED containment block (round 9): the
+# contained side's rarest-10 prefix joins b's rarest-R postings instead
+# of b's FULL posting list. Restricting postings to df>=2 first is
+# LOSSLESS (a prefix shingle has df>=2, so a df=1 posting can never
+# collide), and the rank cap is recall-measured: 50/50 (sf0.01 fixed)
+# and 46/46 (sf0.1z Zipf) at every R in {16,24,32,48,64} — 24 carries
+# 50% margin over the smallest full-recall cap. Without it the blocking
+# join enumerates prefix x full-postings slots, which saturates at
+# fixed vocab (sf10: budget_exceeded at 420 s).
+CONTAIN_POST_R = 24
 
 
 def containment_pairs(t: Tables) -> DataFrame:
@@ -3982,23 +3992,26 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
     # df-1 shingles cannot witness a pair — see dedup.
     # _capped_shingle_candidates; on the Zipf axis the injected-rewrite
     # uniques would otherwise monopolize the contained side's prefix.
-    pref = (
-        kept.join(dfk.filter(F.col("df") >= 2), "s")
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(
-                    F.col("df").asc(), F.col("s").asc()
-                )
-            ),
-        )
-        .filter(F.col("rk") <= dedup.NGRAM_PREFIX_R)
-        .select("doc_id", "s")
+    ranked = kept.join(dfk.filter(F.col("df") >= 2), "s").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("df").asc(), F.col("s").asc()
+            )
+        ),
     )
+    pref = ranked.filter(
+        F.col("rk") <= dedup.NGRAM_PREFIX_R
+    ).select("doc_id", "s")
+    # b's side of the block: rarest-R postings in the SAME df>=2 space
+    # (see CONTAIN_POST_R — df=1 exclusion lossless, cap recall-pinned)
+    post = ranked.filter(
+        F.col("rk") <= CONTAIN_POST_R
+    ).select("doc_id", "s")
     pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
     cand = (
         pref.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(kept.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .join(post.select(F.col("doc_id").alias("doc_b"), "s"), "s")
         .filter(F.col("doc_a") != F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -4053,20 +4066,20 @@ kept AS (
 ),
 dfk AS (SELECT s, COUNT(*) AS df FROM kept GROUP BY 1),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
-pref AS (
-  SELECT doc_id, s FROM (
-    SELECT k.doc_id, k.s,
-           ROW_NUMBER() OVER (
-             PARTITION BY k.doc_id ORDER BY d.df, k.s) AS rk
-    FROM kept k JOIN dfk d USING (s)
-    WHERE d.df >= 2
-  ) WHERE rk <= {dedup.NGRAM_PREFIX_R}
+ranked AS (
+  SELECT k.doc_id, k.s,
+         ROW_NUMBER() OVER (
+           PARTITION BY k.doc_id ORDER BY d.df, k.s) AS rk
+  FROM kept k JOIN dfk d USING (s)
+  WHERE d.df >= 2
 ),
+pref AS (SELECT doc_id, s FROM ranked WHERE rk <= {dedup.NGRAM_PREFIX_R}),
+post AS (SELECT doc_id, s FROM ranked WHERE rk <= {CONTAIN_POST_R}),
 pn AS (SELECT doc_id, COUNT(*) AS pn FROM pref GROUP BY 1),
 cand AS (
   SELECT g.doc_a, g.doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM pref a JOIN kept b ON a.s = b.s AND a.doc_id <> b.doc_id
+    FROM pref a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
     GROUP BY 1, 2
   ) g
   JOIN pn na ON g.doc_a = na.doc_id
@@ -6049,6 +6062,13 @@ def neardup_eval_capped(t: Tables) -> DataFrame:
         stage_dir=stage,
     ).select("doc_a", "doc_b")
     pred = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # Both frames are referenced twice below (count + hit join); without
+    # a checkpoint Spark re-executes the whole candidate pipeline per
+    # reference — at sf10 fixed-vocab that doubles a ~4-minute truth
+    # build and blows the census budget. The pair lists are tiny
+    # (near-dup pairs above threshold), so pinning them is cheap.
+    truth = truth.localCheckpoint(eager=False)
+    pred = pred.localCheckpoint(eager=False)
     hits = pred.join(truth, ["doc_a", "doc_b"])
     counts = (
         pred.agg(F.count(F.lit(1)).alias("n_pred"))
