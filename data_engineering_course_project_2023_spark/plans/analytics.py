@@ -465,12 +465,23 @@ def copair_counts_salted(t: Tables, n_salts: int = 8) -> DataFrame:
     """Skew-hardened spelling of :func:`copair_counts` — same result,
     same oracle.
 
-    Hot pairs (two best-seller parts co-ordered constantly) concentrate
-    a plain groupBy's shuffle onto one reducer. Salting splits each pair
-    key across ``n_salts`` partial aggregates and re-aggregates the
-    partials — the classic two-stage skew fix, kept semantically
-    invisible: salt in, salt out. AQE's skew-join handles the join-side
-    skew; this handles the aggregation side, which AQE does not split.
+    Salting splits each pair key across ``n_salts`` partial aggregates
+    and re-aggregates the partials — the classic two-stage skew fix,
+    kept semantically invisible: salt in, salt out.
+
+    **Measured verdict (round 9, VERDICT_r8 #5)**: on a generated axis
+    with REAL Zipf(0.9) part keys (``gen_sf --keys zipf``, hot parts in
+    ~3% of all lineitems), the salt still LOSES — 3.71 s plain vs
+    4.34 s salted at sf1k (uniform sf1: 4.12 vs 4.68). The reason is
+    structural, not noise: ``count(*)`` has map-side partial
+    aggregation, so every task pre-collapses its local hot-pair rows
+    and each reducer receives at most n_tasks partials per hot key —
+    Spark already two-stages the aggregation, and the explicit salt
+    only adds a second Exchange. The query is KEPT as the technique
+    witness for the aggregations where salting IS the remedy: aggs
+    with no partial form (exact ``collect_list``/``collect_set`` per
+    key, percentile_approx over a hot key), where the single reducer
+    really does receive every raw row.
     """
     pairs = coorder_pair_stream(t["lineitem"]).select(
         F.col("src").alias("part_a"),
