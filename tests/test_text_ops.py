@@ -604,26 +604,21 @@ def test_prefix_jaccard_complete_and_prunes(spark):
     assert prefix_index * 3 < full_index  # >3x smaller index
 
 
-def test_doc_cosine_capped_recall_vs_exact_sf01z(spark):
+def test_doc_cosine_capped_recall_vs_exact_sf01z(spark, sf01z_dir):
     """Prefix-policy recall pin (VERDICT_r7 #1): on the Zipf axis the
     capped variant must (a) emit a SUBSET of the exact operator's pairs
     with identical dot/cosine values (exact scoring — the policy can
     only miss, never mis-score) and (b) recall every exact pair at
     sf0.1z (measured 24/24; the residual misses only appear at sf1z —
-    the env-gated slow pin below covers that decade)."""
-    import os
-
-    import pytest
-
+    the env-gated slow pin below covers that decade). The sf01z_dir
+    fixture REGENERATES the axis when absent — the pin can no longer
+    silently skip its Zipf leg (round-9 methodology catch)."""
     from data_engineering_course_project_2023_spark.plans import llmops
     from data_engineering_course_project_2023_spark.plans.registry import (
         load_tables,
     )
 
-    sf_dir = "/root/repo/testdata/sf0.1z"
-    if not os.path.isdir(sf_dir):
-        pytest.skip("self-generated sf0.1z absent (tools/gen_sf.py)")
-    t = load_tables(spark, sf_dir, ("documents",))
+    t = load_tables(spark, sf01z_dir, ("documents",))
     exact = {
         (r["doc_a"], r["doc_b"], r["dot"], r["cosine"])
         for r in llmops.doc_cosine_pairs(t).collect()
@@ -666,27 +661,21 @@ def test_doc_cosine_capped_recall_sf1z_slow(spark):
     assert len(capped & exact) / len(exact) >= 0.97
 
 
-def test_ngram_jaccard_capped_recall_vs_exact(spark):
+def test_ngram_jaccard_capped_recall_vs_exact(spark, sf01z_dir):
     """VERDICT_r8 #1 pin: the capped shingle-Jaccard must emit a
     SUBSET of the exact operator's pairs with identical jaccard values
     (exact rescoring — the policy can only miss, never mis-score) and
     recall every exact pair on BOTH vocabulary regimes at these SFs
     (measured 25/25 fixed sf0.01, 256/256 fixed sf0.1, 8/8 Zipf
-    sf0.1z)."""
-    import os
-
-    import pytest
-
+    sf0.1z). The Zipf leg is MANDATORY — sf01z_dir regenerates the
+    axis when absent instead of the assertion set silently shrinking
+    (round-9 methodology catch)."""
     from data_engineering_course_project_2023_spark.operators import dedup
     from data_engineering_course_project_2023_spark.plans.registry import (
         load_tables,
     )
 
-    dirs = ["/root/testdata/sf0.01"]
-    if os.path.isdir("/root/repo/testdata/sf0.1z"):
-        dirs.append("/root/repo/testdata/sf0.1z")
-    elif len(dirs) == 1 and not os.path.isdir(dirs[0]):
-        pytest.skip("no testdata")
+    dirs = ["/root/testdata/sf0.01", sf01z_dir]
     for sf_dir in dirs:
         t = load_tables(spark, sf_dir, ("documents",))
         docs = t["documents"]
@@ -704,22 +693,19 @@ def test_ngram_jaccard_capped_recall_vs_exact(spark):
         assert capped == exact and len(exact) > 0, sf_dir
 
 
-def test_containment_capped_recall_vs_exact(spark):
+def test_containment_capped_recall_vs_exact(spark, sf01z_dir):
     """The directed-prefix containment pin: capped ⊆ exact with
     identical (n_common, n_a, containment) values, full recall at
     sf0.01 (fixed) and sf0.1z (Zipf — the axis where the symmetric
     prefix×prefix block measured 32/46 and the directed block +
-    df>=2 prefix filter measured 46/46)."""
-    import os
-
+    df>=2 prefix filter measured 46/46). The Zipf leg is MANDATORY —
+    sf01z_dir regenerates the axis when absent (round-9 catch)."""
     from data_engineering_course_project_2023_spark.plans import llmops
     from data_engineering_course_project_2023_spark.plans.registry import (
         load_tables,
     )
 
-    dirs = ["/root/testdata/sf0.01"]
-    if os.path.isdir("/root/repo/testdata/sf0.1z"):
-        dirs.append("/root/repo/testdata/sf0.1z")
+    dirs = ["/root/testdata/sf0.01", sf01z_dir]
     for sf_dir in dirs:
         t = load_tables(spark, sf_dir, ("documents",))
         exact = {
@@ -734,6 +720,115 @@ def test_containment_capped_recall_vs_exact(spark):
         }
         assert capped <= exact, sf_dir
         assert capped == exact and len(exact) > 0, sf_dir
+
+
+def _superset_fixture(spark, noise_prefixes):
+    """Adversarial containment corpus (ADVICE r9): a 12-token doc `a`
+    wholly contained in a large doc `b` that carries ~400 of its OWN
+    rare df=2 shingles (partnered by doc `c` so they survive the df>=2
+    cut), plus unique-token fillers to keep the relative-df heavy cut
+    quiet. `noise_prefixes` controls where b's noise shingles sort
+    relative to a's in the global (df asc, s asc) rank order — the
+    variable that decides whether any o(|b|) postings cap can see the
+    pair. Returns (tables, a_tokens, noise_tokens)."""
+    a_toks = [f"b{j:02d}x" for j in range(12)]  # shingles start "b…"
+    noise = [
+        f"{p}{j:03d}" for j in range(40) for p in noise_prefixes
+    ]  # ~400 tokens -> ~400 df=2 shingles in b (partnered by c)
+    docs = [
+        (0, " ".join(a_toks)),  # a
+        (1, " ".join(noise + a_toks)),  # b = noise ++ a
+        (2, " ".join(noise)),  # c: df-partner for b's noise shingles
+    ] + [
+        (10 + i, " ".join(f"f{i:02d}w{j}" for j in range(12)))
+        for i in range(40)  # fillers: df=1 shingles, raise n_docs
+    ]
+    return {"documents": spark.createDataFrame(docs, ["doc_id", "text"])}
+
+
+def test_containment_capped_large_superset(spark):
+    """The size-aware postings cap pin (ADVICE r9 medium): a small doc
+    contained in a large superset whose own rare shingles push the
+    contained doc's witnesses BEYOND the fixed CONTAIN_POST_R rank must
+    still be recalled, because b keeps >= 1/CONTAIN_POST_DIV of its
+    df>=2 ranks. The fixture places a's shingles ~10% into b's rank
+    order (noise spread over prefixes a..z below and above) — past the
+    old absolute cap, inside the size-aware fraction; the test asserts
+    that geometry explicitly, so it cannot silently degrade into a
+    case the old cap would also have caught."""
+    from collections import Counter
+
+    from data_engineering_course_project_2023_spark.plans import llmops
+
+    # noise prefixes: 1 below "b…" ("a"), 9 above ("c".."k") — a's
+    # shingles land ~10% into b's df>=2 rank order.
+    t = _superset_fixture(
+        spark, ["a"] + [chr(ord("c") + k) for k in range(9)]
+    )
+    # fixture-geometry assert, pure python twin of the rank logic
+    rows = t["documents"].collect()
+    sh = {
+        r["doc_id"]: {
+            " ".join(w[i:i + 3])
+            for w in [r["text"].split()]
+            for i in range(len(w) - 2)
+        }
+        for r in rows
+    }
+    df_cnt = Counter(s for ss in sh.values() for s in ss)
+    n_docs = len(rows)
+    kept_b = sorted(
+        (df_cnt[s], s)
+        for s in sh[1]
+        if df_cnt[s] >= 2 and df_cnt[s] * llmops.CONTAIN_DF_DIV <= n_docs
+    )
+    ranks_of_a = sorted(
+        i + 1 for i, (_, s) in enumerate(kept_b) if s in sh[0]
+    )
+    # 2nd witness past the old fixed cap, inside the size-aware cap:
+    assert ranks_of_a[1] > llmops.CONTAIN_POST_R, ranks_of_a[:3]
+    size_cap = max(
+        llmops.CONTAIN_POST_R,
+        -(-len(kept_b) // llmops.CONTAIN_POST_DIV),
+    )
+    assert ranks_of_a[1] <= size_cap, (ranks_of_a[:3], size_cap)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in llmops.containment_pairs_capped(t).collect()
+    }
+    assert (0, 1) in pairs, pairs
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in llmops.containment_pairs(t).collect()
+    }
+    assert pairs <= exact  # still never a spurious pair
+
+
+def test_containment_capped_adversarial_residue(spark):
+    """The OUT-OF-CONTRACT shape, pinned honestly: when every one of
+    b's ~400 noise shingles sorts strictly RARER-THEN-LEXICALLY-BEFORE
+    a's witnesses (all df=2 ties, noise prefixes entirely below "b…"),
+    a's witnesses sit in the last ~3% of b's ranks — beyond ANY
+    fixed-fraction cap with DIV>1. The capped operator misses the pair
+    BY DESIGN (documented at CONTAIN_POST_R/CONTAIN_POST_DIV); the
+    exact operator finds it. If this test ever fails because the
+    capped side FOUND the pair, the cap semantics changed — update the
+    contract note, don't delete the pin."""
+    from data_engineering_course_project_2023_spark.plans import llmops
+
+    # 10 prefixes all lexically below "b…": "a0".."a9"
+    t = _superset_fixture(spark, [f"a{k}" for k in range(10)])
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in llmops.containment_pairs(t).collect()
+    }
+    assert (0, 1) in exact
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in llmops.containment_pairs_capped(t).collect()
+    }
+    assert capped <= exact
+    assert (0, 1) not in capped  # the documented residual miss
 
 
 def test_ngram_jaccard_capped_recall_sf1z_slow(spark):
