@@ -2845,28 +2845,50 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
         )
         .select("doc_a", "doc_b")
     )
-    # exact scoring: full kept-vector dot for each surviving candidate
-    ka = kept.select(
-        F.col("doc_id").alias("doc_a"), F.col("tok"), F.col("tf").alias("tf_a")
+    # exact scoring over PACKED per-doc vectors (round 10): the r9
+    # spelling re-joined candidates against the row-per-token kept
+    # frame, expanding every candidate by its doc length before the
+    # (doc_b, tok) join — task metrics at sf10z showed 212 GB memory /
+    # 13 GB disk spill in that expansion's sort, and at sf30z the
+    # shuffle exhausted the box's disk outright. Packing each doc's
+    # kept vector into ONE map row (map_from_entries — tok unique per
+    # doc by construction) turns scoring into |cand| rows × two
+    # map-zip dot products computed inside whole-stage codegen: the
+    # same exact BIGINT tf products (map_zip_with unions keys; a
+    # missing side is null → coalesce 0), no expansion shuffle at all.
+    # Re-measured sf10z: see NOTES round-10 (spill eliminated).
+    vecs = kept.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("tok", "tf"))
+        ).alias("vec"),
+        F.sum(F.col("tf") * F.col("tf")).alias("n2"),
     )
-    kb = kept.select(
-        F.col("doc_id").alias("doc_b"), F.col("tok"), F.col("tf").alias("tf_b")
+    va = vecs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("vec").alias("va"), F.col("n2").alias("na2"),
     )
-    dots = (
-        cand.join(ka, "doc_a")
-        .join(kb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    vb = vecs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("vec").alias("vb"), F.col("n2").alias("nb2"),
     )
-    norms = kept.groupBy("doc_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("n2"))
-    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
-    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                "va", "vb",
+                lambda _k, x, y: F.coalesce(x, F.lit(0))
+                * F.coalesce(y, F.lit(0)),
+            )
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     cos = F.col("dot").cast("double") / F.sqrt(
         (F.col("na2") * F.col("nb2")).cast("double")
     )
     return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select("doc_a", "doc_b", dot.alias("dot"), "na2", "nb2")
         .select("doc_a", "doc_b", "dot", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.5)
     )
@@ -3840,7 +3862,35 @@ CONTAIN_DF_DIV = 5  # shingles in more than 1/5 of docs are cut (skew/noise)
 # 50% margin over the smallest full-recall cap. Without it the blocking
 # join enumerates prefix x full-postings slots, which saturates at
 # fixed vocab (sf10: budget_exceeded at 420 s).
+#
+# Round 10 (ADVICE r9): a FIXED absolute rank cap is structurally
+# blind to the large-superset shape the query exists to find — a big
+# doc b with more than R df>=2 shingles globally rarer than a contained
+# doc a's prefix pushes every witness out of b's kept postings. The cap
+# therefore gains a SIZE-AWARE RESCUE BAND: b additionally keeps ranks
+# up to ceil(n_df2_b / CONTAIN_POST_DIV) — but ONLY for shingles with
+# df <= CONTAIN_RESCUE_DF. The df bound is what makes the band
+# scale-safe: every rescue posting's list is <= RESCUE_DF long, so the
+# added block cost is <= PREFIX_R·RESCUE_DF per rescue shingle —
+# LINEAR in corpus size, never df-quadratic. On realistic (Zipf/Heaps)
+# corpora a contained doc's rarest-10 prefix has df≈2–3, squarely
+# inside the band, so a superset doc whose own rare content would push
+# those witnesses past rank 24 still keeps them (pinned fixture:
+# tests/test_text_ops.py::test_containment_capped_large_superset). On
+# the saturated fixed-vocab axis no shingle has df<=8 and the band is
+# empty — cost identical to the round-9 measurement (a first r10
+# attempt WITHOUT the df bound blew a 1300 s budget with 27 GB of
+# block-join spill at sf10: rank-only size-awareness adds high-df
+# postings exactly where df stops discriminating).
+# The residual out-of-contract shape — b's noise shingles ALL strictly
+# rarer than every one of a's, pushing a's witnesses into the last
+# (1-1/DIV) tail — is demonstrated by the companion adversarial pin;
+# no o(|b|) postings cap can cover it (the pigeonhole-lossless prefix
+# for containment needs b's FULL postings, which is the exact operator
+# that crashes at saturated vocab).
 CONTAIN_POST_R = 24
+CONTAIN_POST_DIV = 4
+CONTAIN_RESCUE_DF = 8
 
 
 def containment_pairs(t: Tables) -> DataFrame:
@@ -3947,13 +3997,20 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
     metric (containment over the relative-df-pruned distinct-shingle
     space, int-exact >= 0.5 test) with DIRECTED rarest-R prefix
     blocking: a candidate (a contained-in b) must share
-    >= min(2, |prefix_a|) shingles between a's rarest-R prefix and b's
-    FULL kept postings. The asymmetry matters — containment's witness
-    lives on the CONTAINED side only (>=50% of a's shingles are in b,
-    so a's rare prefix collides with b's postings almost surely, while
-    b's own prefix is b's rare shingles, which a need not hold; a
-    symmetric prefix×prefix block measured 32/46 recall at sf0.1z,
-    the directed block 46/46). Surviving candidates are rescored
+    >= min(2, |prefix_a|) shingles between a's rarest-NGRAM_PREFIX_R
+    prefix and b's df>=2, rarest-CONTAIN_POST_R postings (round 9: the
+    df>=2 cut is lossless — a prefix shingle has df>=2 by construction
+    — and the rank cap is recall-swept; see CONTAIN_POST_R). The
+    asymmetry matters — containment's witness lives on the CONTAINED
+    side only (>=50% of a's shingles are in b, so a's rare prefix
+    tends to land in b's rare ranks, while b's own prefix is b's rare
+    shingles, which a need not hold; a symmetric prefix×prefix block
+    measured 32/46 recall at sf0.1z, the directed block 46/46). The
+    rank cap is NOT structurally lossless: a large superset doc b with
+    more than CONTAIN_POST_R df>=2 shingles globally rarer than a's
+    prefix pushes a's witnesses out of b's kept postings — see the
+    size-aware floor at CONTAIN_POST_R and its pinned adversarial
+    fixture in tests. Surviving candidates are rescored
     EXACTLY on the full kept space — capped ⊆ exact structurally; the
     recall pin lives in pytest. This is the composable variant for
     strata where shingle df saturates (the exact operator crashes at
@@ -4003,16 +4060,49 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
     pref = ranked.filter(
         F.col("rk") <= dedup.NGRAM_PREFIX_R
     ).select("doc_id", "s")
-    # b's side of the block: rarest-R postings in the SAME df>=2 space
-    # (see CONTAIN_POST_R — df=1 exclusion lossless, cap recall-pinned)
-    post = ranked.filter(
-        F.col("rk") <= CONTAIN_POST_R
-    ).select("doc_id", "s")
+    # b's side of the block: df>=2 postings, rarest-CONTAIN_POST_R
+    # ranks, PLUS the df-bounded size-aware rescue band (ranks up to
+    # n_rk/CONTAIN_POST_DIV for df<=CONTAIN_RESCUE_DF shingles — see
+    # the constants' comment for the recall argument, the linear cost
+    # bound, and the out-of-contract adversarial residue).
+    nrk = ranked.groupBy("doc_id").agg(F.max("rk").alias("n_rk"))
+    post = (
+        ranked.join(nrk, "doc_id")
+        .filter(
+            (F.col("rk") <= CONTAIN_POST_R)
+            | (
+                (F.col("df") <= CONTAIN_RESCUE_DF)
+                & (
+                    F.col("rk")
+                    <= F.ceil(
+                        F.col("n_rk") / CONTAIN_POST_DIV
+                    ).cast("int")
+                )
+            )
+        )
+        .select("doc_id", "s")
+    )
     pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Lossless length filter INSIDE the block join: containment >= 0.5
+    # forces n_common >= n_a/2 and n_common <= n_b, so 2·n_b >= n_a —
+    # a candidate violating it can never survive the exact rescore.
+    # Applied at shingle level so the pair aggregate never sees it.
     cand = (
-        pref.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(post.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        pref.join(sizes, "doc_id")
+        .select(F.col("doc_id").alias("doc_a"), "s",
+                F.col("n_sh").alias("lf_a"))
+        .join(
+            post.join(sizes, "doc_id").select(
+                F.col("doc_id").alias("doc_b"), "s",
+                F.col("n_sh").alias("lf_b"),
+            ),
+            "s",
+        )
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("lf_b") * 2 >= F.col("lf_a"))
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .join(
@@ -4026,7 +4116,6 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
         )
         .select("doc_a", "doc_b")
     )
-    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     ka = kept.select(F.col("doc_id").alias("doc_a"), "s")
     kb = kept.select(F.col("doc_id").alias("doc_b"), "s")
     return (
@@ -4067,19 +4156,29 @@ kept AS (
 dfk AS (SELECT s, COUNT(*) AS df FROM kept GROUP BY 1),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
 ranked AS (
-  SELECT k.doc_id, k.s,
+  SELECT k.doc_id, k.s, d.df,
          ROW_NUMBER() OVER (
            PARTITION BY k.doc_id ORDER BY d.df, k.s) AS rk
   FROM kept k JOIN dfk d USING (s)
   WHERE d.df >= 2
 ),
 pref AS (SELECT doc_id, s FROM ranked WHERE rk <= {dedup.NGRAM_PREFIX_R}),
-post AS (SELECT doc_id, s FROM ranked WHERE rk <= {CONTAIN_POST_R}),
+nrk AS (SELECT doc_id, MAX(rk) AS n_rk FROM ranked GROUP BY 1),
+post AS (
+  SELECT r.doc_id, r.s FROM ranked r JOIN nrk USING (doc_id)
+  WHERE r.rk <= {CONTAIN_POST_R}
+     OR (r.df <= {CONTAIN_RESCUE_DF}
+         AND r.rk <= CAST(CEIL(n_rk / {CONTAIN_POST_DIV}.0) AS BIGINT))
+),
 pn AS (SELECT doc_id, COUNT(*) AS pn FROM pref GROUP BY 1),
 cand AS (
   SELECT g.doc_a, g.doc_b FROM (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
-    FROM pref a JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+    FROM pref a
+    JOIN sizes sa ON sa.doc_id = a.doc_id
+    JOIN post b ON a.s = b.s AND a.doc_id <> b.doc_id
+    JOIN sizes sb ON sb.doc_id = b.doc_id
+    WHERE sb.n_sh * 2 >= sa.n_sh
     GROUP BY 1, 2
   ) g
   JOIN pn na ON g.doc_a = na.doc_id
