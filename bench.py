@@ -29,6 +29,25 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footer caches
     registry.run_query("star_revenue_by_region_year", spark, sf_dir).count()
 
+    # Machine-speed calibration (round 10): the r9 headline regressed
+    # 132.3→163.2 s while an A/B of r8 code vs HEAD on the same box at
+    # the same minute showed HEAD ≤ r8 — the drift is the HOST (each
+    # round's VM lands on different/differently-loaded hardware), not
+    # the code. This fixed pure-CPU probe (whole-stage-codegen sum over
+    # a range — no I/O, no shuffle, deterministic work) is recorded in
+    # every bench doc so cross-round comparisons can be normalized:
+    # divide query times by (calib_sec / reference calib) before
+    # calling a drift a regression. r10 reference: calib_sec ≈ the
+    # committed BENCH_LOCAL.json's value on this round's box.
+    calib = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 2_000_000_000, 1, 32).selectExpr(
+            "sum(id % 1000007)"
+        ).collect()
+        dt = time.perf_counter() - t0
+        calib = dt if calib is None or dt < calib else calib
+
     # census subsetting (sf10 second-decade runs target the top-N by
     # sf1 time + the quadratic/iterative families, not all 234 — the
     # fast tail adds wall-clock without adding exponent information)
@@ -60,6 +79,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(timings),
+        "calib_sec": round(calib, 3),
     }
     # The driver keeps only the LAST 2000 chars of stdout and parses the
     # final line; 144 full-name timings serialize to ~3.7 kB, so both r1
@@ -72,9 +92,14 @@ def main() -> None:
     # The committed BENCH_LOCAL.json is the canonical sf0.1 sweep; runs
     # at other SFs (smoke checks, verify passes) write a suffixed file
     # so they can't clobber it.
+    # A SPARK_GRAFT_BENCH_ONLY subset must never clobber the canonical
+    # full census (round 10: a 16-query A/B overwrote the 237-query
+    # doc) — subsets write a suffixed scratch file.
     doc_name = (
         "BENCH_LOCAL.json" if out["sf"] == 0.1 else f"BENCH_LOCAL_sf{sf}.json"
     )
+    if only:
+        doc_name = f"BENCH_SUBSET_sf{sf}.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            doc_name), "w") as f:
         json.dump(out, f, indent=1)
@@ -100,6 +125,7 @@ def main() -> None:
         "unit": "sec",
         "sf": out["sf"],
         "n_queries": len(timings),
+        "calib_sec": out["calib_sec"],
         # contract-shaped per-query map (full names, seconds). Kept to
         # the top 5 — the driver contract requires the key, but the
         # full-name float map can never fit 200+ queries in the 2000-

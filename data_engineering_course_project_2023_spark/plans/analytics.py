@@ -1971,8 +1971,17 @@ def trade_hops(t: Tables) -> DataFrame:
     # Only each level's frontier is checkpointed; the visited set is a
     # union of those already-materialized frontiers, so re-checkpointing
     # it every round would double the materialization work.
-    visited = seed
-    frontier = seed
+    #
+    # Round 10 (VERDICT_r9 #8): the frontier and the anti-join's
+    # visited set are NODES-ONLY frames — the hop is constant within a
+    # level and only the final output needs it, so carrying it through
+    # the per-level expand/distinct/anti-join shuffles dead weight
+    # exactly where sf30 spills. Hop labels are re-attached to the
+    # already-materialized level frames at the end. (sf30 A/B numbers:
+    # NOTES.md round-10 log.)
+    frontier = seed.select("node")
+    visited_nodes = frontier
+    levels = [seed]
     # per-level reducer sizing: the expand/distinct/anti-join chain
     # moves edge/frontier-sized data — same scoped iterative clamp as
     # copair_components.
@@ -1983,13 +1992,16 @@ def trade_hops(t: Tables) -> DataFrame:
                 edges.join(frontier, edges["src"] == frontier["node"])
                 .select(F.col("dst").alias("node"))
                 .distinct()
-                .join(visited, "node", "left_anti")
-                .select("node", F.lit(h).alias("hop"))
+                .join(visited_nodes, "node", "left_anti")
                 .localCheckpoint()
             )
-            visited = visited.unionByName(nxt)
+            levels.append(nxt.select("node", F.lit(h).alias("hop")))
+            visited_nodes = visited_nodes.unionByName(nxt)
             frontier = nxt
-    return visited
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
 
 
 TRADE_HOPS_SQL = f"""

@@ -142,7 +142,12 @@ def stream_daily_counts_to_es(
     from .loganalytics import daily_level_counts, parse_log_lines
 
     reader = spark.readStream
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                "max_files_per_trigger must be a positive int, got "
+                f"{max_files_per_trigger!r}"
+            )
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.text(log_dir)
     agg = daily_level_counts(parse_log_lines(lines))

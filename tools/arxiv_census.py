@@ -182,6 +182,125 @@ def build_stages():
     ]
 
 
+def dwh_load(spark, run_root: str, derby_dir: str) -> dict:
+    """VERDICT_r9 #2: land the gold layer in the serving sink AT SCALE.
+
+    The reference exists to populate a DWH + graph DB
+    (populate_DWH.py:25-51 — one INSERT loop per star table;
+    databases.py:148-333 — MERGE nodes then CREATE relationships); the
+    repo's frames were value-checked at 2.5 M papers in round 9 but the
+    JDBC leg had only ever seen pytest fixtures. This leg pushes the
+    FULL star schema (fact + 8 dims), the AUTHORED_BY edge frame, and
+    its two endpoint node tables through ``writers.write_jdbc`` into
+    embedded Derby (the in-container stand-in for Postgres/Neo4j — the
+    same JDBC writer path, a real transactional store, durable on
+    disk), then audits the LANDED tables read back over JDBC:
+
+    - row-count parity (written == read back) per table;
+    - zero-orphan referential audit on the landed data: every
+      authored_by endpoint resolves in its landed node table, every
+      snowflaked pid (publish_sn / references / pub_version) resolves
+      in landed dim_publication, fact↔dim_publication ids 1:1, and
+      every non-null author affiliation key resolves in
+      dim_author_affiliation.
+
+    Derby has no ARRAY type, so array columns are serialized
+    comma-joined (the same convention the driver-facing queries use
+    for array outputs — lossless for the audit keys, which are
+    scalars)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans import (
+        arxiv_graph,
+        arxiv_star,
+    )
+    from data_engineering_course_project_2023_spark.sources.writers import (
+        write_jdbc,
+    )
+
+    enriched = spark.read.parquet(os.path.join(run_root, "enriched"))
+    star = arxiv_star.build_star(enriched)
+    nodes = arxiv_graph.build_nodes(enriched)
+    edges = arxiv_graph.build_edges(enriched, nodes)
+    to_land = {
+        **star,
+        "graph_author": nodes["Author"],
+        "graph_paper": nodes["Paper"],
+        "authored_by": edges["AUTHORED_BY"],
+    }
+    url = f"jdbc:derby:{derby_dir};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+
+    load_secs: dict[str, float] = {}
+    written: dict[str, int] = {}
+    t_all = time.monotonic()
+    for name, frame in to_land.items():
+        for fld in frame.schema.fields:
+            if fld.dataType.simpleString().startswith("array"):
+                frame = frame.withColumn(
+                    fld.name, F.concat_ws(",", F.col(fld.name))
+                )
+        t0 = time.monotonic()
+        # 4 connections: embedded Derby serializes page latches anyway;
+        # against a real warehouse this is the connection-cap knob.
+        write_jdbc(frame, name, url, mode="overwrite",
+                   batchsize=20_000, num_partitions=4, properties=props)
+        load_secs[name] = round(time.monotonic() - t0, 3)
+        written[name] = frame.count()
+        print(f"  dwh {name}: {written[name]} rows "
+              f"in {load_secs[name]} s", flush=True)
+    total = round(time.monotonic() - t_all, 3)
+
+    def rb(table: str):
+        return spark.read.format("jdbc").options(
+            url=url, dbtable=table, **props
+        ).load()
+
+    parity = {
+        name: {"written": written[name], "read_back": rb(name).count()}
+        for name in to_land
+    }
+    for name, p in parity.items():
+        p["match"] = p["written"] == p["read_back"]
+
+    ab = rb("authored_by")
+    fact = rb("publication_fact")
+    dpub = rb("dim_publication")
+    empty_hash = F.sha2(F.lit(""), 256)
+    orphans = {
+        "authored_by_paper": ab.join(
+            rb("graph_paper").select(F.col("id").alias("paper_id")),
+            "paper_id", "left_anti").count(),
+        "authored_by_author": ab.join(
+            rb("graph_author").select("author_id"),
+            "author_id", "left_anti").count(),
+        "publish_sn_pid": rb("dim_publish_sn").join(
+            dpub.select("pid"), "pid", "left_anti").count(),
+        "references_pid": rb("dim_references").join(
+            dpub.select("pid"), "pid", "left_anti").count(),
+        "pub_version_pid": rb("dim_pub_version").join(
+            dpub.select("pid"), "pid", "left_anti").count(),
+        "fact_vs_dim_publication": fact.select("id").join(
+            dpub.select("id"), "id", "left_anti").count(),
+        "dim_publication_vs_fact": dpub.select("id").join(
+            fact.select("id"), "id", "left_anti").count(),
+        # null affiliation hashes to sha2('') by construction — not a
+        # dim row; audit only real affiliation keys
+        "authors_affiliation": rb("dim_authors")
+        .filter(F.col("aff_id") != empty_hash)
+        .join(rb("dim_author_affiliation").select("aff_id"),
+              "aff_id", "left_anti").count(),
+    }
+    return {
+        "dwh_load_total_sec": total,
+        "dwh_load_secs": load_secs,
+        "dwh_rows_landed": int(sum(written.values())),
+        "dwh_count_parity": parity,
+        "dwh_orphans": {k: int(v) for k, v in orphans.items()},
+        "dwh_zero_orphans": all(v == 0 for v in orphans.values()),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", required=True)
@@ -189,6 +308,14 @@ def main() -> None:
     ap.add_argument("--out-bench", default="BENCH_ARXIV.json")
     ap.add_argument("--out-correct", default="CORRECTNESS_ARXIV.json")
     ap.add_argument("--keep-root", action="store_true")
+    ap.add_argument(
+        "--dwh", action="store_true",
+        help="VERDICT_r9 #2: after the chain census, land fact + 8 "
+        "dims + AUTHORED_BY (+ endpoint node tables) through the JDBC "
+        "sink into embedded Derby and run the zero-orphan audit "
+        "against the landed tables",
+    )
+    ap.add_argument("--derby-dir", default="/tmp/arxiv_dwh_derby")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -259,6 +386,16 @@ def main() -> None:
     got["collab_weight_max"] = agg["mx"]
     got["collab_heavy_pairs"] = agg["heavy"]
 
+    dwh = None
+    if args.dwh:
+        print("landing gold layer in Derby (DWH leg)...", flush=True)
+        if os.path.exists(args.derby_dir):
+            shutil.rmtree(args.derby_dir)
+        dwh = dwh_load(spark, run_root, args.derby_dir)
+        print(json.dumps({k: dwh[k] for k in
+                          ("dwh_load_total_sec", "dwh_rows_landed",
+                           "dwh_zero_orphans")}), flush=True)
+
     print("running DuckDB twins...", flush=True)
     t0 = time.monotonic()
     exp = duckdb_checks(args.data)
@@ -290,10 +427,19 @@ def main() -> None:
         },
         "data": args.data,
     }
+    if dwh is not None:
+        bench["dwh"] = dwh
     with open(args.out_bench, "w") as f:
         json.dump(bench, f, indent=2)
     print(json.dumps(bench))
     bad = [k for k, v in correct.items() if not v["match"]]
+    if dwh is not None:
+        if not dwh["dwh_zero_orphans"]:
+            bad.append("dwh_orphans")
+        bad.extend(
+            f"dwh_parity_{n}" for n, p in dwh["dwh_count_parity"].items()
+            if not p["match"]
+        )
     print("MISMATCHES:" if bad else "all checks match:", bad or len(correct))
     sys.exit(1 if bad else 0)
 

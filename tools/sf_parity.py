@@ -44,6 +44,15 @@ from tools.driver_sim import _canon, _cell_key, _hashable_probe  # noqa: E402
 # plans/ann_fixtures.py) the per-SF oracle is built instead of skipped.
 SF001_PINNED = {"ivf_topk", "pq_codes", "pq_topk", "ivfpq_topk"}
 
+# Per-query oracle budget raises (VERDICT_r9 #4): the deliberately
+# NAIVE all-pairs doc_cosine_pairs twin (the completeness proof the
+# capped twin's parity is measured against) exceeds the default 180 s
+# at sf1z while the engine side completes — which left the flagship
+# Zipf census with a permanently-unverifiable row. The naive spelling
+# stays naive (that is its point); it just gets the wall-clock its
+# O(n²) honesty costs at this one SF.
+ORACLE_BUDGET_RAISE = {"doc_cosine_pairs": 2400.0}
+
 
 def per_sf_ann_oracle(name: str, sf_dir: str) -> str | None:
     """Value-exact oracle SQL for the four codebook-pinned ANN queries
@@ -183,15 +192,18 @@ def main() -> int:
                 _canon(sp)  # the driver's rows-only path must not crash
                 rec["status"] = "rows_only"
             else:
+                budget = max(
+                    args.duck_timeout, ORACLE_BUDGET_RAISE.get(name, 0.0)
+                )
                 t0 = time.monotonic()
                 du, timed_out = run_duck_with_budget(
-                    q.oracle, args.sf, args.duck_timeout
+                    q.oracle, args.sf, budget
                 )
                 rec["duck_s"] = round(time.monotonic() - t0, 2)
                 if timed_out:
                     rec["status"] = "oracle_timeout"
                     rec["detail"] = (
-                        f"naive oracle spelling exceeded {args.duck_timeout}s"
+                        f"naive oracle spelling exceeded {budget}s"
                     )
                 else:
                     problems = compare_frames(sp, du)

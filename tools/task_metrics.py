@@ -1,0 +1,158 @@
+"""Event-log task metrics for one registry query at one SF.
+
+The scaling censuses record WALL time; diagnosing a >1.3 exponent
+needs the engine's own task metrics — if shuffle bytes scale linearly
+while wall time doesn't, the exponent is spill/pressure onset on this
+box's fixed heap, not plan growth (the r9 graph-family diagnosis,
+SCALE.md round-9). Round 9 gathered these with a throwaway script;
+this is the committed version.
+
+Runs the query in ITS OWN SparkSession with spark.eventLog enabled,
+then parses SparkListenerTaskEnd events: total shuffle read/write
+bytes, memory/disk spill, executor run/CPU time, peak memory.
+
+Usage:
+    python -m tools.task_metrics --sf testdata/sf30z \
+        --query neardup_eval_capped [--out FILE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", required=True)
+    ap.add_argument("--query", required=True)
+    ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--per-stage", action="store_true",
+        help="also print the top stages by (spill, shuffle write) — "
+        "localizes WHICH join/sort a whole-query spill lives in",
+    )
+    args = ap.parse_args()
+
+    from data_engineering_course_project_2023_spark.plans import registry
+    from data_engineering_course_project_2023_spark.session import get_spark
+
+    evdir = tempfile.mkdtemp(prefix="spark_ev_")
+    spark = get_spark(
+        app_name=f"task_metrics:{args.query}",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.dir": "file:" + evdir,
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t0 = time.monotonic()
+    n = registry.run_query(args.query, spark, args.sf).count()
+    wall = round(time.monotonic() - t0, 3)
+    spark.stop()  # flushes the event log
+
+    tot = {
+        "shuffle_read_bytes": 0,
+        "shuffle_write_bytes": 0,
+        "memory_spill_bytes": 0,
+        "disk_spill_bytes": 0,
+        "executor_run_ms": 0,
+        "executor_cpu_ms": 0,
+        "tasks": 0,
+    }
+    # Spark 4 may write a rolling event-log DIRECTORY
+    # (eventlog_v2_<app>/events_*) — walk files recursively.
+    paths = [
+        os.path.join(root, fn)
+        for root, _dirs, files in os.walk(evdir)
+        for fn in files
+        if not fn.startswith("appstatus_")
+    ]
+    stages: dict = {}
+    stage_names: dict = {}
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") == "SparkListenerStageSubmitted":
+                    si = ev.get("Stage Info") or {}
+                    stage_names[si.get("Stage ID")] = (
+                        si.get("Stage Name", "")[:80]
+                    )
+                    continue
+                if ev.get("Event") != "SparkListenerTaskEnd":
+                    continue
+                m = ev.get("Task Metrics") or {}
+                if not m:
+                    continue
+                tot["tasks"] += 1
+                sid = ev.get("Stage ID")
+                st = stages.setdefault(
+                    sid, {"spill": 0, "dspill": 0, "sw": 0, "run_ms": 0}
+                )
+                sr = m.get("Shuffle Read Metrics") or {}
+                sw = m.get("Shuffle Write Metrics") or {}
+                tot["shuffle_read_bytes"] += int(
+                    sr.get("Remote Bytes Read", 0)
+                ) + int(sr.get("Local Bytes Read", 0))
+                wb = int(sw.get("Shuffle Bytes Written", 0))
+                tot["shuffle_write_bytes"] += wb
+                ms = int(m.get("Memory Bytes Spilled", 0))
+                ds = int(m.get("Disk Bytes Spilled", 0))
+                rt = int(m.get("Executor Run Time", 0))
+                tot["memory_spill_bytes"] += ms
+                tot["disk_spill_bytes"] += ds
+                tot["executor_run_ms"] += rt
+                tot["executor_cpu_ms"] += int(
+                    m.get("Executor CPU Time", 0)
+                ) // 1_000_000  # ns -> ms
+                st["spill"] += ms
+                st["dspill"] += ds
+                st["sw"] += wb
+                st["run_ms"] += rt
+
+    if args.per_stage:
+        top = sorted(
+            stages.items(),
+            key=lambda kv: (kv[1]["spill"], kv[1]["sw"]),
+            reverse=True,
+        )[:8]
+        for sid, st in top:
+            print(
+                f"  stage {sid}: spill={st['spill']/1e9:.1f}G "
+                f"disk={st['dspill']/1e9:.1f}G sw={st['sw']/1e9:.2f}G "
+                f"run={st['run_ms']/1000:.0f}s  {stage_names.get(sid, '')}"
+            )
+
+    doc = {
+        "query": args.query,
+        "sf_dir": args.sf,
+        "wall_sec": wall,
+        "result_rows": int(n),
+        **{
+            k: (round(v / 1e9, 3) if k.endswith("_bytes") else v)
+            for k, v in tot.items()
+        },
+        "units": "bytes fields are GB (1e9)",
+    }
+    line = json.dumps(doc)
+    print(line)
+    if args.out:
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
