@@ -182,7 +182,8 @@ def build_stages():
     ]
 
 
-def dwh_load(spark, run_root: str, derby_dir: str) -> dict:
+def dwh_load(spark, run_root: str, derby_dir: str,
+             land: bool = True) -> dict:
     """VERDICT_r9 #2: land the gold layer in the serving sink AT SCALE.
 
     The reference exists to populate a DWH + graph DB
@@ -240,20 +241,28 @@ def dwh_load(spark, run_root: str, derby_dir: str) -> dict:
                 frame = frame.withColumn(
                     fld.name, F.concat_ws(",", F.col(fld.name))
                 )
-        t0 = time.monotonic()
-        # 4 connections: embedded Derby serializes page latches anyway;
-        # against a real warehouse this is the connection-cap knob.
-        write_jdbc(frame, name, url, mode="overwrite",
-                   batchsize=20_000, num_partitions=4, properties=props)
-        load_secs[name] = round(time.monotonic() - t0, 3)
+        if land:
+            t0 = time.monotonic()
+            # 4 connections: embedded Derby serializes page latches
+            # anyway; against a real warehouse this is the
+            # connection-cap knob.
+            write_jdbc(frame, name, url, mode="overwrite",
+                       batchsize=20_000, num_partitions=4,
+                       properties=props)
+            load_secs[name] = round(time.monotonic() - t0, 3)
         written[name] = frame.count()
-        print(f"  dwh {name}: {written[name]} rows "
-              f"in {load_secs[name]} s", flush=True)
+        print(f"  dwh {name}: {written[name]} rows"
+              + (f" in {load_secs[name]} s" if land else " (audit-only)"),
+              flush=True)
     total = round(time.monotonic() - t_all, 3)
 
     def rb(table: str):
+        # pushDownPredicate=false: the audits are full-scan anti-joins
+        # and counts; letting Spark push string-equality filters into
+        # Derby trips ERROR 42818 (CLOB vs CHAR comparison — Derby maps
+        # StringType columns to CLOB, and pushed literals arrive CHAR).
         return spark.read.format("jdbc").options(
-            url=url, dbtable=table, **props
+            url=url, dbtable=table, pushDownPredicate="false", **props
         ).load()
 
     parity = {
@@ -316,6 +325,12 @@ def main() -> None:
         "against the landed tables",
     )
     ap.add_argument("--derby-dir", default="/tmp/arxiv_dwh_derby")
+    ap.add_argument(
+        "--dwh-audit-only", action="store_true",
+        help="audit an ALREADY-LANDED derby dir (rerun after an "
+        "audit-phase failure without re-inserting 34M rows); written "
+        "counts recomputed from the run-tree frames",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -387,11 +402,13 @@ def main() -> None:
     got["collab_heavy_pairs"] = agg["heavy"]
 
     dwh = None
-    if args.dwh:
-        print("landing gold layer in Derby (DWH leg)...", flush=True)
-        if os.path.exists(args.derby_dir):
+    if args.dwh or args.dwh_audit_only:
+        land = not args.dwh_audit_only
+        print("landing gold layer in Derby (DWH leg)..." if land
+              else "auditing landed Derby DWH...", flush=True)
+        if land and os.path.exists(args.derby_dir):
             shutil.rmtree(args.derby_dir)
-        dwh = dwh_load(spark, run_root, args.derby_dir)
+        dwh = dwh_load(spark, run_root, args.derby_dir, land=land)
         print(json.dumps({k: dwh[k] for k in
                           ("dwh_load_total_sec", "dwh_rows_landed",
                            "dwh_zero_orphans")}), flush=True)
