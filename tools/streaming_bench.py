@@ -169,8 +169,10 @@ def write_event_files(
         )
         tbl = pa.table({
             "event_id": pa.array(ids),
+            # tz-aware: tz-naive arrow timestamps load as TIMESTAMP_NTZ,
+            # which withWatermark rejects
             "ts": pa.array(base_us + secs * 1_000_000,
-                           pa.timestamp("us")),
+                           pa.timestamp("us", tz="UTC")),
             "user_id": pa.array(ids % 997),
             "event_type": pa.array(
                 np.where(g % 3 == 0, "click",
