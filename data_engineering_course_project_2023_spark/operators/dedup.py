@@ -989,41 +989,56 @@ def _capped_shingle_candidates(
         .filter(F.col("rk") <= prefix_r)
         .select("doc_id", "shingle")
     )
+    # Pair emission WITHOUT the pair aggregate (round 10 — the same
+    # rewrite as doc_cosine_pairs_capped, see the long comment there):
+    # each index row carries its doc's whole sorted prefix array
+    # (≤ prefix_r shingles), the join computes |Pa ∩ Pb| in-expression
+    # via array_intersect, and a pair is emitted ONLY from its
+    # lexically-smallest shared prefix shingle — exactly-once
+    # structurally, so the groupBy(doc_a, doc_b) aggregate whose
+    # partial-hash sort was the family's measured spill source
+    # (218 GB at sf10z, scratch exhaustion at sf30z) disappears. The
+    # candidate SET is identical to the counted spelling (shared >=
+    # least(min_shared, |Pa|, |Pb|), adaptive floor included), so the
+    # DuckDB twins and the recall pins are untouched.
+    pgrp = pref.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("shingle")).alias("parr")
+    )
     use_len = length_num is not None and length_den is not None
     if use_len:
         sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        pref = pref.join(sizes, "doc_id")
-    pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
-    pa, pb = pref.alias("pa"), pref.alias("pb")
+        pgrp = pgrp.join(sizes, "doc_id")
+    pidx = pgrp.select(
+        "doc_id", "parr",
+        *(["n_sh"] if use_len else []),
+        F.explode("parr").alias("shingle"),
+    )
+    pa, pb = pidx.alias("pa"), pidx.alias("pb")
     joined = pa.join(pb, "shingle").filter(
         F.col("pa.doc_id") < F.col("pb.doc_id")
     )
     if use_len:
+        # PPJoin length filter — lossless for J >= num/den — drops
+        # candidates before the intersect, inside the join stage.
         joined = joined.filter(
             (F.least("pa.n_sh", "pb.n_sh") * length_den)
             >= (F.greatest("pa.n_sh", "pb.n_sh") * length_num)
         )
+    inter = F.array_intersect("pa.parr", "pb.parr")
     return (
-        joined.groupBy(
+        joined.filter(
+            (F.col("shingle") == F.element_at(inter, 1))
+            & (
+                F.size(inter)
+                >= F.least(
+                    F.lit(min_shared), F.size("pa.parr"), F.size("pb.parr")
+                )
+            )
+        )
+        .select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .join(
-            pn.select(F.col("doc_id").alias("doc_a"),
-                      F.col("pn").alias("pn_a")),
-            "doc_a",
-        )
-        .join(
-            pn.select(F.col("doc_id").alias("doc_b"),
-                      F.col("pn").alias("pn_b")),
-            "doc_b",
-        )
-        .filter(
-            F.col("n_shared")
-            >= F.least(F.lit(min_shared), F.col("pn_a"), F.col("pn_b"))
-        )
-        .select("doc_a", "doc_b")
     )
 
 

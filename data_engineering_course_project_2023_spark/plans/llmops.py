@@ -2775,11 +2775,15 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
     This is the variant a curation pipeline should compose: the exact
     operator's Σdf² is quadratic in the mid-frequency band of a Zipf
     corpus (525 s/248 pairs at sf1z), while the prefix index holds
-    exactly R rows per doc, the generation join carries Σ(prefix-df)²
-    slots (41M vs 1.97e9 at sf1z — 48× less), and scoring touches only
-    P·doc_len rows. Shuffle shape: tf hash-partitioned by token for
-    candidate generation, by doc_id for scoring — keyed end-to-end,
-    never all-pairs.
+    exactly R rows per doc and the generation join streams
+    Σ(prefix-df)² slots (41M vs 1.97e9 at sf1z — 48× less) through a
+    single codegen filter with NO pair aggregate (round 10: each pair
+    is emitted exactly once, from its lexically-smallest shared prefix
+    token — see the candidate-block comment), and scoring touches only
+    |candidates| packed-vector rows. Shuffle shape: tf hash-partitioned
+    by token for candidate generation, by doc_id for scoring — keyed
+    end-to-end, never all-pairs, no aggregation state proportional to
+    candidate volume anywhere.
     """
     from pyspark.sql.window import Window
 
@@ -2820,30 +2824,49 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
         .filter(F.col("rk") <= COSINE_PREFIX_R)
         .select("doc_id", "tok")
     )
-    # adaptive floor: a doc whose whole prefix is shorter than
-    # COSINE_MIN_SHARED (fixed-vocab corpora leave some docs a single
-    # kept token) can still collide on everything it has — otherwise
-    # the policy silently empties on exactly those axes (measured: the
-    # strict >=2 rule returned 0 rows on the driver's own sf0.01 drop).
-    pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
-    pa, pb = pref.alias("pa"), pref.alias("pb")
+    # Candidate generation WITHOUT the pair aggregate (round 10, the
+    # SCALE.md round-9 "direction" made real): the r9 spelling joined
+    # prefix×prefix on tok then groupBy(doc_a, doc_b) counted shared
+    # tokens — a partial hash aggregate over Σ(prefix-df)² slots, which
+    # is the stage task metrics localized 218 GB of spill into at sf10z
+    # and the stage whose sort exhausted the box's scratch at sf30z.
+    # Instead each index row now CARRIES its doc's whole sorted prefix
+    # array (≤ COSINE_PREFIX_R short strings), so at join time
+    # array_intersect computes |Pa ∩ Pb| in-expression and the pair is
+    # emitted ONLY from its lexically-smallest shared token
+    # (tok == inter[0]) — exactly-once structurally, zero aggregation
+    # state, the whole Σ(prefix-df)² stream stays inside one
+    # whole-stage-codegen filter. The candidate SET is mathematically
+    # identical to the counted spelling (shared >= least(MIN_SHARED,
+    # |Pa|, |Pb|), adaptive floor included — a doc whose whole prefix
+    # is shorter than COSINE_MIN_SHARED can still collide on everything
+    # it has; measured: the strict >=2 rule returned 0 rows on the
+    # driver's own sf0.01 drop), so the DuckDB twin and the recall pins
+    # are untouched.
+    pgrp = pref.groupBy("doc_id").agg(
+        F.array_sort(F.collect_set("tok")).alias("parr")
+    )
+    pidx = pgrp.select("doc_id", "parr", F.explode("parr").alias("tok"))
+    pa, pb = pidx.alias("pa"), pidx.alias("pb")
+    inter = F.array_intersect("pa.parr", "pb.parr")
     cand = (
         pa.join(pb, "tok")
         .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .groupBy(
+        .filter(
+            (F.col("tok") == F.element_at(inter, 1))
+            & (
+                F.size(inter)
+                >= F.least(
+                    F.lit(COSINE_MIN_SHARED),
+                    F.size("pa.parr"),
+                    F.size("pb.parr"),
+                )
+            )
+        )
+        .select(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
         )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .join(pn.select(F.col("doc_id").alias("doc_a"), F.col("pn").alias("pn_a")), "doc_a")
-        .join(pn.select(F.col("doc_id").alias("doc_b"), F.col("pn").alias("pn_b")), "doc_b")
-        .filter(
-            F.col("n_shared")
-            >= F.least(
-                F.lit(COSINE_MIN_SHARED), F.col("pn_a"), F.col("pn_b")
-            )
-        )
-        .select("doc_a", "doc_b")
     )
     # exact scoring over PACKED per-doc vectors (round 10): the r9
     # spelling re-joined candidates against the row-per-token kept
