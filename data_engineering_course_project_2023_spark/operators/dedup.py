@@ -126,18 +126,31 @@ def shingles(
 
     Built with a transform over token indices — stays in codegen; the
     explode happens once, after distinct-ing within the array.
+
+    The token array is MATERIALIZED into a column before the
+    higher-order transform: codegen does not common-subexpression-
+    eliminate across a LambdaFunction boundary, so an inline
+    ``element_at(split(text), i+k)`` re-evaluates the whole split per
+    element access — O(len²) per document. Measured at sf1z (50 k
+    docs): inline split 42.5 s, materialized column 3.4 s for the
+    identical 2,649,473-row shingle frame (round 10; this was the
+    family's dominant hidden cost at every SF).
     """
-    toks = F.split(F.col(text_col), " ")
+    toked = spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("__w"),
+    )
+    tk = F.col("__w")
     # sequence(0, -1) would count DOWN in Spark; guard docs shorter than n
     idx = F.when(
-        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+        F.size(tk) >= n, F.sequence(F.lit(0), F.size(tk) - n)
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(
         idx,
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k + 1) for k in range(n)]),
+        lambda i: F.concat_ws(" ", *[F.element_at(tk, i + k + 1) for k in range(n)]),
     )
-    return spread(df).select(
-        F.col(id_col).alias("doc_id"),
+    return toked.select(
+        "doc_id",
         F.explode(F.array_distinct(grams)).alias("shingle"),
     )
 
@@ -989,56 +1002,54 @@ def _capped_shingle_candidates(
         .filter(F.col("rk") <= prefix_r)
         .select("doc_id", "shingle")
     )
-    # Pair emission WITHOUT the pair aggregate (round 10 — the same
-    # rewrite as doc_cosine_pairs_capped, see the long comment there):
-    # each index row carries its doc's whole sorted prefix array
-    # (≤ prefix_r shingles), the join computes |Pa ∩ Pb| in-expression
-    # via array_intersect, and a pair is emitted ONLY from its
-    # lexically-smallest shared prefix shingle — exactly-once
-    # structurally, so the groupBy(doc_a, doc_b) aggregate whose
-    # partial-hash sort was the family's measured spill source
-    # (218 GB at sf10z, scratch exhaustion at sf30z) disappears. The
-    # candidate SET is identical to the counted spelling (shared >=
-    # least(min_shared, |Pa|, |Pb|), adaptive floor included), so the
-    # DuckDB twins and the recall pins are untouched.
-    pgrp = pref.groupBy("doc_id").agg(
-        F.array_sort(F.collect_set("shingle")).alias("parr")
-    )
     use_len = length_num is not None and length_den is not None
     if use_len:
         sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-        pgrp = pgrp.join(sizes, "doc_id")
-    pidx = pgrp.select(
-        "doc_id", "parr",
-        *(["n_sh"] if use_len else []),
-        F.explode("parr").alias("shingle"),
-    )
-    pa, pb = pidx.alias("pa"), pidx.alias("pb")
+        pref = pref.join(sizes, "doc_id")
+    pn = pref.groupBy("doc_id").agg(F.count(F.lit(1)).alias("pn"))
+    pa, pb = pref.alias("pa"), pref.alias("pb")
     joined = pa.join(pb, "shingle").filter(
         F.col("pa.doc_id") < F.col("pb.doc_id")
     )
     if use_len:
-        # PPJoin length filter — lossless for J >= num/den — drops
-        # candidates before the intersect, inside the join stage.
         joined = joined.filter(
             (F.least("pa.n_sh", "pb.n_sh") * length_den)
             >= (F.greatest("pa.n_sh", "pb.n_sh") * length_num)
         )
-    inter = F.array_intersect("pa.parr", "pb.parr")
+    # The pair aggregate stays HERE (unlike doc_cosine_pairs_capped,
+    # which emits each pair exactly once from its smallest shared
+    # prefix token with zero aggregation state): the shingle regime's
+    # prefix dfs are small (3-gram shingles discriminate; this stage
+    # never spilled at sf10z), so the aggregate's per-slot cost — one
+    # (long,long) hash-map update — beats carrying both docs' prefix
+    # arrays through the join and intersecting them per slot. Measured
+    # A/B at sf10z (same box, same session, the O(len²) shingling fix
+    # applied to both sides): aggregate spelling 134.0 s vs
+    # array_intersect exactly-once emission 173.5 s for
+    # ngram_jaccard_capped (neardup_eval_capped 36.8 vs 38.1) — the
+    # stateless emission is a token-regime (high-df postings) tool,
+    # not a universal win.
     return (
-        joined.filter(
-            (F.col("shingle") == F.element_at(inter, 1))
-            & (
-                F.size(inter)
-                >= F.least(
-                    F.lit(min_shared), F.size("pa.parr"), F.size("pb.parr")
-                )
-            )
-        )
-        .select(
+        joined.groupBy(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
         )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .join(
+            pn.select(F.col("doc_id").alias("doc_a"),
+                      F.col("pn").alias("pn_a")),
+            "doc_a",
+        )
+        .join(
+            pn.select(F.col("doc_id").alias("doc_b"),
+                      F.col("pn").alias("pn_b")),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_shared")
+            >= F.least(F.lit(min_shared), F.col("pn_a"), F.col("pn_b"))
+        )
+        .select("doc_a", "doc_b")
     )
 
 
