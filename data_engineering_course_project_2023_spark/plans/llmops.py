@@ -1053,21 +1053,27 @@ def chunk_dedup_spans(t: Tables) -> DataFrame:
     level, so fan-out is n_tokens/32 not n_tokens), hash with md5, and
     one groupBy on the hash finds every cross-doc repeat. At 100 TB the
     group key is a 128-bit hash — uniform, no skew — and the output is
-    only the duplicated tail of the distribution."""
-    toks = textops.tokens("text")
-    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_TOKENS)).cast("int")
+    only the duplicated tail of the distribution.
+
+    The token array is materialized into a column before the chunking
+    transform (the shingles() lesson: no CSE across a lambda boundary,
+    so an inline tokens(text) re-tokenizes per chunk slice)."""
+    base = spread(t["documents"]).select(
+        "doc_id", textops.tokens("text").alias("__w")
+    )
+    tk = F.col("__w")
+    n_chunks = F.ceil(F.size(tk) / F.lit(CHUNK_TOKENS)).cast("int")
     chunks = F.when(
         n_chunks >= 1,
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
             lambda i: F.concat_ws(
-                " ", F.slice(toks, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
+                " ", F.slice(tk, i * CHUNK_TOKENS + 1, CHUNK_TOKENS)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        spread(t["documents"])
-        .select("doc_id", F.explode(chunks).alias("chunk_txt"))
+        base.select("doc_id", F.explode(chunks).alias("chunk_txt"))
         .select("doc_id", F.md5("chunk_txt").alias("chunk_hash"))
         .groupBy("chunk_hash")
         .agg(
@@ -1203,33 +1209,40 @@ def decontaminate_exact_substring(t: Tables) -> DataFrame:
     shuffles. Any verbatim copy of >= 63 tokens (2k-1) must contain a
     fully-aligned training chunk, which then equi-joins an eval window
     hash exactly. Same guarantee shape as suffix-array dedup's
-    minimum-match-length, at a fraction of the cost."""
+    minimum-match-length, at a fraction of the cost.
+
+    The token array is materialized into a column on each side before
+    the window/chunk transforms (the shingles() lesson: no CSE across
+    a lambda boundary — an inline tokens(text) would re-tokenize per
+    stride-1 window, O(len²) on the eval side)."""
     docs = spread(t["documents"])
-    toks = textops.tokens("text")
     k = CHUNK_TOKENS
+    tk = F.col("__w")
     win = F.when(
-        F.size(toks) >= k,
+        F.size(tk) >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            F.sequence(F.lit(0), F.size(tk) - k),
+            lambda i: F.concat_ws(" ", F.slice(tk, i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     eval_wins = (
         docs.filter(F.col("source") == "src0")
+        .select(textops.tokens("text").alias("__w"))
         .select(F.explode(win).alias("w"))
         .select(F.md5("w").alias("chunk_hash"))
         .distinct()
     )
-    n_chunks = F.floor(F.size(toks) / F.lit(k)).cast("int")
+    n_chunks = F.floor(F.size(tk) / F.lit(k)).cast("int")
     aligned = F.when(
         n_chunks >= 1,
         F.transform(
             F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i * k + 1, k)),
+            lambda i: F.concat_ws(" ", F.slice(tk, i * k + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
     train = (
         docs.filter(F.col("source") != "src0")
+        .select("doc_id", textops.tokens("text").alias("__w"))
         .select("doc_id", F.explode(aligned).alias("c"))
         .select("doc_id", F.md5("c").alias("chunk_hash"))
     )
