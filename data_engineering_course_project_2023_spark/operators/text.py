@@ -39,8 +39,8 @@ def tokens(c: Column | str) -> Column:
     return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
 
 
-def token_count(c: Column | str) -> Column:
-    return F.size(tokens(c))
+def token_count(c: Column | str, toks: Column | None = None) -> Column:
+    return F.size(tokens(c) if toks is None else toks)
 
 
 def bpe_ish_token_count(c: Column | str) -> Column:
@@ -50,10 +50,11 @@ def bpe_ish_token_count(c: Column | str) -> Column:
     return F.regexp_count(col, F.lit(BPE_TOKEN_RE))
 
 
-def stopword_ratio(c: Column | str) -> Column:
+def stopword_ratio(c: Column | str, toks: Column | None = None) -> Column:
     """Fraction of tokens that are stopwords — int/int division, so the
     double result is bit-deterministic across engines."""
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
     stops = F.filter(toks, lambda x: F.lower(x).isin(*STOPWORDS))
     return F.size(stops).cast("double") / F.size(toks).cast("double")
 
@@ -65,18 +66,19 @@ def alpha_ratio(c: Column | str) -> Column:
     return alpha.cast("double") / F.length(col).cast("double")
 
 
-def quality_score(c: Column | str) -> Column:
+def quality_score(c: Column | str, toks: Column | None = None) -> Column:
     """Composite quality heuristic in [0, ~3]: favors mid-length docs
     with normal stopword density and alphabetic content. Weights are
     integers over exact ratios, so cross-engine deterministic."""
-    toks = token_count(c)
-    length_ok = F.when((toks >= 10) & (toks <= 1000), F.lit(1.0)).otherwise(0.0)
-    return length_ok + stopword_ratio(c) + alpha_ratio(c)
+    n = token_count(c, toks)
+    length_ok = F.when((n >= 10) & (n <= 1000), F.lit(1.0)).otherwise(0.0)
+    return length_ok + stopword_ratio(c, toks) + alpha_ratio(c)
 
 
-def lang_scores(c: Column | str) -> list[Column]:
+def lang_scores(c: Column | str, toks: Column | None = None) -> list[Column]:
     """Per-language marker-hit counts."""
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
     out = []
     for lang, markers in LANG_MARKERS.items():
         hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*markers)))
@@ -84,10 +86,11 @@ def lang_scores(c: Column | str) -> list[Column]:
     return out
 
 
-def predict_lang(c: Column | str) -> Column:
+def predict_lang(c: Column | str, toks: Column | None = None) -> Column:
     """Argmax over marker counts with deterministic tie-break (language
     name order); 'und' when nothing matches."""
-    toks = tokens(c)
+    if toks is None:
+        toks = tokens(c)
     scored = []
     for lang, markers in sorted(LANG_MARKERS.items()):
         hits = F.size(F.filter(toks, lambda x: F.lower(x).isin(*markers)))
@@ -131,28 +134,39 @@ def rolling_fingerprint(c: Column | str) -> Column:
     )
 
 
-def trigrams(c: Column | str) -> Column:
+def trigrams(c: Column | str, toks: Column | None = None) -> Column:
     """Word 3-grams as space-joined strings; [] for docs under 3 tokens
-    (guarded — sequence(1, n<1) would count DOWN)."""
-    toks = tokens(c)
+    (guarded — a negative slice length would error).
+
+    Built by zipping three shifted slices instead of indexing with
+    ``element_at`` inside a transform lambda: codegen does not CSE
+    across a lambda boundary, so the indexed spelling re-evaluated the
+    whole tokenization per element access — O(len²) per document (the
+    shingles() defect, found round 10). The slices reference the token
+    array as plain arguments, evaluated a constant number of times.
+    Pass a pre-tokenized ``toks`` column to avoid even those."""
+    if toks is None:
+        toks = tokens(c)
     n = F.size(toks)
-    make = F.transform(
-        F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(toks, i),
-            F.element_at(toks, i + 1),
-            F.element_at(toks, i + 2),
+    make = F.zip_with(
+        F.slice(toks, 1, n - 2),
+        F.zip_with(
+            F.slice(toks, 2, n - 2),
+            F.slice(toks, 3, n - 2),
+            lambda b, g: F.concat_ws(" ", b, g),
         ),
+        lambda a, bg: F.concat_ws(" ", a, bg),
     )
     return F.when(n >= 3, make).otherwise(F.array().cast("array<string>"))
 
 
-def dup_trigram_ratio(c: Column | str) -> Column:
+def dup_trigram_ratio(c: Column | str, tri: Column | None = None) -> Column:
     """Gopher-style repetition signal: fraction of word trigrams that
     are repeats of an earlier trigram in the same document. int/int
-    division → bit-deterministic double."""
-    tri = trigrams(c)
+    division → bit-deterministic double. Pass a pre-built ``tri``
+    column to avoid re-deriving the trigram array per sub-expression."""
+    if tri is None:
+        tri = trigrams(c)
     n_tri = F.size(tri)
     n_uniq = F.size(F.array_distinct(tri))
     return F.when(
@@ -162,18 +176,28 @@ def dup_trigram_ratio(c: Column | str) -> Column:
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Full per-document stats frame: one narrow scan, all expressions."""
-    return spread(df).select(
-        id_col,
-        token_count(text_col).alias("n_tokens"),
-        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
-        F.length(text_col).alias("n_chars_measured"),
-        stopword_ratio(text_col).alias("stop_ratio"),
-        alpha_ratio(text_col).alias("alpha_ratio"),
-        quality_score(text_col).alias("quality"),
-        predict_lang(text_col).alias("pred_lang"),
-        fingerprint_hex(text_col).alias("fp_hex"),
-        fingerprint_int64(text_col).alias("fp_int"),
+    """Full per-document stats frame: one narrow scan, all expressions.
+
+    The token array is materialized once and shared by every
+    token-derived feature (token count, stopword ratio, quality,
+    language markers) — the inline spelling tokenized ~10× per row
+    because CSE skips higher-order-function subtrees."""
+    tk = F.col("__w")
+    return (
+        spread(df)
+        .select(id_col, text_col, tokens(text_col).alias("__w"))
+        .select(
+            id_col,
+            token_count(text_col, tk).alias("n_tokens"),
+            bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+            F.length(text_col).alias("n_chars_measured"),
+            stopword_ratio(text_col, tk).alias("stop_ratio"),
+            alpha_ratio(text_col).alias("alpha_ratio"),
+            quality_score(text_col, tk).alias("quality"),
+            predict_lang(text_col, tk).alias("pred_lang"),
+            fingerprint_hex(text_col).alias("fp_hex"),
+            fingerprint_int64(text_col).alias("fp_int"),
+        )
     )
 
 

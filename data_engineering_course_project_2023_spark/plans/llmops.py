@@ -73,7 +73,9 @@ def lang_id(t: Tables) -> DataFrame:
     """Marker-word language ID vs. the labeled lang column; output the
     confusion counts so the oracle stays primitive."""
     df = spread(t["documents"]).select(
-        "lang", textops.predict_lang("text").alias("pred_lang")
+        "lang", textops.tokens("text").alias("__w")
+    ).select(
+        "lang", textops.predict_lang("text", F.col("__w")).alias("pred_lang")
     )
     return df.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -504,11 +506,13 @@ def curate_documents(t: Tables) -> DataFrame:
 
     docs = spread(t["documents"])
     scored = docs.select(
+        "doc_id", "lang", "text", textops.tokens("text").alias("__w")
+    ).select(
         "doc_id",
         "lang",
         "text",
-        textops.token_count("text").alias("n_tokens"),
-        textops.stopword_ratio("text").alias("stop_ratio"),
+        textops.token_count("text", F.col("__w")).alias("n_tokens"),
+        textops.stopword_ratio("text", F.col("__w")).alias("stop_ratio"),
         textops.alpha_ratio("text").alias("alpha_ratio"),
     )
     gated = scored.filter(
@@ -927,15 +931,18 @@ def doc_repetition(t: Tables) -> DataFrame:
     """Repetition quality signal per document: total vs distinct word
     trigrams and the duplicate fraction (the Gopher/C4-family gate for
     boilerplate and looped text). All array expressions — no explode, no
-    shuffle; at scale this is a pure map over the scan."""
-    tri = textops.trigrams("text")
+    shuffle; at scale this is a pure map over the scan. The trigram
+    array is materialized once and shared by all three outputs (CSE
+    skips HOF subtrees — the shingles() lesson)."""
+    tri = F.col("__tri")
     return (
         spread(t["documents"])
+        .select("doc_id", textops.trigrams("text").alias("__tri"))
         .select(
             "doc_id",
             F.size(tri).cast("bigint").alias("n_trigrams"),
             F.size(F.array_distinct(tri)).cast("bigint").alias("n_distinct"),
-            textops.dup_trigram_ratio("text").alias("dup_ratio"),
+            textops.dup_trigram_ratio("text", tri).alias("dup_ratio"),
         )
     )
 
@@ -1473,9 +1480,15 @@ def gopher_quality(t: Tables) -> DataFrame:
     this corpus's scale. Every ratio is an int/int division (exact
     cross-engine doubles) computed from array expressions — a single
     zero-shuffle codegen'd scan; at 100 TB this runs entirely map-side
-    with no state."""
-    docs = t["documents"]
-    toks = textops.tokens("text")
+    with no state.
+
+    Tokenization is materialized into a column first: CSE skips
+    higher-order-function subtrees, so the inline spelling re-tokenized
+    per derived feature (the shingles() lesson, constant-factor form)."""
+    docs = t["documents"].select(
+        "doc_id", textops.tokens("text").alias("__w")
+    )
+    toks = F.col("__w")
     n_words = F.size(toks)
     # total token chars via join-with-empty — avoids a reduce and is
     # exact on both engines
@@ -1632,9 +1645,11 @@ def quality_top_half(t: Tables) -> DataFrame:
 
     docs = t["documents"]
     scored = docs.select(
+        "doc_id", "lang", "text", textops.tokens("text").alias("__w")
+    ).select(
         "doc_id",
         "lang",
-        textops.quality_score("text").alias("quality"),
+        textops.quality_score("text", F.col("__w")).alias("quality"),
     )
     w = Window.partitionBy("lang").orderBy(F.asc("quality"), F.asc("doc_id"))
     return (
@@ -3533,8 +3548,9 @@ def quality_classifier(t: Tables) -> DataFrame:
     inference as a codegen'd column expression, no UDF, no ML runtime.
 
     Features (all exact ints): whitespace token count, stopword count,
-    distinct-token count, non-[A-Za-z space] char count."""
-    toks = textops.tokens("text")
+    distinct-token count, non-[A-Za-z space] char count. Tokenization
+    materialized once (CSE skips HOF subtrees — the shingles() lesson)."""
+    toks = F.col("__w")
     feats = [
         F.lit(1).alias("bias"),
         F.size(toks).alias("n_tokens"),
@@ -3547,7 +3563,11 @@ def quality_classifier(t: Tables) -> DataFrame:
             - F.length(F.regexp_replace("text", r"[^A-Za-z ]", ""))
         ).alias("n_nonalpha"),
     ]
-    base = spread(t["documents"]).select("doc_id", *feats)
+    base = (
+        spread(t["documents"])
+        .select("doc_id", "text", textops.tokens("text").alias("__w"))
+        .select("doc_id", *feats)
+    )
     score = None
     for name, w in QUALITY_LOGIT_WEIGHTS:
         term = F.col(name).cast("double") * F.lit(float(w))
@@ -4746,7 +4766,7 @@ def _bm25_scored(t: Tables, query: tuple[str, ...] | None = None):
     the same integer, so the spellings agree exactly."""
     if query is None:
         query = tuple(corpus_query_terms(t["documents"]))
-    w = textops.tokens("text")
+    w = F.col("__w")
 
     def _matches(term: str):
         # single-arg lambda factory: a default-arg closure would give the
@@ -4756,7 +4776,11 @@ def _bm25_scored(t: Tables, query: tuple[str, ...] | None = None):
     # no spread(): the per-row work is three array filters — cheap even
     # single-partition locally, and at scale the scan is already wide.
     # Keeping the scan un-repartitioned is what makes "map-side" true.
+    # Tokenization materialized once instead of once per term filter
+    # (CSE skips HOF subtrees — the shingles() lesson).
     base = t["documents"].select(
+        "doc_id", textops.tokens("text").alias("__w")
+    ).select(
         "doc_id",
         F.size(w).alias("dl"),
         *[
@@ -5295,13 +5319,16 @@ def badword_filter(t: Tables) -> DataFrame:
     literal set (a real blocklist would broadcast-join or compile to
     an Aho-Corasick regex, still map-only). Output keeps every doc
     with its hit count + ratio so the drop is auditable, like
-    gopher_quality's per-rule flags.
+    gopher_quality's per-rule flags. Tokenization materialized once
+    (CSE skips HOF subtrees — the shingles() lesson).
     """
-    toks = textops.tokens("text")
+    toks = F.col("__w")
     lower = F.transform(toks, lambda x: F.lower(x))
     n_bad = F.size(F.filter(lower, lambda x: x.isin(list(BLOCKLIST))))
     n_tok = F.size(toks)
     return spread(t["documents"]).select(
+        "doc_id", textops.tokens("text").alias("__w")
+    ).select(
         "doc_id",
         n_bad.cast("int").alias("n_bad"),
         F.when(n_tok > 0, n_bad.cast("double") / n_tok.cast("double"))
@@ -5905,8 +5932,10 @@ def classifier_calibration(t: Tables) -> DataFrame:
     one 10-group aggregate."""
     from pyspark.sql.window import Window
 
-    toks = textops.tokens("text")
+    toks = F.col("__w")
     base = spread(t["documents"]).select(
+        "doc_id", "text", textops.tokens("text").alias("__w")
+    ).select(
         "doc_id",
         F.lit(1).alias("bias"),
         F.size(toks).alias("n_tokens"),
@@ -6428,10 +6457,13 @@ FROM ranked WHERE rank <= {BIGRAM_TOP_K}
 def _bigram_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, w1, w2) adjacent-token pairs, expanded MAP-SIDE inside
     the scan stage (zip_with over the token array — no pre-pair token
-    explode). Shared by bigram_lm_top's shape and the surprisal scorer."""
-    w = textops.tokens("text")
+    explode). Shared by bigram_lm_top's shape and the surprisal scorer.
+    Tokenization materialized once instead of once per slice/size
+    (CSE skips HOF subtrees — the shingles() lesson)."""
+    w = F.col("__w")
     return (
         spread(docs)
+        .select("doc_id", textops.tokens("text").alias("__w"))
         .select(
             "doc_id",
             F.explode(
