@@ -80,6 +80,45 @@ def _lru_put(cache: dict, key, value) -> None:
     cache[key] = value
 
 
+def stage_parquet(
+    frame: DataFrame, stage_dir: str, files: tuple, params: tuple
+) -> DataFrame:
+    """Stage ``frame`` to parquet once and return a reader over the
+    stage — the shared spelling of the shingle/tf staging memo.
+
+    The stage path is ``stage_dir`` SUFFIXED WITH A FINGERPRINT HASH of
+    (input file identities, params), so two sessions staging DIFFERENT
+    inputs under the same logical name write different directories.
+    Round 10 measured the failure this prevents: a census process and a
+    concurrent diagnostic run at another SF shared the bare fixed path,
+    and the census's ngram rows silently scored 10× data (2478 pairs
+    where the oracle held 81) while another query caught the
+    mid-overwrite window as UNABLE_TO_INFER_SCHEMA. With the hashed
+    path a finished stage is also reusable ACROSS processes: if its
+    _SUCCESS marker is present the content already equals what this
+    call would write (the path pins input mtime+size and params), so
+    it is read as-is instead of rewritten. The local-only existence
+    probe degrades safely on object stores (probe misses → rewrite).
+
+    In-memory inputs (``files`` empty) have no durable identity: they
+    always restage into the bare path and never memoize."""
+    import hashlib
+    import os
+
+    spark = frame.sparkSession
+    if not files:
+        frame.write.mode("overwrite").parquet(stage_dir)
+        return spark.read.parquet(stage_dir)
+    key = (files, params)
+    suffix = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    path = f"{stage_dir}-{suffix}"
+    if _STAGE_CACHE.get(path) != key:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            frame.write.mode("overwrite").parquet(path)
+        _lru_put(_STAGE_CACHE, path, key)
+    return spark.read.parquet(path)
+
+
 def _md5_int60(c: Column, seed: int | None = None) -> Column:
     """First 60 bits of md5 as non-negative int64 (same in DuckDB via
     CAST('0x' || substr(md5(..),1,15) AS BIGINT))."""
@@ -187,21 +226,11 @@ def ngram_jaccard_pairs(
         # exactly once; df_counts, the anti-join probe, sizes and both
         # self-join sides all scan the cheap 2-column parquet stage.
         # The stage is a pure function of (input file fingerprints,
-        # params), so a repeated build in the same session reuses the
-        # parquet already on disk instead of re-tokenizing — same memo
-        # discipline as the PQ codebook. The memo is keyed BY DIRECTORY
-        # and stores the last-staged key: a different input (including
-        # the same path overwritten in place — fingerprints carry
-        # mtime+size) or different params over the same dir re-stages
-        # instead of serving the other input's shingles. In-memory
-        # inputs (no files) always re-stage.
-        files = _files_fingerprint(df)
-        stage_key = (files, text_col, id_col, n)
-        if not (files and _STAGE_CACHE.get(stage_dir) == stage_key):
-            sh.write.mode("overwrite").parquet(stage_dir)
-            if files:
-                _lru_put(_STAGE_CACHE, stage_dir, stage_key)
-        sh = df.sparkSession.read.parquet(stage_dir)
+        # params) — see stage_parquet for the fingerprint-keyed path
+        # and reuse semantics.
+        sh = stage_parquet(
+            sh, stage_dir, _files_fingerprint(df), (text_col, id_col, n)
+        )
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = (
@@ -1083,13 +1112,9 @@ def ngram_jaccard_capped_pairs(
     """
     sh = shingles(df, text_col, id_col, n)
     if stage_dir is not None:
-        files = _files_fingerprint(df)
-        stage_key = (files, text_col, id_col, n)
-        if not (files and _STAGE_CACHE.get(stage_dir) == stage_key):
-            sh.write.mode("overwrite").parquet(stage_dir)
-            if files:
-                _lru_put(_STAGE_CACHE, stage_dir, stage_key)
-        sh = df.sparkSession.read.parquet(stage_dir)
+        sh = stage_parquet(
+            sh, stage_dir, _files_fingerprint(df), (text_col, id_col, n)
+        )
     if max_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         sh = sh.join(

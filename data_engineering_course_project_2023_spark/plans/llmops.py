@@ -2688,13 +2688,10 @@ def doc_cosine_pairs(t: Tables, stage_dir: str | None = None) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if stage_dir is not None:
-        files = dedup._files_fingerprint(t["documents"])
-        stage_key = (files, "cosine_tf")
-        if not (files and dedup._STAGE_CACHE.get(stage_dir) == stage_key):
-            tf.write.mode("overwrite").parquet(stage_dir)
-            if files:
-                dedup._lru_put(dedup._STAGE_CACHE, stage_dir, stage_key)
-        tf = t["documents"].sparkSession.read.parquet(stage_dir)
+        tf = dedup.stage_parquet(
+            tf, stage_dir,
+            dedup._files_fingerprint(t["documents"]), ("cosine_tf",),
+        )
     n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     heavy = (
@@ -2822,13 +2819,10 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     if stage_dir is not None:
-        files = dedup._files_fingerprint(t["documents"])
-        stage_key = (files, "cosine_tf")
-        if not (files and dedup._STAGE_CACHE.get(stage_dir) == stage_key):
-            tf.write.mode("overwrite").parquet(stage_dir)
-            if files:
-                dedup._lru_put(dedup._STAGE_CACHE, stage_dir, stage_key)
-        tf = t["documents"].sparkSession.read.parquet(stage_dir)
+        tf = dedup.stage_parquet(
+            tf, stage_dir,
+            dedup._files_fingerprint(t["documents"]), ("cosine_tf",),
+        )
     n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     heavy = (
