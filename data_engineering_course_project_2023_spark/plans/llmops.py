@@ -22,10 +22,17 @@ Tables = dict[str, DataFrame]
 _D_INT60 = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 _D_INT16 = "CAST(('0x' || substr(md5({expr}), 1, 4)) AS INTEGER)"
 
+# sh carries a MATERIALIZED hint: DuckDB inlines plain CTEs per
+# reference, and most twins below reference sh (or a frame derived
+# from it) 2-4x, re-running the whole shingle scan each time. At sf1
+# the worst such inlining cascade measured >2400 s for a pipeline
+# that runs in seconds materialized (round 10, containment twin).
+# The hint changes execution only, never values.
 _SHINGLE_CTE = """
 toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
-sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+sh AS MATERIALIZED (
+       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
        FROM idx)
 """
 
@@ -4187,6 +4194,12 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
     )
 
 
+# The twin's multi-referenced CTEs carry MATERIALIZED hints: DuckDB
+# inlines plain CTEs per reference, and with kept referenced 4x (each
+# re-running the shingle pipeline) the monolithic query re-executed the
+# scan tree combinatorially - measured >2400 s at sf1 where the same
+# pipeline through temp tables (or with the hints) runs in ~5 s for the
+# identical 162 rows. Hints change execution, not semantics.
 CONTAINMENT_PAIRS_CAPPED_SQL = f"""
 WITH toks AS (
   SELECT doc_id,
@@ -4194,18 +4207,19 @@ WITH toks AS (
   FROM documents
 ),
 idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks),
-sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+sh AS MATERIALIZED (
+       SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
        FROM idx),
 tot AS (SELECT COUNT(*) AS n_docs FROM documents),
 dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY 1),
-kept AS (
+kept AS MATERIALIZED (
   SELECT sh.doc_id, sh.s FROM sh
   JOIN dfc USING (s) CROSS JOIN tot
   WHERE dfc.df * {CONTAIN_DF_DIV} <= tot.n_docs
 ),
 dfk AS (SELECT s, COUNT(*) AS df FROM kept GROUP BY 1),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
-ranked AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM kept GROUP BY 1),
+ranked AS MATERIALIZED (
   SELECT k.doc_id, k.s, d.df,
          ROW_NUMBER() OVER (
            PARTITION BY k.doc_id ORDER BY d.df, k.s) AS rk
@@ -6247,11 +6261,12 @@ def neardup_eval_capped(t: Tables) -> DataFrame:
 NEARDUP_EVAL_CAPPED_SQL = """
 WITH {_SHINGLE_CTE},
 df_counts AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-shf AS (SELECT s.* FROM sh s JOIN df_counts d USING (shingle)
+shf AS MATERIALIZED (
+        SELECT s.* FROM sh s JOIN df_counts d USING (shingle)
         WHERE d.df <= 1000),
 dfk AS (SELECT shingle, COUNT(*) AS df FROM shf GROUP BY 1),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
-pref AS (
+sizes AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n_sh FROM shf GROUP BY 1),
+pref AS MATERIALIZED (
   SELECT doc_id, shingle FROM (
     SELECT s.doc_id, s.shingle,
            ROW_NUMBER() OVER (

@@ -51,7 +51,17 @@ SF001_PINNED = {"ivf_topk", "pq_codes", "pq_topk", "ivfpq_topk"}
 # Zipf census with a permanently-unverifiable row. The naive spelling
 # stays naive (that is its point); it just gets the wall-clock its
 # O(n²) honesty costs at this one SF.
-ORACLE_BUDGET_RAISE = {"doc_cosine_pairs": 2400.0}
+ORACLE_BUDGET_RAISE = {
+    "doc_cosine_pairs": 2400.0,
+    # The capped-containment twin is not naive — it replays the full
+    # rarest-R + df-band postings policy — but DuckDB evaluates its
+    # two window ranks over the complete shingle stream; at sf1's
+    # 500 k-doc fixed-vocab corpus that pass needs more than the
+    # default 180 s on a loaded box (round 10: 180.7 s under census
+    # contention, engine side 19.4 s). Same one-row raise discipline
+    # as doc_cosine_pairs.
+    "containment_pairs_capped": 2400.0,
+}
 
 
 def per_sf_ann_oracle(name: str, sf_dir: str) -> str | None:
