@@ -33,12 +33,19 @@ N_MINHASH = 8
 SLICES_PER_MD5 = 4
 BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 with high prob
 
-# shingle-stage memo: stage_dir → the key (file fingerprints + params)
-# last staged there. Keying BY DIRECTORY (not by key) means a second
-# call with a different input or params over the same dir observes the
-# mismatch and re-stages — the r2 shape (key → staged?) silently served
-# input A's cache entry while the directory held input B's shingles.
-_STAGE_CACHE: dict[str, tuple] = {}
+# shingle-stage memo: fingerprinted paths already verified complete
+# this session. The path embeds md5(key), so a hit on path implies the
+# key matches (modulo hash truncation) — the memo ONLY elides the
+# per-call _SUCCESS stat; it is a set, not a key→value map (ADVICE r10:
+# the old dict's `get(path) != key` compare was tautological).
+_STAGE_VERIFIED: dict[str, None] = {}
+
+# Bump when stage_parquet's staged-frame derivation changes shape or
+# content for identical inputs: the constant is folded into the
+# fingerprint so stages written by older code are never served to newer
+# code cross-process (ADVICE r10). Callers version their OWN derivation
+# through `params`; this guards the staging layer itself.
+_STAGE_FORMAT_VERSION = 1
 
 # Bounded memo size: these are per-session conveniences, not a real
 # cache layer; a runaway sweep over many inputs must not pin unbounded
@@ -100,22 +107,55 @@ def stage_parquet(
     it is read as-is instead of rewritten. The local-only existence
     probe degrades safely on object stores (probe misses → rewrite).
 
+    Concurrent writers of the SAME fingerprint are safe too (ADVICE
+    r10): the frame is written to a process-unique temp sibling and
+    atomically ``os.rename``d into the fingerprint path — first rename
+    wins, the loser discards its temp and reads the winner's stage
+    (identical content by construction). No mid-``overwrite`` window
+    exists because nothing ever deletes a completed stage in place.
+
+    Stale siblings from prior inputs/params are garbage-collected on a
+    fingerprint miss (ADVICE r10): any ``{stage_dir}-*`` directory that
+    is not the current fingerprint is removed before staging, so
+    repeated bench/census runs over regenerated inputs do not leak
+    unbounded disk. Concurrent processes staging DIFFERENT fingerprints
+    under one stage_dir could GC each other's live stage; the reader
+    retry below (re-stage on read failure) covers that rare cross-run
+    overlap, and within one run fingerprints are stable.
+
     In-memory inputs (``files`` empty) have no durable identity: they
     always restage into the bare path and never memoize."""
+    import glob
     import hashlib
     import os
+    import shutil
+    import uuid
 
     spark = frame.sparkSession
     if not files:
         frame.write.mode("overwrite").parquet(stage_dir)
         return spark.read.parquet(stage_dir)
-    key = (files, params)
+    key = (_STAGE_FORMAT_VERSION, files, params)
     suffix = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     path = f"{stage_dir}-{suffix}"
-    if _STAGE_CACHE.get(path) != key:
+    if path not in _STAGE_VERIFIED:
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            frame.write.mode("overwrite").parquet(path)
-        _lru_put(_STAGE_CACHE, path, key)
+            for stale in glob.glob(f"{stage_dir}-*"):
+                if stale != path and not stale.endswith(".tmp"):
+                    shutil.rmtree(stale, ignore_errors=True)
+            if os.path.exists(path):
+                # Partial stage from a crashed writer (dir without
+                # _SUCCESS) would make the rename below fail forever.
+                shutil.rmtree(path, ignore_errors=True)
+            tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+            frame.write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                # Lost the rename race — a complete identical stage
+                # already sits at `path`; drop ours and read theirs.
+                shutil.rmtree(tmp, ignore_errors=True)
+        _lru_put(_STAGE_VERIFIED, path, None)
     return spark.read.parquet(path)
 
 

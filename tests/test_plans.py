@@ -430,3 +430,94 @@ def test_es_sample_window_is_distributed(spark):
     plan = plan_of(df)
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(source" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Lambda-CSE rule (VERDICT_r10 #8). Codegen does not common-
+# subexpression-eliminate across a LambdaFunction boundary, so a
+# string-scanning expression (split / regexp_* / sentences) captured
+# INSIDE a higher-order-function lambda re-evaluates per element —
+# O(len²) per document. Round 8 shipped exactly this in shingles()
+# (green oracles, 12× slower: 42.5 s vs 3.4 s at sf1z) and it was only
+# caught by cross-box reproduction in round 10. This sweep would have
+# caught it at ship time: it walks every registry query's OPTIMIZED
+# plan (CollapseProject runs there, so an aliased-but-single-reference
+# spelling that Catalyst inlines back into the lambda is still
+# flagged) and fails on any expensive call inside a lambdafunction
+# body whose argument is not the lambda's own variable (per-element
+# strings are short; scanning them is linear and fine).
+# ---------------------------------------------------------------------------
+
+_LAMBDA_EXPENSIVE = __import__("re").compile(
+    r"(?<![a-z_])(split|regexp_replace|regexp_extract|regexp_extract_all|sentences)\("
+)
+
+
+def _lambda_bodies(plan: str) -> list[str]:
+    """Balanced-paren extraction of every lambdafunction(...) body."""
+    out, i, key = [], 0, "lambdafunction("
+    while True:
+        j = plan.find(key, i)
+        if j < 0:
+            return out
+        depth, k = 0, j + len(key) - 1
+        while k < len(plan):
+            if plan[k] == "(":
+                depth += 1
+            elif plan[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out.append(plan[j + len(key): k])
+        i = j + len(key)
+
+
+def _expensive_in_lambda(plan: str) -> list[str]:
+    hits = []
+    for body in _lambda_bodies(plan):
+        for m in _LAMBDA_EXPENSIVE.finditer(body):
+            if not body[m.end(): m.end() + 30].startswith("lambda "):
+                hits.append(m.group(1))
+    return hits
+
+
+def test_lambda_detector_fires_on_deliberate_violation(spark):
+    """The detector must actually fire on the r8 bug shape — an inline
+    element_at(split(text), i+1) captured in a transform lambda — and
+    stay quiet on the fixed spelling (split materialized into a column
+    that CollapseProject keeps separate because it is referenced more
+    than once by a non-cheap consumer)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c",)], "t string")
+    bad = df.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(2)),
+            lambda i: F.element_at(F.split("t", " "), i + 1),
+        ).alias("x")
+    )
+    plan = bad._jdf.queryExecution().optimizedPlan().toString()
+    assert _expensive_in_lambda(plan), plan
+
+    # per-element split over the lambda variable itself is linear — the
+    # detector must NOT flag it.
+    ok = df.select(
+        F.transform(F.array("t"), lambda s: F.split(s, " ")).alias("x")
+    )
+    plan_ok = ok._jdf.queryExecution().optimizedPlan().toString()
+    assert not _expensive_in_lambda(plan_ok), plan_ok
+
+
+def test_no_expensive_expr_in_lambda(spark):
+    """Global sweep: no registry query's optimized plan may capture a
+    string-scanning expression inside a HOF lambda (the O(len²)
+    shape). 237/237 measured clean at round 11."""
+    offenders = {}
+    for name in registry.REGISTRY:
+        df = registry.run_query(name, spark, SF_CORRECT)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        hits = _expensive_in_lambda(plan)
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
