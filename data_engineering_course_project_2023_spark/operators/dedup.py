@@ -547,12 +547,29 @@ def simhash_hamming_pairs(
     )
 
 
-class LibraryScaleLimit(RuntimeError):
+class ScaleGuard(RuntimeError):
+    """Base of the typed refuse-to-run errors: an operator detected —
+    by measurement, before doing the expensive work — that this input
+    regime exceeds its documented scale contract, and names the scale
+    path to use instead. Census runners record any ScaleGuard as an
+    explicit ``skipped_scale_guard`` row instead of a silent budget
+    death or an unhandled Py4JJavaError (VERDICT_r8 #4, r10 #2)."""
+
+
+class LibraryScaleLimit(ScaleGuard):
     """A library-backed operator refused to run: its JVM internals are
     measured to exceed a hard Spark limit past a known input size (not
-    a semantics failure — the native twin is the scale path). Census
-    runners record this as an explicit documented skip instead of an
-    unhandled Py4JJavaError (VERDICT_r8 #4)."""
+    a semantics failure — the native twin is the scale path)."""
+
+
+class AlgorithmScaleLimit(ScaleGuard):
+    """An exact operator refused to run: its own cheap pre-probe
+    measured the algorithm's cost driver (e.g. candidate-slot volume)
+    past the size where the exact spelling can finish, and a capped
+    sibling is the declared scale path. Distinct from LibraryScaleLimit
+    because nothing is broken JVM-side — the REGIME is out of the
+    exact algorithm's contract (saturated vocab ⇒ df stops
+    discriminating ⇒ Σ df² blows up)."""
 
 
 # approxSimilarityJoin materializes its exploded hash-join probe side
@@ -912,6 +929,17 @@ def bloom_novel(
     return probed.filter(~F.expr(" AND ".join(checks))).drop("__bm")
 
 
+# prefix_jaccard_pairs' candidate join generates exactly Σ (prefix-df)²
+# slots. Measured (round 11): sf0.01 6.0e3, sf0.1 3.0e5, sf1z (50 k
+# Zipf docs) 5.6e5 — all green in seconds — vs the sf10 fixed-vocab
+# axis where the full-index Σ df² ≈ 2e10 and the census row died at
+# budget_exceeded(1800 s). 5e8 sits three decades above every measured
+# green run and ~20× under the measured death; past it the exact
+# operator cannot finish and ngram_jaccard_capped (rarest-R prefix,
+# bounded slots) is the declared scale path.
+PREFIX_JACCARD_MAX_SLOTS = 500_000_000
+
+
 def prefix_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -919,6 +947,7 @@ def prefix_jaccard_pairs(
     n: int = 3,
     threshold_num: int = 4,
     threshold_den: int = 5,
+    max_candidate_slots: int | None = PREFIX_JACCARD_MAX_SLOTS,
 ) -> DataFrame:
     """X2 at-scale variant: PPJoin-style PREFIX-FILTERED set-similarity
     join. The inverted-index join (ngram_jaccard_pairs) indexes every
@@ -942,15 +971,31 @@ def prefix_jaccard_pairs(
     oracle runs the naive full inverted index, making the optimization
     itself the thing under test.
 
-    The doc-array frame feeds three consumers (prefix index + both
-    verify sides) UNMATERIALIZED: the consumers share the groupBy
-    exchange via ReusedExchange (measured 2.8 s vs 5.0 s with a
-    localCheckpoint at sf0.1 — materializing array payloads costs more
-    than the reuse saves). At sf0.1 the naive inverted index is still
-    faster (2.1 s): prefix filtering's candidate savings pay at
-    corpus sizes where Σdf² over common shingles dominates — this is
-    the at-scale spelling, and the crossover is the point of keeping
-    BOTH operators.
+    The doc-array frame feeds its consumers (prefix index + both
+    verify sides) UNMATERIALIZED: they share the groupBy exchange via
+    ReusedExchange (measured 2.8 s vs 5.0 s with a localCheckpoint of
+    the ARRAY frame at sf0.1 — materializing array payloads costs more
+    than the reuse saves). The narrow (doc_id, shingle) PREFIX index,
+    by contrast, IS localCheckpointed (round 11): the scale-guard
+    probe below needs its df distribution eagerly, and at 2 narrow
+    columns × prefix_len rows/doc the materialization is the
+    bounded-state shape, shared by the probe and both candidate-join
+    sides. At sf0.1 the naive inverted index is still faster (2.1 s):
+    prefix filtering's candidate savings pay at corpus sizes where
+    Σdf² over common shingles dominates — this is the at-scale
+    spelling, and the crossover is the point of keeping BOTH
+    operators.
+
+    Scale guard (``max_candidate_slots``, VERDICT_r10 #2): the exact
+    prefix is lossless but structurally unbounded on saturated-vocab
+    corpora — when the vocabulary stops growing (template/fixed-vocab
+    strata), even the rarest shingles' df scales with the corpus and
+    Σ(prefix-df)² goes quadratic (measured: census budget death at
+    sf10 fixed-vocab, Σdf² ≈ 2e10). The probe measures the exact slot
+    count with one linear aggregation and refuses past the guard with
+    a typed :class:`AlgorithmScaleLimit` naming ngram_jaccard_capped
+    as the scale path — no census row is ever a silent 30-minute
+    budget death. ``None`` disables (the oracle twins never probe).
     """
     from pyspark.sql.window import Window  # noqa: F401  (doc parity)
 
@@ -978,6 +1023,34 @@ def prefix_jaccard_pairs(
     idx = docs.select(
         "doc_id", F.explode("prefix").alias("shingle")
     )
+    if max_candidate_slots is not None:
+        # Typed scale guard (VERDICT_r10 #2): the candidate join below
+        # generates exactly Σ (prefix-df)² slots, so measure that sum
+        # BEFORE running the join — one linear aggregation over the
+        # prefix index. The index is localCheckpointed first (2 narrow
+        # columns, ~prefix_len rows/doc — the bounded-state shape) so
+        # the probe and both join sides share one materialization
+        # instead of recomputing the tokenize→df→window chain. In the
+        # saturated-vocab regime (fixed vocab ⇒ df stops
+        # discriminating) the sum crosses the guard and the exact
+        # operator refuses with the capped sibling named, instead of
+        # dying a silent census budget death at 30 min.
+        idx = idx.localCheckpoint()
+        slots = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("dfp"))
+            .agg(F.sum(F.col("dfp") * F.col("dfp")).alias("s"))
+            .collect()[0]["s"]
+        ) or 0
+        if slots > max_candidate_slots:
+            raise AlgorithmScaleLimit(
+                f"prefix_jaccard: candidate volume Σ(prefix-df)² = "
+                f"{slots:.2e} slots > {max_candidate_slots:.0e} guard — "
+                "saturated-vocab regime (df no longer discriminates; "
+                "measured budget death at sf10 fixed-vocab with Σdf² "
+                "≈ 2e10); use ngram_jaccard_capped (rarest-R prefix, "
+                "bounded slots) at this scale"
+            )
     a, b = idx.alias("a"), idx.alias("b")
     cands = (
         a.join(b, "shingle")

@@ -111,11 +111,11 @@ def main() -> None:
                 best = dt if best is None or dt < best else best
             except Exception as ex:  # noqa: BLE001 - census records failures
                 from data_engineering_course_project_2023_spark.operators.dedup import (
-                    LibraryScaleLimit,
+                    ScaleGuard,
                 )
 
                 dt = time.perf_counter() - t0
-                if isinstance(ex, LibraryScaleLimit):
+                if isinstance(ex, ScaleGuard):
                     # documented SF guard, not a failure: the operator
                     # itself refused with the measured library limit
                     kind = "skipped_scale_guard"
