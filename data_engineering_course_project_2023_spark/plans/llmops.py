@@ -2807,15 +2807,17 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
     This is the variant a curation pipeline should compose: the exact
     operator's Σdf² is quadratic in the mid-frequency band of a Zipf
     corpus (525 s/248 pairs at sf1z), while the prefix index holds
-    exactly R rows per doc and the generation join streams
-    Σ(prefix-df)² slots (41M vs 1.97e9 at sf1z — 48× less) through a
-    single codegen filter with NO pair aggregate (round 10: each pair
-    is emitted exactly once, from its lexically-smallest shared prefix
-    token — see the candidate-block comment), and scoring touches only
-    |candidates| packed-vector rows. Shuffle shape: tf hash-partitioned
-    by token for candidate generation, by doc_id for scoring — keyed
-    end-to-end, never all-pairs, no aggregation state proportional to
-    candidate volume anywhere.
+    exactly R rows per doc and candidate generation joins on TOKEN-PAIR
+    keys (round 11): the min-shared=2 rule is folded into the join key
+    itself, so the slot stream is Σ(pair-co-occurrence)² — measured
+    3.6e6 at sf1z vs 8.3e7 for the round-10 single-token join and
+    1.97e9 for the exact operator (see the candidate-block comment;
+    the candidate SET is unchanged, only the enumeration is) — and
+    scoring touches only |candidates| packed-vector rows. Shuffle
+    shape: tf hash-partitioned by token for df counts, pair keys
+    hash-partitioned for candidate generation, by doc_id for scoring —
+    keyed end-to-end, never all-pairs, no aggregation state
+    proportional to Σ(prefix-df)² anywhere.
     """
     from pyspark.sql.window import Window
 
@@ -2872,31 +2874,75 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
     # it has; measured: the strict >=2 rule returned 0 rows on the
     # driver's own sf0.01 drop), so the DuckDB twin and the recall pins
     # are untouched.
+    # Candidate generation on TOKEN-PAIR keys (round 11): the round-10
+    # single-token join streamed Σ(prefix-df)² slots — measured 2.24e9
+    # at sf10z → 11.21e9 at sf30z (exponent 1.47, the repo's one
+    # remaining structural superlinearity; 1236 s at sf30z). Round 11's
+    # A/B of the r10 VERDICT's df-banded admission REJECTED it with
+    # numbers (DuckDB replay, sf1z): true-pair witness tokens are
+    # TYPICAL prefix tokens on this axis (prefix-df cap 100 keeps
+    # 8/243 recall; full recall needs the cap above the median, which
+    # saves nothing), and a bucket-capped MinHash blocker trades
+    # recall (238/243 at cap 500). The structural fix instead folds
+    # COSINE_MIN_SHARED = 2 INTO THE JOIN KEY: each doc emits its
+    # C(|prefix|,2) ordered token pairs, and a qualifying pair of docs
+    # must collide on the pair key of two shared prefix tokens — the
+    # candidate set is MATHEMATICALLY IDENTICAL to "share ≥ 2 prefix
+    # tokens" (both spellings' sets equal, so the DuckDB twin and the
+    # recall pins are untouched), but the slot stream is
+    # Σ(pair-co-occurrence)², which collapses because two specific
+    # mid-band tokens rarely sit in the SAME doc's prefix: measured
+    # 3.6e6 slots vs 8.3e7 at sf1z (23×, max bucket 14 vs 7695).
+    # With slots this small the exactly-once emission machinery is
+    # unnecessary — a distinct() over the collided pairs is cheap and
+    # spill-safe (the r9 aggregate death was at 2e9+ slots, three
+    # decades above this stream).
+    #
+    # The least(MIN_SHARED, |Pa|, |Pb|) floor (docs whose whole prefix
+    # is a single token can still collide on everything they have —
+    # the driver's own sf0.01 drop needs it) becomes a separate FLOOR
+    # CHANNEL: single-prefix-token docs join the single-token index;
+    # the two channels are disjoint except 1-vs-1 docs, which the
+    # channel's own distinct() de-duplicates. Measured floor
+    # population: 0 docs on every Zipf axis, a handful at sf0.01.
     pgrp = pref.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("parr")
     )
-    pidx = pgrp.select("doc_id", "parr", F.explode("parr").alias("tok"))
-    pa, pb = pidx.alias("pa"), pidx.alias("pb")
-    inter = F.array_intersect("pa.parr", "pb.parr")
-    cand = (
-        pa.join(pb, "tok")
-        .filter(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .filter(
-            (F.col("tok") == F.element_at(inter, 1))
-            & (
-                F.size(inter)
-                >= F.least(
-                    F.lit(COSINE_MIN_SHARED),
-                    F.size("pa.parr"),
-                    F.size("pb.parr"),
-                )
-            )
-        )
-        .select(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
+    combos = F.flatten(
+        F.transform(
+            "parr",
+            lambda x, i: F.transform(
+                F.slice("parr", i + F.lit(2), F.size("parr")),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
         )
     )
+    idx2 = pgrp.select(
+        "doc_id", F.explode(combos).alias("pk")
+    ).select("doc_id", "pk.t1", "pk.t2")
+    c2a, c2b = idx2.alias("c2a"), idx2.alias("c2b")
+    cand_pairs = (
+        c2a.join(c2b, ["t1", "t2"])
+        .filter(F.col("c2a.doc_id") < F.col("c2b.doc_id"))
+        .select(
+            F.col("c2a.doc_id").alias("doc_a"),
+            F.col("c2b.doc_id").alias("doc_b"),
+        )
+    )
+    floor_single = pgrp.filter(F.size("parr") == 1).select(
+        "doc_id", F.element_at("parr", 1).alias("tok")
+    )
+    pidx = pgrp.select("doc_id", F.explode("parr").alias("tok"))
+    fa, fb = floor_single.alias("fa"), pidx.alias("fb")
+    cand_floor = (
+        fa.join(fb, "tok")
+        .filter(F.col("fa.doc_id") != F.col("fb.doc_id"))
+        .select(
+            F.least("fa.doc_id", "fb.doc_id").alias("doc_a"),
+            F.greatest("fa.doc_id", "fb.doc_id").alias("doc_b"),
+        )
+    )
+    cand = cand_pairs.unionByName(cand_floor).distinct()
     # exact scoring over PACKED per-doc vectors (round 10): the r9
     # spelling re-joined candidates against the row-per-token kept
     # frame, expanding every candidate by its doc length before the

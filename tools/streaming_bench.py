@@ -306,6 +306,83 @@ def run_soak(spark, collector, args) -> None:
     soak["hdr_daily_rollup_stream"] = st2
     print("soak hdr:", json.dumps(st2), flush=True)
 
+    # ---- job C: stream-stream attribution join (two-sided state) -------
+    # (VERDICT_r10 #6) The inner join holds click state watermark+gap
+    # and purchase state watermark; with 30 min of event time per file
+    # and a 1 h watermark, both sides must plateau at ~3 files' worth
+    # of their event type and NEVER trend up across 200 batches.
+    src3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    out3 = []
+    q3 = (
+        joins.attribution_join_stream(src3, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _i: out3.append(df.count()))
+        .option("checkpointLocation", os.path.join(args.work, "ck_soak_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.monotonic()
+    q3.awaitTermination()
+    wall3 = round(time.monotonic() - t0, 3)
+    _await_events(collector, q3.id)
+    rec3 = collector.by_id[str(q3.id)]
+    st3 = progress_stats(collector, q3)
+    st3.update(
+        wall_sec=wall3,
+        rows_per_sec=round(st3["input_rows"] / wall3),
+        out_rows=int(sum(out3)),
+        state=_curve_summary(rec3["state"]),
+    )
+    soak["attribution_join_stream"] = st3
+    print("soak attribution:", json.dumps(
+        {k: v for k, v in st3.items() if k != "state"}
+        | {"state_max": st3["state"]["rows_max"],
+           "state_final": st3["state"]["rows_final"]}), flush=True)
+
+    # ---- job D: per-user funnel (applyInPandasWithState) ---------------
+    # State is keyed by user_id (997 distinct in the generator) and
+    # each user's candidate lists are clamped to t_view + 2×24 h, so
+    # the curve's claim is DOUBLE-bounded: row count flat at the user
+    # cardinality, and per-key payload bounded by the horizon clamp
+    # (a leak in either shows as memory growth across 200 batches).
+    from data_engineering_course_project_2023_spark.streaming import funnel
+
+    src4 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_dir)
+    )
+    out4 = []
+    q4 = (
+        funnel.funnel_stream(src4, watermark="1 hour")
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _i: out4.append(df.count()))
+        .option("checkpointLocation", os.path.join(args.work, "ck_soak_funnel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.monotonic()
+    q4.awaitTermination()
+    wall4 = round(time.monotonic() - t0, 3)
+    _await_events(collector, q4.id)
+    rec4 = collector.by_id[str(q4.id)]
+    st4 = progress_stats(collector, q4)
+    st4.update(
+        wall_sec=wall4,
+        rows_per_sec=round(st4["input_rows"] / wall4),
+        out_rows=int(sum(out4)),
+        state=_curve_summary(rec4["state"]),
+    )
+    soak["funnel_stream"] = st4
+    print("soak funnel:", json.dumps(
+        {k: v for k, v in st4.items() if k != "state"}
+        | {"state_max": st4["state"]["rows_max"],
+           "state_final": st4["state"]["rows_final"]}), flush=True)
+
     doc = {}
     if os.path.exists(args.out):
         with open(args.out) as f:
@@ -317,6 +394,10 @@ def run_soak(spark, collector, args) -> None:
         "soak_dedup_state_max": st["state"]["rows_max"],
         "soak_dedup_state_final": st["state"]["rows_final"],
         "soak_hdr_state_batches": st2["state_batches"],
+        "soak_attr_state_max": st3["state"]["rows_max"],
+        "soak_attr_state_final": st3["state"]["rows_final"],
+        "soak_funnel_state_max": st4["state"]["rows_max"],
+        "soak_funnel_state_final": st4["state"]["rows_final"],
     }))
 
 
