@@ -136,6 +136,351 @@ SELECT count(*), sum(c), max(c),
     return out
 
 
+# ---------------------------------------------------------------------------
+# Analytics leg (VERDICT_r10 #3): the reference's declared analytical
+# workload (docs/neo4j_analytical_ideas.md:1-21) executed against the
+# materialized chain at corpus scale, each query value-checked through
+# engine-representation-free integer invariants recomputed by DuckDB
+# twins on the SAME parquet (PageRank: unrolled integer-exact rounds;
+# communities: python union-find over the twin's heavy-pair edge list,
+# comparing component-size structure only).
+# ---------------------------------------------------------------------------
+
+_ANA_BASE = """
+WITH kept AS (
+  SELECT id, doi, categories FROM arxiv_raw
+  WHERE doi IS NOT NULL AND id IS NOT NULL
+),
+hits AS (
+  SELECT k.id AS arxiv, k.doi, k.categories,
+         COALESCE(p1.paperId, p2.paperId) AS pid
+  FROM kept k
+  LEFT JOIN s2_papers p1 ON k.id = p1.arxiv_id
+  LEFT JOIN s2_papers p2 ON k.doi = p2.s2_doi
+  WHERE COALESCE(p1.paperId, p2.paperId) IS NOT NULL
+),
+enr AS (
+  SELECT h.arxiv, h.doi, h.pid, h.categories, s.year, s.citationCount
+  FROM hits h JOIN s2_papers s ON s.paperId = h.pid
+),
+ab AS (
+  SELECT DISTINCT h.pid, a.name
+  FROM hits h JOIN s2_authors a ON a.paperId = h.pid
+)
+"""
+
+
+def _ana_topics_cte() -> str:
+    from data_engineering_course_project_2023_spark.plans.arxiv_clean import (
+        _case_prefix,
+    )
+    return f""", topics AS (
+  SELECT pid, year, unnest(list_distinct(list_transform(
+    list_distinct(list_filter(string_split(categories, ' '),
+                              x -> x <> '')),
+    t -> CASE {_case_prefix()} ELSE t END))) AS topic
+  FROM enr
+)"""
+
+
+def _ana_pagerank_cte(iters: int, scale: int) -> str:
+    """Unrolled integer-exact PageRank rounds — the PAGERANK_SQL
+    discipline (plans/analytics.py:1243) over string paper ids."""
+    rounds = []
+    for k in range(1, iters + 1):
+        rounds.append(f""", pc{k} AS (
+  SELECT e.dst, SUM(p.pr // d.deg) AS s
+  FROM pedges e JOIN pdeg d USING (src) JOIN ppr{k - 1} p ON p.node = e.src
+  GROUP BY 1
+), ppr{k} AS (
+  SELECT nd.node,
+         CAST((SELECT base FROM pconsts)
+              + (85 * COALESCE(pc{k}.s, 0)) // 100 AS BIGINT) AS pr
+  FROM pnodes nd LEFT JOIN pc{k} ON pc{k}.dst = nd.node
+)""")
+    return f""", pids AS (
+  SELECT DISTINCT pid FROM hits
+), pedges AS (
+  SELECT DISTINCT c.otherPaperId AS src, c.paperId AS dst
+  FROM s2_citations c
+  JOIN pids a ON c.otherPaperId = a.pid
+  JOIN pids b ON c.paperId = b.pid
+), pnodes AS (
+  SELECT src AS node FROM pedges UNION SELECT dst FROM pedges
+), pdeg AS (
+  SELECT src, COUNT(*) AS deg FROM pedges GROUP BY 1
+), pconsts AS (
+  SELECT ({scale} // COUNT(*)) AS init,
+         (15 * ({scale} // COUNT(*))) // 100 AS base
+  FROM pnodes
+), ppr0 AS (
+  SELECT node, CAST((SELECT init FROM pconsts) AS BIGINT) AS pr FROM pnodes
+){"".join(rounds)}"""
+
+
+def _union_find_stats(pairs) -> dict[str, int]:
+    """Oracle-side communities: union-find over an edge list, comparing
+    STRUCTURE only (labels are representation-dependent: the engine
+    canonicalizes by min surrogate sha, the twin by min author name)."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    sizes: dict = {}
+    for x in parent:
+        r = find(x)
+        sizes[r] = sizes.get(r, 0) + 1
+    return {
+        "ana_comm_n": len(sizes),
+        "ana_comm_max_size": max(sizes.values()) if sizes else 0,
+        "ana_comm_sizesq_sum": sum(s * s for s in sizes.values()),
+    }
+
+
+def duckdb_analytics(data: str) -> dict[str, int]:
+    import duckdb
+
+    from data_engineering_course_project_2023_spark.plans.arxiv_analytics import (
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{data}/{t}.parquet'"
+        )
+    out: dict[str, int] = {}
+    q = lambda sql: con.execute(sql).fetchone()  # noqa: E731
+
+    s, d = q(_ANA_BASE + """
+SELECT SUM(citationCount),
+       SUM(CAST(replace(arxiv, '.', '') AS BIGINT))
+FROM (SELECT arxiv, citationCount FROM enr
+      ORDER BY citationCount DESC, arxiv ASC LIMIT 100)""")
+    out["ana_most_cited_sum"], out["ana_most_cited_digest"] = s, d
+
+    s, d = q(_ANA_BASE + r""", refs AS (
+  SELECT unnest(c."references") AS r
+  FROM enr e JOIN crossref c ON e.doi = c.doi
+), refcnt AS (
+  SELECT r.DOI AS cited_doi, COUNT(*) AS n FROM refs GROUP BY 1
+)
+SELECT SUM(n),
+       SUM(CAST(regexp_extract(cited_doi, 'j\.(\d+)$', 1) AS BIGINT))
+FROM (SELECT * FROM refcnt ORDER BY n DESC, cited_doi ASC LIMIT 100)""")
+    out["ana_most_ref_sum"], out["ana_most_ref_digest"] = s, d
+
+    y, sq = q(_ANA_BASE + """
+SELECT COUNT(*), SUM(n * n)
+FROM (SELECT year, COUNT(*) AS n FROM enr GROUP BY 1)""")
+    out["ana_trend_years"], out["ana_trend_sumsq"] = y, sq
+
+    s, c = q(_ANA_BASE + """
+SELECT SUM(n), MIN(n)
+FROM (SELECT name, COUNT(*) AS n FROM ab GROUP BY 1
+      ORDER BY n DESC, name ASC LIMIT 100)""")
+    out["ana_prolific_sum"], out["ana_prolific_cut"] = s, c
+
+    n, p = q(_ANA_BASE + _ana_topics_cte() + """
+, spec AS (
+  SELECT name, topic, COUNT(*) AS n
+  FROM (SELECT DISTINCT a.name, t.topic, t.pid
+        FROM ab a JOIN topics t ON a.pid = t.pid)
+  GROUP BY 1, 2
+), dom AS (
+  SELECT name, topic FROM (
+    SELECT name, topic,
+           row_number() OVER (PARTITION BY name
+                              ORDER BY n DESC, topic ASC) AS rn
+    FROM spec) WHERE rn = 1
+)
+SELECT COUNT(*), COUNT(*) FILTER (WHERE topic = 'Physics') FROM dom""")
+    out["ana_spec_rows"], out["ana_spec_physics"] = n, p
+
+    r, mx, s = q(_ANA_BASE + _ana_topics_cte() + """
+SELECT COUNT(*), MAX(n), SUM(n)
+FROM (SELECT topic, COUNT(*) AS n FROM topics GROUP BY 1)""")
+    out["ana_topics_rows"] = r
+    out["ana_topics_max"], out["ana_topics_sum"] = mx, s
+
+    p, sq = q(_ANA_BASE + _ana_topics_cte() + """
+SELECT COUNT(*), SUM(n * n)
+FROM (SELECT year, topic, COUNT(*) AS n FROM topics GROUP BY 1, 2)""")
+    out["ana_evo_pairs"], out["ana_evo_sumsq"] = p, sq
+
+    pr_cte = _ANA_BASE + _ana_pagerank_cte(PR_ITERS, PR_SCALE)
+    t, mx = q(pr_cte + f"SELECT SUM(pr), MAX(pr) FROM ppr{PR_ITERS}")
+    (d,) = q(pr_cte + f"""
+SELECT SUM(CAST(substr(node, 3) AS BIGINT))
+FROM (SELECT node FROM ppr{PR_ITERS}
+      ORDER BY pr DESC, node ASC LIMIT 20)""")
+    out["ana_pr_total_units"], out["ana_pr_max_units"] = t, mx
+    out["ana_pr_top20_digest"] = d
+
+    heavy = con.execute(_ANA_BASE + """
+SELECT n1, n2 FROM (
+  SELECT x.name AS n1, y.name AS n2, COUNT(*) AS c
+  FROM ab x JOIN ab y ON x.pid = y.pid AND x.name < y.name
+  GROUP BY 1, 2) WHERE c >= 2""").fetchall()
+    out.update(_union_find_stats(heavy))
+
+    n, s, mx = q(_ANA_BASE + """
+, pa AS (
+  SELECT DISTINCT pid, uni FROM (
+    SELECT a.paperId AS pid, unnest(a.affiliations) AS uni
+    FROM s2_authors a JOIN (SELECT DISTINCT pid FROM hits) p
+      ON a.paperId = p.pid)
+), ip AS (
+  SELECT x.uni AS u1, y.uni AS u2, COUNT(*) AS c
+  FROM pa x JOIN pa y ON x.pid = y.pid AND x.uni < y.uni
+  GROUP BY 1, 2
+)
+SELECT COUNT(*), SUM(c), MAX(c) FROM ip""")
+    out["ana_inst_pairs"], out["ana_inst_weight_sum"] = n, s
+    out["ana_inst_weight_max"] = mx
+    con.close()
+    return {k: int(v) for k, v in out.items()}
+
+
+def analytics_leg(spark, run_root: str, data: str):
+    """Run the arxiv_analytics plans against the materialized chain,
+    reducing each to the same named invariants the DuckDB twins
+    compute. Returns (invariants, per-query seconds)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans import (
+        arxiv_analytics as A,
+    )
+
+    enriched = spark.read.parquet(os.path.join(run_root, "enriched"))
+    collab = spark.read.parquet(os.path.join(run_root, "collab"))
+    s2c = spark.read.parquet(os.path.join(data, "s2_citations.parquet"))
+    got: dict[str, int] = {}
+    secs: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.monotonic()
+        got.update({k: int(v) for k, v in fn().items()})
+        secs[name] = round(time.monotonic() - t0, 3)
+        print(f"  analytics {name}: {secs[name]} s", flush=True)
+
+    def _most_cited():
+        r = A.most_cited(enriched).agg(
+            F.sum("citation_count").alias("s"),
+            F.sum(F.regexp_replace("arxiv", r"\.", "").cast("long")).alias("d"),
+        ).first()
+        return {"ana_most_cited_sum": r["s"], "ana_most_cited_digest": r["d"]}
+
+    def _most_ref():
+        r = A.most_referenced(enriched).agg(
+            F.sum("n_referencing").alias("s"),
+            F.sum(
+                F.regexp_extract("cited_doi", r"j\.(\d+)$", 1).cast("long")
+            ).alias("d"),
+        ).first()
+        return {"ana_most_ref_sum": r["s"], "ana_most_ref_digest": r["d"]}
+
+    def _trend():
+        r = A.pubs_per_year(enriched).agg(
+            F.count(F.lit(1)).alias("y"),
+            F.sum(F.col("n_pubs") * F.col("n_pubs")).alias("sq"),
+        ).first()
+        return {"ana_trend_years": r["y"], "ana_trend_sumsq": r["sq"]}
+
+    def _prolific():
+        r = A.prolific_authors(enriched).agg(
+            F.sum("n_papers").alias("s"), F.min("n_papers").alias("c")
+        ).first()
+        return {"ana_prolific_sum": r["s"], "ana_prolific_cut": r["c"]}
+
+    def _spec():
+        r = A.author_specialization(enriched).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("specialization") == "Physics").cast("long")
+            ).alias("p"),
+        ).first()
+        return {"ana_spec_rows": r["n"], "ana_spec_physics": r["p"]}
+
+    def _topics():
+        r = A.popular_topics(enriched).agg(
+            F.count(F.lit(1)).alias("r"),
+            F.max("n_pubs").alias("mx"),
+            F.sum("n_pubs").alias("s"),
+        ).first()
+        return {"ana_topics_rows": r["r"], "ana_topics_max": r["mx"],
+                "ana_topics_sum": r["s"]}
+
+    def _evo():
+        r = A.topic_evolution(enriched).agg(
+            F.count(F.lit(1)).alias("p"),
+            F.sum(F.col("n_pubs") * F.col("n_pubs")).alias("sq"),
+        ).first()
+        return {"ana_evo_pairs": r["p"], "ana_evo_sumsq": r["sq"]}
+
+    def _pagerank():
+        pr = A.citation_pagerank(enriched, s2c).localCheckpoint()
+        r = pr.agg(F.sum("pr_units").alias("t"),
+                   F.max("pr_units").alias("mx")).first()
+        d = (
+            pr.orderBy(F.col("pr_units").desc(), F.col("paper_id").asc())
+            .limit(20)
+            .agg(F.sum(F.expr(
+                "CAST(substring(paper_id, 3) AS BIGINT)")).alias("d"))
+            .first()["d"]
+        )
+        return {"ana_pr_total_units": r["t"], "ana_pr_max_units": r["mx"],
+                "ana_pr_top20_digest": d}
+
+    def _communities():
+        sizes = (
+            A.collab_communities(collab)
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        r = sizes.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("sz").alias("mx"),
+            F.sum(F.col("sz") * F.col("sz")).alias("sq"),
+        ).first()
+        return {"ana_comm_n": r["n"], "ana_comm_max_size": r["mx"],
+                "ana_comm_sizesq_sum": r["sq"]}
+
+    def _institutional():
+        r = A.institutional_collab_pairs(enriched).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_papers").alias("s"),
+            F.max("n_papers").alias("mx"),
+        ).first()
+        return {"ana_inst_pairs": r["n"], "ana_inst_weight_sum": r["s"],
+                "ana_inst_weight_max": r["mx"]}
+
+    run("most_cited", _most_cited)
+    run("most_referenced", _most_ref)
+    run("pubs_per_year", _trend)
+    run("prolific_authors", _prolific)
+    run("author_specialization", _spec)
+    run("popular_topics", _topics)
+    run("topic_evolution", _evo)
+    run("citation_pagerank", _pagerank)
+    run("collab_communities", _communities)
+    run("institutional_collab", _institutional)
+    return got, secs
+
+
 def build_stages():
     from pyspark.sql import functions as F
 
@@ -324,6 +669,14 @@ def main() -> None:
         "sink into embedded Derby and run the zero-orphan audit "
         "against the landed tables",
     )
+    ap.add_argument(
+        "--analytics", action="store_true",
+        help="VERDICT_r10 #3: run the reference's declared analytical "
+        "workload (neo4j_analytical_ideas.md — most-cited, trends, "
+        "prolific, specialization, topics, evolution, citation "
+        "PageRank, collab communities, institutional collab) against "
+        "the materialized chain, value-checked via DuckDB twins",
+    )
     ap.add_argument("--derby-dir", default="/tmp/arxiv_dwh_derby")
     ap.add_argument(
         "--dwh-audit-only", action="store_true",
@@ -413,9 +766,18 @@ def main() -> None:
                           ("dwh_load_total_sec", "dwh_rows_landed",
                            "dwh_zero_orphans")}), flush=True)
 
+    ana_secs = None
+    if args.analytics:
+        print("running analytics leg (Spark)...", flush=True)
+        ana_got, ana_secs = analytics_leg(spark, run_root, args.data)
+        got.update(ana_got)
+
     print("running DuckDB twins...", flush=True)
     t0 = time.monotonic()
     exp = duckdb_checks(args.data)
+    if args.analytics:
+        print("running analytics DuckDB twins...", flush=True)
+        exp.update(duckdb_analytics(args.data))
     duck_secs = round(time.monotonic() - t0, 3)
 
     correct = {}
@@ -444,6 +806,9 @@ def main() -> None:
         },
         "data": args.data,
     }
+    if ana_secs is not None:
+        bench["analytics_secs"] = ana_secs
+        bench["analytics_total_sec"] = round(sum(ana_secs.values()), 3)
     if dwh is not None:
         bench["dwh"] = dwh
     with open(args.out_bench, "w") as f:
