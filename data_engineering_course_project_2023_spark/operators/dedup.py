@@ -33,12 +33,17 @@ N_MINHASH = 8
 SLICES_PER_MD5 = 4
 BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 with high prob
 
-# shingle-stage memo: fingerprinted paths already verified complete
-# this session. The path embeds md5(key), so a hit on path implies the
-# key matches (modulo hash truncation) — the memo ONLY elides the
-# per-call _SUCCESS stat; it is a set, not a key→value map (ADVICE r10:
-# the old dict's `get(path) != key` compare was tautological).
-_STAGE_VERIFIED: dict[str, None] = {}
+# Stage paths this PROCESS has staged or reused — GC protection, not a
+# cache: the stale-sibling GC must never delete a directory another
+# registry query in this same session staged under a different params
+# fingerprint and may still re-read (round 11 regression: the full-
+# registry plan sweep interleaves two param sets on one stage_dir; the
+# old code GC'd the first set's live stage on the second's fingerprint
+# miss, then a verified-path memo served the deleted path →
+# PATH_NOT_FOUND). Unbounded by design: it holds one short string per
+# distinct (stage_dir, inputs, params) seen in a session — dozens, not
+# millions — and correctness depends on it never evicting.
+_STAGE_LIVE: set[str] = set()
 
 # Bump when stage_parquet's staged-frame derivation changes shape or
 # content for identical inputs: the constant is folded into the
@@ -114,14 +119,22 @@ def stage_parquet(
     (identical content by construction). No mid-``overwrite`` window
     exists because nothing ever deletes a completed stage in place.
 
-    Stale siblings from prior inputs/params are garbage-collected on a
+    Stale siblings from prior RUNS are garbage-collected on a
     fingerprint miss (ADVICE r10): any ``{stage_dir}-*`` directory that
-    is not the current fingerprint is removed before staging, so
-    repeated bench/census runs over regenerated inputs do not leak
-    unbounded disk. Concurrent processes staging DIFFERENT fingerprints
-    under one stage_dir could GC each other's live stage; the reader
-    retry below (re-stage on read failure) covers that rare cross-run
-    overlap, and within one run fingerprints are stable.
+    is not the current fingerprint AND was not staged by this process
+    (``_STAGE_LIVE``) is removed before staging, so repeated bench/
+    census runs over regenerated inputs do not leak unbounded disk.
+    The live-set exclusion is load-bearing: one session's registry
+    sweep interleaves different param sets on the same stage_dir, and
+    GC'ing a sibling this process may still re-read turns a later
+    memo/reuse hit into PATH_NOT_FOUND (the round-11 inherited red
+    tree). Every call re-probes ``_SUCCESS`` instead of trusting an
+    in-memory memo, so a stage deleted by a CONCURRENT process's GC is
+    restaged rather than served dead; the residual race — another
+    process GC'ing this stage between the probe and the read — is
+    accepted and documented (ADVICE r10 option 2): it requires two
+    simultaneous sessions staging different fingerprints of the same
+    logical stage, and the bench/census harnesses run one at a time.
 
     In-memory inputs (``files`` empty) have no durable identity: they
     always restage into the bare path and never memoize."""
@@ -138,24 +151,32 @@ def stage_parquet(
     key = (_STAGE_FORMAT_VERSION, files, params)
     suffix = hashlib.md5(repr(key).encode()).hexdigest()[:16]
     path = f"{stage_dir}-{suffix}"
-    if path not in _STAGE_VERIFIED:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            for stale in glob.glob(f"{stage_dir}-*"):
-                if stale != path and not stale.endswith(".tmp"):
-                    shutil.rmtree(stale, ignore_errors=True)
-            if os.path.exists(path):
-                # Partial stage from a crashed writer (dir without
-                # _SUCCESS) would make the rename below fail forever.
-                shutil.rmtree(path, ignore_errors=True)
-            tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
-            frame.write.mode("overwrite").parquet(tmp)
-            try:
-                os.rename(tmp, path)
-            except OSError:
-                # Lost the rename race — a complete identical stage
-                # already sits at `path`; drop ours and read theirs.
-                shutil.rmtree(tmp, ignore_errors=True)
-        _lru_put(_STAGE_VERIFIED, path, None)
+    # Always re-probe _SUCCESS (a stat, not a listing — O(µs) against
+    # ~100 ms of Spark planning per stage consumer): a concurrent
+    # process's fingerprint-miss GC may have removed this stage since
+    # we last saw it, and serving a memoized dead path fails the whole
+    # query at analysis time.
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        for stale in glob.glob(f"{stage_dir}-*"):
+            if (
+                stale != path
+                and stale not in _STAGE_LIVE
+                and not stale.endswith(".tmp")
+            ):
+                shutil.rmtree(stale, ignore_errors=True)
+        if os.path.exists(path):
+            # Partial stage from a crashed writer (dir without
+            # _SUCCESS) would make the rename below fail forever.
+            shutil.rmtree(path, ignore_errors=True)
+        tmp = f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+        frame.write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # Lost the rename race — a complete identical stage
+            # already sits at `path`; drop ours and read theirs.
+            shutil.rmtree(tmp, ignore_errors=True)
+    _STAGE_LIVE.add(path)
     return spark.read.parquet(path)
 
 

@@ -9,13 +9,17 @@ These tests pin the four hardening properties added in round 11:
 1. atomic publish: stages appear via temp-dir + os.rename, so a
    completed stage is never deleted/rewritten in place and a rename
    loser falls back to the winner's identical stage;
-2. stale-sibling GC: a fingerprint miss removes prior `{dir}-*`
-   fingerprint dirs (regenerated inputs don't leak unbounded disk);
+2. stale-sibling GC: a fingerprint miss removes prior-RUN `{dir}-*`
+   fingerprint dirs (regenerated inputs don't leak unbounded disk) —
+   but never dirs staged by THIS process (`_STAGE_LIVE`), because one
+   session's registry sweep interleaves param sets on a shared
+   stage_dir and re-reads earlier fingerprints (the round-11 inherited
+   PATH_NOT_FOUND);
 3. format versioning: _STAGE_FORMAT_VERSION participates in the
    fingerprint, so stages written by older staging code are not served
    to newer code;
-4. the in-memory memo is a verified-path set (only elides the
-   _SUCCESS stat; correctness never depends on it).
+4. no trust in in-memory state: every call re-probes _SUCCESS, so a
+   stage GC'd by a concurrent process is restaged, not served dead.
 """
 
 from __future__ import annotations
@@ -54,9 +58,9 @@ def test_stage_reuse_and_atomic_publish(spark, frame, tmp_path):
     mtime = os.stat(dirs[0]).st_mtime_ns
 
     # Second call with the same fingerprint reuses the stage verbatim
-    # (no rewrite — the dir's mtime is untouched) even with the memo
-    # cleared, i.e. cross-process reuse via _SUCCESS.
-    dedup._STAGE_VERIFIED.clear()
+    # (no rewrite — the dir's mtime is untouched) even in a fresh
+    # process (live-set cleared), i.e. cross-process reuse via _SUCCESS.
+    dedup._STAGE_LIVE.clear()
     out2 = dedup.stage_parquet(frame, base, files, params=("p", 1))
     assert out2.count() == 3
     assert os.stat(dirs[0]).st_mtime_ns == mtime
@@ -67,10 +71,47 @@ def test_fingerprint_miss_gcs_stale_siblings(spark, frame, tmp_path):
     dedup.stage_parquet(frame, base, _fp(tmp_path), params=("p", 1))
     old = glob.glob(base + "-*")
     assert len(old) == 1
-    # New params → new fingerprint → the stale dir is removed.
+    # A LATER RUN (fresh process → empty live set) with new params →
+    # new fingerprint → the prior run's stale dir is removed.
+    dedup._STAGE_LIVE.clear()
     dedup.stage_parquet(frame, base, _fp(tmp_path), params=("p", 2))
     now = glob.glob(base + "-*")
     assert len(now) == 1 and now[0] != old[0]
+
+
+def test_in_process_siblings_survive_and_stay_readable(spark, frame, tmp_path):
+    """The round-11 inherited regression: two param sets interleaved on
+    one stage_dir within one process (the registry sweep shape). The
+    first set's stage must NOT be GC'd by the second's fingerprint
+    miss, and a third call re-using the first fingerprint must read it
+    verbatim instead of dying on a deleted path."""
+    base = str(tmp_path / "stage")
+    files = _fp(tmp_path)
+    dedup.stage_parquet(frame, base, files, params=("p", 1))
+    p1 = glob.glob(base + "-*")[0]
+    dedup.stage_parquet(frame, base, files, params=("p", 2))
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))  # not GC'd
+    assert len(glob.glob(base + "-*")) == 2
+    mtime = os.stat(p1).st_mtime_ns
+    out = dedup.stage_parquet(frame, base, files, params=("p", 1))
+    assert out.count() == 3
+    assert os.stat(p1).st_mtime_ns == mtime  # reused, not rewritten
+
+
+def test_concurrently_gcd_stage_is_restaged(spark, frame, tmp_path):
+    """Property 4: a stage this process already staged but that a
+    concurrent process's GC deleted is detected by the per-call
+    _SUCCESS probe and rebuilt — never served as a dead path."""
+    import shutil
+
+    base = str(tmp_path / "stage")
+    files = _fp(tmp_path)
+    dedup.stage_parquet(frame, base, files, params=("p", 1))
+    p1 = glob.glob(base + "-*")[0]
+    shutil.rmtree(p1)  # concurrent process GC'd it
+    out = dedup.stage_parquet(frame, base, files, params=("p", 1))
+    assert out.count() == 3
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
 
 
 def test_partial_stage_is_replaced(spark, frame, tmp_path):
@@ -82,7 +123,7 @@ def test_partial_stage_is_replaced(spark, frame, tmp_path):
     # exact fingerprint path. The next call must rebuild, not fail the
     # rename forever or read the partial.
     os.remove(os.path.join(path, "_SUCCESS"))
-    dedup._STAGE_VERIFIED.clear()
+    dedup._STAGE_LIVE.clear()
     out = dedup.stage_parquet(frame, base, files, params=("p", 1))
     assert out.count() == done_count == 3
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
@@ -93,7 +134,10 @@ def test_format_version_in_fingerprint(spark, frame, tmp_path, monkeypatch):
     files = _fp(tmp_path)
     dedup.stage_parquet(frame, base, files, params=("p", 1))
     v1 = glob.glob(base + "-*")
+    # A format-version bump ships as new code → new process: model it
+    # with a cleared live set so the old-version dir is GC-eligible.
     monkeypatch.setattr(dedup, "_STAGE_FORMAT_VERSION", 999)
+    dedup._STAGE_LIVE.clear()
     dedup.stage_parquet(frame, base, files, params=("p", 1))
     v2 = glob.glob(base + "-*")
     # Same inputs+params, bumped version → different path (and the old
