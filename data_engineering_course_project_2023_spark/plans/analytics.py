@@ -942,8 +942,11 @@ def late_sole_suppliers(t: Tables) -> DataFrame:
     NOT EXISTS (another supplier was also late) is a left_anti join —
     both equi on l_orderkey with the <> residual, so Catalyst keeps
     them hash joins, never a nested loop. The `late` frame is built
-    once and reused for the probe and the anti side; at scale all
-    three shuffles share the l_orderkey partitioning."""
+    once (localCheckpoint — round 11: the lazy spelling re-ran the
+    lineitem⋈orders build for the anti side too, 3 lineitem scans in
+    plans/r11/late_sole_suppliers_before.txt) and reused for the probe
+    and the anti side; at scale all three shuffles share the
+    l_orderkey partitioning."""
     late = (
         t["lineitem"]
         .select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -951,6 +954,7 @@ def late_sole_suppliers(t: Tables) -> DataFrame:
               F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
+        .localCheckpoint(eager=False)
     )
     others = t["lineitem"].select(
         F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")

@@ -576,8 +576,14 @@ def kmv_set_similarity(t: Tables) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = t["events"]
-    sk = _kmv_bottomk(ev)
-    types = ev.select("event_type").distinct()
+    # sk feeds both membership unions, types feeds pairs (itself read
+    # four times), users feeds both exact-side unions: unmaterialized,
+    # each reference re-ran a corpus-sized distinct from its own events
+    # scan (12 scans in plans/r11/kmv_set_similarity_before.txt). All
+    # three frames are post-aggregation small (types×k / 5 rows /
+    # distinct users) — checkpoint once, reread everywhere.
+    sk = _kmv_bottomk(ev).localCheckpoint(eager=False)
+    types = ev.select("event_type").distinct().localCheckpoint(eager=False)
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(
@@ -607,7 +613,7 @@ def kmv_set_similarity(t: Tables) -> DataFrame:
             F.sum(F.col("in_a") * F.col("in_b")).alias("inter_in_k"),
         )
     )
-    users = ev.select("event_type", "user_id").distinct()
+    users = ev.select("event_type", "user_id").distinct().localCheckpoint(eager=False)
     ex = (
         pairs.join(
             users.select(

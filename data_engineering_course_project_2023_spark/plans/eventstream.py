@@ -321,10 +321,16 @@ def conversion_funnel(t: Tables) -> DataFrame:
     arrives pruned to (user_id, event_type, ts)."""
     ev = t["events"].select("user_id", "event_type", "ts")
 
+    # first_view feeds the click chain AND the stage union, first_click
+    # the purchase chain AND the union: lazily composed, each reference
+    # re-scanned events through the whole prior chain (5 scans in
+    # plans/r11/conversion_funnel_before.txt). The stage frames are
+    # per-user aggregates — the natural materialization boundary.
     first_view = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     first_click = (
         ev.filter(F.col("event_type") == "click")
@@ -335,6 +341,7 @@ def conversion_funnel(t: Tables) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     first_purchase = (
         ev.filter(F.col("event_type") == "purchase")
@@ -574,37 +581,80 @@ def value_outliers_mad(t: Tables) -> DataFrame:
     value, so every downstream comparison is over bit-identical doubles
     on any engine — no interpolation-order epsilon at the threshold.
 
-    Scale shape: two keyed shuffles (rank for the median, rank for the
-    MAD) + two broadcast joins of the per-key medians; never a global
-    sort."""
-    ev = t["events"].select("event_type", "event_id", "value")
-    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    Scale shape (round 11, guide §2.3 "aggregate before you shuffle"):
+    ONE map-side partial aggregation collapses events to a per-(type,
+    value) HISTOGRAM — the value domain saturates (sf0.1: 17.8k
+    distinct of 100k rows and sublinear in SF), so every downstream
+    pass runs over a domain-bounded frame instead of the fact table.
+    The discrete rank-ceil(n/2) element is read off the histogram's
+    cumulative counts (the element at rank r has the value v with
+    cum(v−) < r ≤ cum(v) — identical to the old full-data row_number
+    selection, since event_id tiebreaks never change the *value* at a
+    rank), and the MAD repeats the trick on the |value−med| histogram.
+    The old spelling windowed the FULL fact table by event_type twice
+    (5 partitions → 5-task sort at any scale) and recomputed the
+    dev subtree for the final aggregate; the histogram is built once,
+    localCheckpoint-ed (it feeds med, the adev histogram, and the
+    final outlier count), and the fact table is scanned exactly once.
+    """
+    hist = (
+        t["events"]
+        .groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
     med = (
-        ev.withColumn("_rn", F.row_number().over(wv))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
-        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        hist.withColumn("_cum", F.sum("cnt").over(wcum))
+        .withColumn("_n", F.sum("cnt").over(wall))
+        .withColumn("_r", F.floor((F.col("_n") + 1) / 2))
+        .filter(
+            (F.col("_cum") - F.col("cnt") < F.col("_r"))
+            & (F.col("_r") <= F.col("_cum"))
+        )
         .select("event_type", F.col("value").alias("med"))
     )
-    dev = ev.join(F.broadcast(med), "event_type").withColumn(
-        "adev", F.abs(F.col("value") - F.col("med"))
+    dev_hist = (
+        hist.join(F.broadcast(med), "event_type")
+        .groupBy(
+            "event_type",
+            F.abs(F.col("value") - F.col("med")).alias("adev"),
+        )
+        .agg(F.sum("cnt").alias("cnt"), F.max("med").alias("med"))
+        .localCheckpoint(eager=False)
     )
-    wd = Window.partitionBy("event_type").orderBy("adev", "event_id")
+    wadev = (
+        Window.partitionBy("event_type")
+        .orderBy("adev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     mad = (
-        dev.withColumn("_rn", F.row_number().over(wd))
-        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy("event_type")))
-        .filter(F.col("_rn") == F.floor((F.col("_n") + 1) / 2))
+        dev_hist.withColumn("_cum", F.sum("cnt").over(wadev))
+        .withColumn("_n", F.sum("cnt").over(wall))
+        .withColumn("_r", F.floor((F.col("_n") + 1) / 2))
+        .filter(
+            (F.col("_cum") - F.col("cnt") < F.col("_r"))
+            & (F.col("_r") <= F.col("_cum"))
+        )
         .select("event_type", F.col("adev").alias("mad"))
     )
     return (
-        dev.join(F.broadcast(mad), "event_type")
+        dev_hist.join(F.broadcast(mad), "event_type")
         .groupBy("event_type")
         .agg(
             F.round(F.max("med"), 6).alias("med"),
             F.round(F.max("mad"), 6).alias("mad"),
             F.sum(
-                F.when(F.col("adev") > 3 * F.col("mad"), 1).otherwise(0)
+                F.when(F.col("adev") > 3 * F.col("mad"), F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
             ).alias("n_outliers"),
-            F.count(F.lit(1)).alias("n_total"),
+            F.sum("cnt").alias("n_total"),
         )
     )
 
@@ -1416,10 +1466,16 @@ def funnel_by_variant(t: Tables) -> DataFrame:
     group key. Rates are int/int double divisions (exact both
     engines)."""
     ev = t["events"].select("user_id", "event_type", "ts")
+    # first_view feeds the click chain AND the stage union, first_click
+    # the purchase chain AND the union: lazily composed, each reference
+    # re-scanned events through the whole prior chain (6 scans in
+    # plans/r11/funnel_by_variant_before.txt). The stage frames are
+    # per-user aggregates — the natural materialization boundary.
     first_view = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     first_click = (
         ev.filter(F.col("event_type") == "click")
@@ -1430,6 +1486,7 @@ def funnel_by_variant(t: Tables) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     first_purchase = (
         ev.filter(F.col("event_type") == "purchase")

@@ -1342,7 +1342,14 @@ def tfidf_top_terms(t: Tables) -> DataFrame:
 
     docs = spread(t["documents"])
     toks = docs.select("doc_id", F.explode(textops.tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the df aggregate and the scored join; checkpoint so
+    # the tokenize+count subtree runs once, not per consumer (3
+    # `documents` scans in plans/r11/tfidf_top_terms_before.txt).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
@@ -1729,6 +1736,13 @@ def token_pmi(t: Tables) -> DataFrame:
         ).alias("bg")
     ).select("bg.a", "bg.b")
     uni = docs.select(F.explode("toks").alias("tok"))
+    # Deliberately NOT checkpointed (round 11): the formatted plan
+    # shows 4 `documents` scans, but task input metrics prove runtime
+    # exchange reuse already collapses them to ONE (10k records read);
+    # a ucnt checkpoint + n_tot-from-Σn_tok rewrite measured +8%
+    # executor CPU for nothing. Counter-example to the multi-consumer
+    # checkpoint rule: when every consumer hangs off the SAME exchange,
+    # Spark's ReuseExchange beats an explicit materialization.
     n_tot = uni.agg(F.count(F.lit(1)).alias("n_tokens"))
     ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n_tok"))
     pairs = (
@@ -2538,12 +2552,24 @@ def curation_funnel(t: Tables) -> DataFrame:
     flags = gopher_quality(
         {"documents": docs.filter(F.col("source") != "src0")}
     ).select("doc_id", "keep")
-    q = pool.join(flags.filter(F.col("keep")), "doc_id").select("doc_id", "text")
+    # q feeds the stage-1 count and the dedup window; d feeds the
+    # stage-2 count, the 8-gram shingle probe and the anti-join — the
+    # lazy composition re-derived the tokenize-heavy gopher chain per
+    # consumer (10 `documents` scans in plans/r11/
+    # curation_funnel_before.txt). Materialize each funnel stage once
+    # (the staged-survivor discipline curation_funnel_neardup measured
+    # 8.2→4.6 s with in round 10).
+    q = (
+        pool.join(flags.filter(F.col("keep")), "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     d = (
         q.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select("doc_id", "text")
+        .localCheckpoint()
     )
     eval_sh = (
         dedup.shingles(docs.filter(F.col("source") == "src0"), n=8)
@@ -2699,6 +2725,15 @@ def doc_cosine_pairs(t: Tables, stage_dir: str | None = None) -> DataFrame:
             tf, stage_dir,
             dedup._files_fingerprint(t["documents"]), ("cosine_tf",),
         )
+    else:
+        # The tf frame feeds df counts, norms and both join sides; the
+        # unstaged registry spelling re-derived scan→tokenize→count per
+        # consumer (12 `documents` scans in plans/r11/
+        # doc_cosine_pairs_before.txt — AQE exchange reuse does NOT
+        # cover it: the shared subtree ends before any exchange).
+        # localCheckpoint is the in-session twin of the stage_dir path:
+        # tokenize once, every consumer re-reads the materialized frame.
+        tf = tf.localCheckpoint()
     n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     heavy = (
@@ -2832,6 +2867,12 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
             tf, stage_dir,
             dedup._files_fingerprint(t["documents"]), ("cosine_tf",),
         )
+    else:
+        # Same multi-consumer materialization as doc_cosine_pairs: the
+        # unstaged registry spelling re-derived the tokenize+count
+        # subtree per consumer (22 `documents` scans in plans/r11/
+        # doc_cosine_pairs_capped_before.txt).
+        tf = tf.localCheckpoint()
     n_docs = t["documents"].agg(F.count(F.lit(1)).alias("n_docs"))
     dfc = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     heavy = (
@@ -2905,9 +2946,12 @@ def doc_cosine_pairs_capped(t: Tables, stage_dir: str | None = None) -> DataFram
     # the two channels are disjoint except 1-vs-1 docs, which the
     # channel's own distinct() de-duplicates. Measured floor
     # population: 0 docs on every Zipf axis, a handful at sf0.01.
+    # pgrp feeds three consumers (pair-key index, floor channel, floor
+    # probe side); it is prefix-sized (≤ R tokens/doc) so one
+    # materialization beats three re-derivations of the kept⋈dfc window.
     pgrp = pref.groupBy("doc_id").agg(
         F.array_sort(F.collect_set("tok")).alias("parr")
-    )
+    ).localCheckpoint()
     combos = F.flatten(
         F.transform(
             "parr",
@@ -3063,7 +3107,13 @@ def curation_funnel_neardup(t: Tables) -> DataFrame:
     flags = gopher_quality(
         {"documents": docs.filter(F.col("source") != "src0")}
     ).select("doc_id", "keep")
-    q = pool.join(flags.filter(F.col("keep")), "doc_id").select("doc_id", "text")
+    # q feeds the stage-1 count and the dedup window (same round-11
+    # materialization as curation_funnel's q).
+    q = (
+        pool.join(flags.filter(F.col("keep")), "doc_id")
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     d = (
         q.withColumn("_rn", F.row_number().over(w))
@@ -3081,7 +3131,12 @@ def curation_funnel_neardup(t: Tables) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    nd = d.join(neardup_b, "doc_id", "left_anti")
+    # nd feeds THREE consumers (stage-3 count, the 8-gram decontam
+    # probe, the final anti-join) — unmaterialized, each re-derived the
+    # ENTIRE capped-cosine subtree (the 496-Exchange / 281 kB plan in
+    # plans/r11/curation_funnel_neardup_before.txt). One more
+    # stage boundary collapses it (round 11).
+    nd = d.join(neardup_b, "doc_id", "left_anti").localCheckpoint()
     eval_sh = (
         dedup.shingles(docs.filter(F.col("source") == "src0"), n=8)
         .select("shingle")
@@ -4039,7 +4094,11 @@ def containment_pairs(t: Tables) -> DataFrame:
         .filter(F.col("df") * CONTAIN_DF_DIV > F.col("n_docs"))
         .select("s")
     )
-    kept = sh.join(F.broadcast(heavy), "s", "left_anti")
+    # kept feeds sizes + both self-join sides; without materialization
+    # each consumer re-derives scan→shingle→distinct→df-prune (9
+    # `documents` scans in plans/r11/containment_pairs_before.txt) —
+    # the same multi-consumer shape the capped twin checkpoints.
+    kept = sh.join(F.broadcast(heavy), "s", "left_anti").localCheckpoint()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = kept.alias("a"), kept.alias("b")
     inter = (
@@ -4147,7 +4206,16 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
         .filter(F.col("df") * CONTAIN_DF_DIV > F.col("n_docs"))
         .select("s")
     )
-    kept = kept.join(F.broadcast(heavy), "s", "left_anti")
+    # The pruned shingle frame feeds SIX consumers (dfk, ranked, sizes,
+    # and both exact-rescore sides) and the ranked frame three more
+    # (pref, nrk, post); without materialization Catalyst re-derives
+    # the whole scan→tokenize→shingle→distinct→df-prune pipeline per
+    # consumer — the before-plan holds 39 separate `documents` scans
+    # (plans/r11/containment_pairs_capped_before.txt), the exact
+    # Spark-side twin of the DuckDB MATERIALIZED-hint fix below.
+    # localCheckpoint is the node_jaccard/copair_components discipline:
+    # one build, in-memory rereads (guide §5 lineage truncation).
+    kept = kept.join(F.broadcast(heavy), "s", "left_anti").localCheckpoint()
     dfk = kept.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     # df-1 shingles cannot witness a pair — see dedup.
     # _capped_shingle_candidates; on the Zipf axis the injected-rewrite
@@ -4159,7 +4227,7 @@ def containment_pairs_capped(t: Tables) -> DataFrame:
                 F.col("df").asc(), F.col("s").asc()
             )
         ),
-    )
+    ).localCheckpoint()
     pref = ranked.filter(
         F.col("rk") <= dedup.NGRAM_PREFIX_R
     ).select("doc_id", "s")
@@ -6187,6 +6255,12 @@ def neardup_eval(t: Tables) -> DataFrame:
         docs, threshold=0.8, max_df=1000, stage_dir=stage
     ).select("doc_a", "doc_b")
     pred = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # Same twice-consumed-pair-frame checkpoint as neardup_eval_capped:
+    # count + hit join would otherwise re-execute both generators
+    # (88 Exchanges / 4 documents scans in plans/r11/
+    # neardup_eval_before.txt collapse to one build per side).
+    truth = truth.localCheckpoint(eager=False)
+    pred = pred.localCheckpoint(eager=False)
     hits = pred.join(truth, ["doc_a", "doc_b"])
     counts = (
         pred.agg(F.count(F.lit(1)).alias("n_pred"))

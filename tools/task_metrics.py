@@ -67,6 +67,8 @@ def main() -> None:
         "disk_spill_bytes": 0,
         "executor_run_ms": 0,
         "executor_cpu_ms": 0,
+        "input_bytes": 0,
+        "input_records": 0,
         "tasks": 0,
     }
     # Spark 4 may write a rolling event-log DIRECTORY
@@ -104,6 +106,14 @@ def main() -> None:
                 )
                 sr = m.get("Shuffle Read Metrics") or {}
                 sw = m.get("Shuffle Write Metrics") or {}
+                im = m.get("Input Metrics") or {}
+                # source re-scan detector (round 11): bytes/records the
+                # scan stages actually pulled — the ground truth for
+                # "does this plan re-read its input N times", which the
+                # formatted plan's scan-node count can overstate when
+                # runtime exchange reuse kicks in.
+                tot["input_bytes"] += int(im.get("Bytes Read", 0))
+                tot["input_records"] += int(im.get("Records Read", 0))
                 tot["shuffle_read_bytes"] += int(
                     sr.get("Remote Bytes Read", 0)
                 ) + int(sr.get("Local Bytes Read", 0))
