@@ -1152,6 +1152,13 @@ def _capped_shingle_candidates(
     # injected/organic unique n-grams they would monopolize the rarest-R
     # ranks (measured: containment recall 32/46 → 46/46 at sf0.1z once
     # excluded). Dropping them is lossless for the candidate set.
+    # Deliberately NOT checkpointed (round 11): the plan audit showed
+    # 122 Exchange nodes from this chain's replication, but a measured
+    # A/B (pref + post-cut sh checkpoints) read +33% executor CPU and
+    # +29% shuffle at sf0.1 — runtime exchange/broadcast reuse already
+    # shares the replicated subtrees, and materialization only adds
+    # serialization. The formatted plan overstates real execution here
+    # (same lesson as token_pmi).
     pref = (
         kept.join(dfc.filter(F.col("df") >= 2), "shingle")
         .withColumn(

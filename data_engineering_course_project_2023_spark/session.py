@@ -69,6 +69,23 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # --- broadcast: dims up to 64 MB go map-side ---
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- joins: let the planner pick shuffled-hash over sort-merge
+        # (guide §3.1) when the per-partition build side fits. Round-11
+        # same-box ABAB over the SMJ-heavy graph family: subset total
+        # 41.0/45.1 s (SMJ) vs 33.2/37.1 s (SHJ) — community_labels
+        # 8.2→3.7, pagerank_trade 5.5→3.2, hits_scores 3.8→2.5 — the
+        # iterative loops pay two sorts per round for joins whose
+        # output ordering nothing downstream reuses. Not a local[32]
+        # artifact: the sort cost scales with the same edge frames at
+        # cluster scale. OOM risk is bounded by AQE: skew-split +
+        # 64 MB advisory partitions cap the per-task build map, and the
+        # AQE threshold below re-checks real post-shuffle sizes at
+        # runtime before rewriting a planned SMJ to SHJ.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            "64m",
+        )
         # --- python interop (Pandas-UDF escape hatch) ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
