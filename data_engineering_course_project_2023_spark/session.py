@@ -70,17 +70,23 @@ def get_spark(
         # --- broadcast: dims up to 64 MB go map-side ---
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         # --- joins: let the planner pick shuffled-hash over sort-merge
-        # (guide §3.1) when the per-partition build side fits. Round-11
-        # same-box ABAB over the SMJ-heavy graph family: subset total
-        # 41.0/45.1 s (SMJ) vs 33.2/37.1 s (SHJ) — community_labels
-        # 8.2→3.7, pagerank_trade 5.5→3.2, hits_scores 3.8→2.5 — the
-        # iterative loops pay two sorts per round for joins whose
-        # output ordering nothing downstream reuses. Not a local[32]
-        # artifact: the sort cost scales with the same edge frames at
-        # cluster scale. OOM risk is bounded by AQE: skew-split +
-        # 64 MB advisory partitions cap the per-task build map, and the
-        # AQE threshold below re-checks real post-shuffle sizes at
-        # runtime before rewriting a planned SMJ to SHJ.
+        # (guide §3.1) when the per-partition build side fits. Where it
+        # bites is the STATICALLY-planned SMJ segments (registry-wide
+        # SortMergeJoin nodes 132→60; community_labels initial plan
+        # 14 SMJ → 6 SMJ + 8 SHJ, part_golden_records 6→2+4 — committed
+        # plans/r11/*_{before,after}.txt), with measured engine-metric
+        # wins (community_labels executor CPU −13 %, run −21 %, same
+        # shuffle bytes). The iterative pagerank/ppr/hits loops are NOT
+        # the beneficiary at sf0.1: their executed final plans convert
+        # every join to broadcast under AQE with either setting
+        # (plans/r11/pagerank_trade_after_executed.txt,
+        # isFinalPlan=true, 0 SMJ / 0 SHJ / 6 BHJ), so their subset-ABAB
+        # wall deltas were ambient swing, not join strategy. At scale,
+        # once a side outgrows the broadcast threshold, the AQE
+        # threshold below re-checks real post-shuffle partition sizes
+        # before rewriting a planned SMJ to SHJ; OOM risk is bounded by
+        # AQE skew-split + 64 MB advisory partitions capping the
+        # per-task build map.
         .config("spark.sql.join.preferSortMergeJoin", "false")
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
