@@ -39,21 +39,51 @@ def main() -> None:
         help="also print the top stages by (spill, shuffle write) — "
         "localizes WHICH join/sort a whole-query spill lives in",
     )
+    ap.add_argument(
+        "--conf", default="",
+        help="extra session conf k=v[,k=v...] — lets a config A/B be "
+        "judged on engine metrics instead of wall-clock (round 11: "
+        "this box's 32-way contention makes wall ±50% noisy)",
+    )
+    ap.add_argument(
+        "--warmups", type=int, default=0,
+        help="run the query N extra times FIRST and report only the "
+        "final run's tasks (cold runs fold codegen/broadcast-fetch/"
+        "Python-worker boot into executor_run_ms; round-11 measured "
+        "multimodal_features run_ms 60.8s cold vs ~2s warm)",
+    )
     args = ap.parse_args()
 
     from data_engineering_course_project_2023_spark.plans import registry
     from data_engineering_course_project_2023_spark.session import get_spark
 
+    extra = {
+        "spark.eventLog.enabled": "true",
+        "spark.eventLog.compress": "false",
+    }
+    for kv in filter(None, args.conf.split(",")):
+        k, _, v = kv.partition("=")
+        extra[k] = v
+
     evdir = tempfile.mkdtemp(prefix="spark_ev_")
+    extra["spark.eventLog.dir"] = "file:" + evdir
     spark = get_spark(
         app_name=f"task_metrics:{args.query}",
-        extra_conf={
-            "spark.eventLog.enabled": "true",
-            "spark.eventLog.compress": "false",
-            "spark.eventLog.dir": "file:" + evdir,
-        },
+        extra_conf=extra,
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm-up runs land in stages we exclude below (by job boundary:
+    # remember the highest stage id seen before the measured run).
+    min_stage = 0
+    for _ in range(args.warmups):
+        registry.run_query(args.query, spark, args.sf).count()
+        st = spark.sparkContext.statusTracker()
+        ids = st.getJobIdsForGroup(None) or []
+        for jid in ids:
+            ji = st.getJobInfo(jid)
+            if ji:
+                min_stage = max(min_stage, max(ji.stageIds, default=0) + 1)
 
     t0 = time.monotonic()
     n = registry.run_query(args.query, spark, args.sf).count()
@@ -99,8 +129,10 @@ def main() -> None:
                 m = ev.get("Task Metrics") or {}
                 if not m:
                     continue
-                tot["tasks"] += 1
                 sid = ev.get("Stage ID")
+                if sid is not None and sid < min_stage:
+                    continue  # warm-up run's stages
+                tot["tasks"] += 1
                 st = stages.setdefault(
                     sid, {"spill": 0, "dspill": 0, "sw": 0, "run_ms": 0}
                 )
