@@ -34,6 +34,8 @@ FEATURES = [
     "BatchEvalPython",
     "ArrowEvalPython",
     "MapInArrow",
+    "PythonMapInArrow",
+    "MapInPandas",
     "FlatMapGroupsInPandas",
     "HashAggregate",
     "SortAggregate",
