@@ -521,3 +521,23 @@ def test_no_expensive_expr_in_lambda(spark):
         if hits:
             offenders[name] = hits
     assert not offenders, offenders
+
+
+def test_session_scale_confs_pinned(spark):
+    """The measured session-shaping configs are part of the performance
+    contract (OPTIMIZATION_r11.md): zstd codecs (engine-metric A/B —
+    shuffle bytes −59 %, CPU −12..−45 %), shuffled-hash preference
+    (SMJ nodes 132→60 registry-wide with zero added Sorts), and AQE as
+    the scale-adaptive partitioner. A silent rollback of any of these
+    would regress measured wins while every oracle stays green, which
+    is exactly the class of change tests must catch."""
+    conf = {
+        "spark.io.compression.codec": "zstd",
+        "spark.sql.parquet.compression.codec": "zstd",
+        "spark.sql.join.preferSortMergeJoin": "false",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
+    }
+    for k, v in conf.items():
+        assert spark.conf.get(k) == v, f"{k} drifted from measured value {v}"
