@@ -119,6 +119,24 @@ def main() -> None:
 
     budget = 1995  # ≤ the driver's 2000-char stdout tail (incl. newline)
     slowest = sorted(timings, key=timings.get, reverse=True)
+    # Full-name `queries` map = stable flagship subset ∪ slowest-15
+    # (round 12, VERDICT r11 #3): with only the 5 slowest, top-5 churn
+    # between rounds left the driver's per-query diff with an EMPTY
+    # intersection (PERF_r11 n_common: 0) and a phantom "5 dropped"
+    # list. The flagships are the registry's perennially expensive
+    # paths, emitted EVERY round regardless of rank, so consecutive
+    # rounds always share them; the slowest-15 keeps genuinely hot
+    # queries visible too. Entries were only ever ADDED vs the old
+    # top-5 shape (the contract allows adding, never removing).
+    flagships = [
+        "semdedup_keep", "triangle_counts", "unigram_surprisal",
+        "pagerank_trade", "bm25_topk", "prefix_jaccard",
+        "containment_pairs_capped", "neardup_eval_capped",
+        "ngram_jaccard_capped", "curation_funnel_neardup",
+        "part_golden_records", "doc_cosine_pairs_capped",
+    ]
+    named = [n for n in flagships if n in timings]
+    named += [n for n in slowest if n not in named][: max(0, 15 - len(named))]
     envelope = {
         "metric": out["metric"],
         "value": round(out["value"], 1),
@@ -126,13 +144,13 @@ def main() -> None:
         "sf": out["sf"],
         "n_queries": len(timings),
         "calib_sec": out["calib_sec"],
-        # contract-shaped per-query map (full names, seconds). Kept to
-        # the top 5 — the driver contract requires the key, but the
-        # full-name float map can never fit 200+ queries in the 2000-
-        # char tail (~3.4 kB at maximal density), so BENCH_LOCAL.json
-        # is PERMANENTLY the canonical census and this line is a
+        # contract-shaped per-query map (full names, seconds). The
+        # driver contract requires the key, but the full-name float
+        # map can never fit 200+ queries in the 2000-char tail
+        # (~3.4 kB at maximal density), so BENCH_LOCAL.json is
+        # PERMANENTLY the canonical census and this line is a
         # drift-check digest (NOTES.md "bench record" entry).
-        "queries": {n: timings[n] for n in slowest[:5]},
+        "queries": {n: timings[n] for n in named},
         "keys": "queries_cs = centisec, min-uniq-prefix names; "
                 "full map in " + doc_name,
         "full": doc_name,

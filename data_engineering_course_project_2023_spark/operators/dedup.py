@@ -45,6 +45,18 @@ BAND_SIZE = 2  # 4 bands of 2 → catches jaccard ≳ 0.5 with high prob
 # millions — and correctness depends on it never evicting.
 _STAGE_LIVE: set[str] = set()
 
+# Per-run stage cleanup (round 12): each run removes its own staged
+# directories at interpreter exit. Registered lazily on first stage so
+# importing this module never touches atexit.
+_CLEANUP_REGISTERED = False
+
+
+def _cleanup_live_stages() -> None:
+    import shutil
+
+    for p in list(_STAGE_LIVE):
+        shutil.rmtree(p, ignore_errors=True)
+
 # Bump when stage_parquet's staged-frame derivation changes shape or
 # content for identical inputs: the constant is folded into the
 # fingerprint so stages written by older code are never served to newer
@@ -92,49 +104,62 @@ def _lru_put(cache: dict, key, value) -> None:
     cache[key] = value
 
 
+def _session_tag(spark) -> str:
+    """Per-RUN stage namespace: the Spark applicationId, unique per
+    SparkSession/process. Module-level so tests can monkeypatch a
+    \"different run\" without forging a second JVM."""
+    return spark.sparkContext.applicationId
+
+
 def stage_parquet(
     frame: DataFrame, stage_dir: str, files: tuple, params: tuple
 ) -> DataFrame:
-    """Stage ``frame`` to parquet once and return a reader over the
-    stage — the shared spelling of the shingle/tf staging memo.
+    """Stage ``frame`` to parquet once PER RUN and return a reader over
+    the stage — the shared spelling of the shingle/tf staging memo.
 
-    The stage path is ``stage_dir`` SUFFIXED WITH A FINGERPRINT HASH of
-    (input file identities, params), so two sessions staging DIFFERENT
-    inputs under the same logical name write different directories.
-    Round 10 measured the failure this prevents: a census process and a
-    concurrent diagnostic run at another SF shared the bare fixed path,
-    and the census's ngram rows silently scored 10× data (2478 pairs
-    where the oracle held 81) while another query caught the
-    mid-overwrite window as UNABLE_TO_INFER_SCHEMA. With the hashed
-    path a finished stage is also reusable ACROSS processes: if its
-    _SUCCESS marker is present the content already equals what this
-    call would write (the path pins input mtime+size and params), so
-    it is read as-is instead of rewritten. The local-only existence
-    probe degrades safely on object stores (probe misses → rewrite).
+    The stage path is ``stage_dir`` suffixed with the Spark
+    ``applicationId`` AND a fingerprint hash of (input file identities,
+    params), so (a) two sessions staging DIFFERENT inputs under the
+    same logical name write different directories — round 10 measured
+    the failure this prevents: a census process and a concurrent
+    diagnostic run at another SF shared the bare fixed path, and the
+    census's ngram rows silently scored 10× data (2478 pairs where the
+    oracle held 81) — and (b) a stage is NEVER reused across runs
+    (VERDICT r11 #1): every bench/census/driver invocation pays its own
+    staging cost exactly once, inside its own timed window. Cross-
+    process ``_SUCCESS`` reuse was deliberately removed — inheriting a
+    prior run's stage excluded the tokenize+stage cost from every
+    stage-consumer's reported time after the first-ever touch, which is
+    persisted-intermediate gaming even though the content was provably
+    identical. WITHIN one run the memo is the right 100 TB topology:
+    the shingle/tf frame is tokenized once and every consumer (several
+    registry queries share one stage) scans the cheap columnar stage.
 
-    Concurrent writers of the SAME fingerprint are safe too (ADVICE
-    r10): the frame is written to a process-unique temp sibling and
-    atomically ``os.rename``d into the fingerprint path — first rename
-    wins, the loser discards its temp and reads the winner's stage
-    (identical content by construction). No mid-``overwrite`` window
-    exists because nothing ever deletes a completed stage in place.
+    Concurrent writers of the SAME path (threads of one session) are
+    safe (ADVICE r10): the frame is written to a unique temp sibling
+    and atomically ``os.rename``d into the fingerprint path — first
+    rename wins, the loser discards its temp and reads the winner's
+    stage (identical content by construction). No mid-``overwrite``
+    window exists because nothing ever deletes a completed stage in
+    place.
 
-    Stale siblings from prior RUNS are garbage-collected on a
-    fingerprint miss (ADVICE r10): any ``{stage_dir}-*`` directory that
-    is not the current fingerprint AND was not staged by this process
-    (``_STAGE_LIVE``) is removed before staging, so repeated bench/
-    census runs over regenerated inputs do not leak unbounded disk.
-    The live-set exclusion is load-bearing: one session's registry
-    sweep interleaves different param sets on the same stage_dir, and
-    GC'ing a sibling this process may still re-read turns a later
-    memo/reuse hit into PATH_NOT_FOUND (the round-11 inherited red
-    tree). Every call re-probes ``_SUCCESS`` instead of trusting an
-    in-memory memo, so a stage deleted by a CONCURRENT process's GC is
-    restaged rather than served dead; the residual race — another
-    process GC'ing this stage between the probe and the read — is
-    accepted and documented (ADVICE r10 option 2): it requires two
-    simultaneous sessions staging different fingerprints of the same
-    logical stage, and the bench/census harnesses run one at a time.
+    Disk hygiene under per-run isolation: a run removes its OWN staged
+    directories at interpreter exit (``atexit`` over ``_STAGE_LIVE``),
+    and a fingerprint miss additionally sweeps stale siblings of THIS
+    run only (same run tag, not in ``_STAGE_LIVE`` — the regenerated-
+    inputs-within-one-session case). Other runs' directories are never
+    touched: with per-run path keys every concurrent session's stage
+    looks "stale" to its peers, and sweeping them reintroduced exactly
+    the cross-process PATH_NOT_FOUND race the round-11 live-set was
+    built against (measured this round: a parity suite and a bench
+    running side by side GC'd each other's live stages). A run killed
+    before its atexit leaks its directories; they live under the
+    system tempdir and are bounded by one run's stage volume. The
+    live-set exclusion remains load-bearing within a run: one
+    session's registry sweep interleaves different param sets on the
+    same stage_dir and re-reads earlier fingerprints. Every call
+    re-probes ``_SUCCESS`` instead of trusting an in-memory memo, so a
+    stage deleted externally is restaged rather than served dead.
 
     In-memory inputs (``files`` empty) have no durable identity: they
     always restage into the bare path and never memoize."""
@@ -148,16 +173,22 @@ def stage_parquet(
     if not files:
         frame.write.mode("overwrite").parquet(stage_dir)
         return spark.read.parquet(stage_dir)
+    tag = hashlib.md5(_session_tag(spark).encode()).hexdigest()[:8]
     key = (_STAGE_FORMAT_VERSION, files, params)
     suffix = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-    path = f"{stage_dir}-{suffix}"
+    path = f"{stage_dir}-{tag}-{suffix}"
+    global _CLEANUP_REGISTERED
+    if not _CLEANUP_REGISTERED:
+        import atexit
+
+        atexit.register(_cleanup_live_stages)
+        _CLEANUP_REGISTERED = True
     # Always re-probe _SUCCESS (a stat, not a listing — O(µs) against
-    # ~100 ms of Spark planning per stage consumer): a concurrent
-    # process's fingerprint-miss GC may have removed this stage since
-    # we last saw it, and serving a memoized dead path fails the whole
-    # query at analysis time.
+    # ~100 ms of Spark planning per stage consumer): the stage may have
+    # been removed externally since we last saw it, and serving a
+    # memoized dead path fails the whole query at analysis time.
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        for stale in glob.glob(f"{stage_dir}-*"):
+        for stale in glob.glob(f"{stage_dir}-{tag}-*"):
             if (
                 stale != path
                 and stale not in _STAGE_LIVE
@@ -328,13 +359,26 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     k: int = N_MINHASH,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """X2b: k-permutation MinHash signature per document.
 
     One shuffle (groupBy doc) with k partial mins — each hash is
     min(md5(seed|shingle)) over the doc's shingle set.
+
+    ``stage_dir`` (round 12, VERDICT r11 #6): the shingle frame is the
+    SAME derivation the ngram-Jaccard family stages (identical
+    fingerprint params), so passing the shared stage dir lets an eval
+    query's pred side — and any other minhash consumer in the same run
+    — scan the one staged tokenize instead of re-running the explode
+    chain per pipeline. Content-neutral: the stage holds exactly
+    ``shingles(df)``.
     """
     sh = shingles(df, text_col, id_col, n)
+    if stage_dir is not None:
+        sh = stage_parquet(
+            sh, stage_dir, _files_fingerprint(df), (text_col, id_col, n)
+        )
     slices = _minhash_slices(F.col("shingle"))
     aggs = [F.min(slices[i]).alias(f"mh_{i}") for i in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -347,13 +391,14 @@ def lsh_bands(
     n: int = 3,
     k: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_key) rows — the LSH banding of each doc's
     MinHash signature, emitted with ONE explode (a union of
     k/band_size selects would recompute the signature aggregation per
     band). Shared by the self-join pair builder and the incremental
     batch-vs-history novelty probe."""
-    sig = minhash_signatures(df, text_col, id_col, n, k)
+    sig = minhash_signatures(df, text_col, id_col, n, k, stage_dir)
     band_structs = []
     for b in range(k // band_size):
         cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
@@ -382,6 +427,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     k: int = N_MINHASH,
     band_size: int = BAND_SIZE,
+    stage_dir: str | None = None,
 ) -> DataFrame:
     """X2b: candidate pairs via LSH banding over MinHash signatures.
 
@@ -390,7 +436,7 @@ def minhash_lsh_pairs(
     keyed by (band_idx, band_hash); no all-pairs comparison anywhere.
     Output: distinct candidate (doc_a < doc_b) pairs.
     """
-    allb = lsh_bands(df, text_col, id_col, n, k, band_size)
+    allb = lsh_bands(df, text_col, id_col, n, k, band_size, stage_dir)
     a, b2 = allb.alias("a"), allb.alias("b")
     return (
         a.join(b2, ["band", "band_key"])
@@ -996,12 +1042,13 @@ def prefix_jaccard_pairs(
     verify sides) UNMATERIALIZED: they share the groupBy exchange via
     ReusedExchange (measured 2.8 s vs 5.0 s with a localCheckpoint of
     the ARRAY frame at sf0.1 — materializing array payloads costs more
-    than the reuse saves). The narrow (doc_id, shingle) PREFIX index,
-    by contrast, IS localCheckpointed (round 11): the scale-guard
-    probe below needs its df distribution eagerly, and at 2 narrow
-    columns × prefix_len rows/doc the materialization is the
-    bounded-state shape, shared by the probe and both candidate-join
-    sides. At sf0.1 the naive inverted index is still faster (2.1 s):
+    than the reuse saves). The narrow PRE-AGGREGATION frame
+    (doc_id, (df, shingle)), by contrast, IS localCheckpointed when
+    the scale guard is on (round 12): the guard's probe is a separate
+    eager action, and materializing the highest array-free point of
+    the chain lets the probe and the main job share the tokenize+df
+    derivation instead of running it twice (the r11 regression). At
+    sf0.1 the naive inverted index is still faster (2.1 s):
     prefix filtering's candidate savings pay at corpus sizes where
     Σdf² over common shingles dominates — this is the at-scale
     spelling, and the crossover is the point of keeping BOTH
@@ -1026,6 +1073,32 @@ def prefix_jaccard_pairs(
     keyed = sh.join(freq, "shingle").select(
         "doc_id", F.struct(F.col("df"), F.col("shingle")).alias("ks")
     )
+    if max_candidate_slots is not None:
+        # Round 12 (VERDICT r11 #2): the slot-probe guard below is a
+        # separate eager action, and OSS Spark never reuses exchanges
+        # ACROSS jobs — in round 11 the probe's chain (checkpointing
+        # only the exploded prefix INDEX) re-ran the whole
+        # tokenize→df→join derivation a second time inside the main
+        # job's verify sides (driver-confirmed 2.35→5.46 s at sf0.1).
+        # Materializing HERE — the narrow (doc_id, (df, shingle)) frame
+        # BEFORE the per-doc aggregation — is the highest point both
+        # the probe and the main job can share without paying array-
+        # payload materialization (checkpointing `docs` measured
+        # 12.6 s wall in the r11 three-way A/B): the probe's
+        # collect_list pass and the main job's docs/idx subtrees all
+        # scan this checkpoint, so tokenize+freq runs exactly once per
+        # query. Measured same-box A/B (task_metrics --warmups 1,
+        # sf0.1): executor run 39.9→22.7 s, CPU 23.8→15.2 s, tasks
+        # 153→84, wall 6.77→5.80 s; the final frame's plan drops from
+        # 8 documents scans / 28 Exchanges to 0 / 14
+        # (plans/r12/prefix_jaccard_{before,after}.txt — the one
+        # remaining scan happens inside the checkpoint job).
+        # localCheckpoint (not stage_parquet) is deliberate: the frame
+        # is consumed by this one query only, within one job tree —
+        # see the localCheckpoint disposition table in
+        # OPTIMIZATION_r12.md for the fault-tolerance tradeoff at
+        # cluster scale.
+        keyed = keyed.localCheckpoint()
     docs = keyed.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("ks")).alias("arr")
     ).select(
@@ -1048,29 +1121,20 @@ def prefix_jaccard_pairs(
         # Typed scale guard (VERDICT_r10 #2): the candidate join below
         # generates exactly Σ (prefix-df)² slots, so measure that sum
         # BEFORE running the join — one linear aggregation over the
-        # prefix index, localCheckpointed (2 narrow columns) so the
-        # probe and both candidate-join sides share one
-        # materialization. The probe is a separate eager action and
-        # OSS Spark never reuses exchanges ACROSS jobs, so the
-        # tokenize→df→collect_list→sort chain necessarily runs ~twice
-        # (probe pass + the verify sides' shared rebuild inside the
-        # main job) — that, not ambient drift, is prefix_jaccard's
-        # r10→r11 bench delta (2.2→5.3 s against 1.18× ambient;
-        # same-box warm baseline: run 35.4 s / CPU 20.6 s / wall
-        # 6.1 s). Two cheaper-looking spellings were A/B'd this round
-        # and REJECTED on the same box minutes apart: checkpointing
-        # `docs` (the shared parent) materializes shingle-ARRAY
-        # payloads through the block store and loses outright (wall
-        # 12.6 s — the pre-guard array-frame measurement, re-confirmed
-        # under the forced eager pass); rebuilding the narrow index
-        # independently via row_number over (df asc, shingle asc)
-        # avoids the probe's array chain but the window's global
-        # shuffle-sort of the full shingle stream costs more than the
-        # per-doc local sorts it replaces (run 48.2 s / CPU 31.1 s /
-        # wall 6.6 s). The guard's one extra chain execution is the
-        # measured minimum price of refusing the saturated-vocab
-        # regime before the join dies.
-        idx = idx.localCheckpoint()
+        # prefix index. The probe necessarily pays one collect_list
+        # pass of its own (it is a separate eager action), but it and
+        # the main job both derive from the `keyed` localCheckpoint
+        # above, so the expensive tokenize→df derivation runs once.
+        # The index itself is NOT checkpointed (round 12): inside the
+        # main job the candidate sides and the verify sides share the
+        # groupBy(doc_id) exchange via ReusedExchange (the pre-guard
+        # r10 shape, measured 2.8 s vs 5.0 s with an array
+        # checkpoint), and a second checkpoint here only added
+        # serialization. Two r11 alternatives remain rejected:
+        # checkpointing `docs` (array payloads through the block
+        # store, 12.6 s wall) and rebuilding the index via row_number
+        # (global shuffle-sort of the full shingle stream, CPU
+        # 31.1 s vs 20.6 s).
         slots = (
             idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("dfp"))

@@ -243,9 +243,23 @@ WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE)
 
 
 # --- X2b: MinHash signatures + LSH candidate pairs ---------------------------------
+def _shingle_stage() -> str:
+    """The ngram-family shared shingle stage dir (round 12): every
+    consumer of the raw ``shingles(documents)`` frame — ngram Jaccard
+    truth sides, minhash pred sides, the standalone sig/pair queries —
+    passes this one dir with identical params, so the tokenize+explode
+    chain runs once per run and all of them scan the columnar stage."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_stage", "ngram_shingles"
+    )
+
+
 def minhash_sigs(t: Tables) -> DataFrame:
     """X2b: 8-permutation MinHash signature per document."""
-    return dedup.minhash_signatures(t["documents"])
+    return dedup.minhash_signatures(t["documents"], stage_dir=_shingle_stage())
 
 
 def _mh_cols() -> str:
@@ -271,7 +285,9 @@ FROM sh GROUP BY doc_id
 
 def minhash_pairs(t: Tables) -> DataFrame:
     """X2b: LSH-banded candidate pairs (4 bands × 2 rows)."""
-    return dedup.minhash_lsh_pairs(t["documents"])
+    return dedup.minhash_lsh_pairs(
+        t["documents"], stage_dir=_shingle_stage()
+    )
 
 
 def _band_union() -> str:
@@ -5164,10 +5180,34 @@ def mmr_rerank(t: Tables) -> DataFrame:
     maximizing ``0.5·rel − 0.5·max_sim_to_already_picked`` (λ = 0.5).
 
     Scale shape: the corpus-wide work is exactly one broadcast scalar
-    attach + TakeOrdered shortlist (same as ``cosine_topk``); the greedy
-    loop then runs over a CHECKPOINTED 20-row frame with the ≤5 selected
-    vectors embedded as literals — bounded driver state (MLlib
-    discipline), zero corpus rescans, no candidate×candidate join.
+    attach + TakeOrdered shortlist (same as ``cosine_topk``); the
+    pairwise sims for the greedy stage are then computed by the engine
+    in ONE job over the CHECKPOINTED 20-row frame (a shortlist²
+    self-product — 380 rows, bounded by MMR_SHORTLIST², never
+    corpus-sized) and collected; greedy pick SELECTION walks that
+    matrix driver-side (bounded state, MLlib discipline).
+    Round 12 (VERDICT r11 #5): the previous spelling ran each greedy
+    step as its own ``.first()`` — MMR_K sequential driver jobs, each
+    paying Catalyst planning + py4j + scheduling for a 20-row frame
+    (11 jobs/run; r11 measured 6.0 s wall / 4.1 s CPU over 43 tasks at
+    sf0.1, pure driver-barrier floor). A first rewrite that unrolled
+    the steps as chained broadcast-join/limit-1 subplans was measured
+    and REJECTED (22 jobs/run — every per-step broadcast and lazy
+    checkpoint is its own job — and warm wall 3.3–3.9 s vs the loop's
+    2.7–4.2 s). The shipped shape is 3 jobs total: shortlist
+    checkpoint, sim-matrix collect, final assembly.
+
+    Exactness discipline: every value in the OUTPUT is engine-computed
+    — rel and all pairwise sims come from the collected matrix
+    (quantized-integer cosine, engine-rounded), and each pick's final
+    mmr is re-spelled in the terminal plan as
+    ``round(0.5·rel − 0.5·lit(maxsim), 6)`` over those engine doubles
+    (Python never ROUNDS an emitted value; it only max-selects among
+    engine-rounded sims, which is exact). The driver-side greedy
+    comparison reproduces the engine's 6-dp HALF_UP round via
+    BigDecimal-equivalent decimal quantization; a seeded-random
+    equivalence test pins the selection against the reference
+    step-by-step loop (tests/test_text_ops.py).
 
     Cross-engine exactness: rel and every pairwise sim are the
     QUANTIZED-integer cosine (``similarity.cosine_exact`` — bit-identical
@@ -5198,66 +5238,87 @@ def mmr_rerank(t: Tables) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(MMR_SHORTLIST)
-        .localCheckpoint()  # 20 rows; the greedy loop rescans it K times
+        .localCheckpoint()  # 20 rows; sims + final assembly rescan it
     )
-    selected: list[tuple] = []  # (vec_id, rel, mmr, embedding) — ≤ MMR_K
+    # ONE engine job: the full pairwise sim matrix over the shortlist
+    # (the same round(cosine_exact, 6) every greedy step evaluated —
+    # cosine_exact quantizes both sides in-engine, the literal-vector
+    # spelling it replaces quantized the collected side via
+    # quantize_py, its exact driver twin). 380 rows collected.
+    a, b = cand.alias("a"), cand.alias("b")
+    mat = (
+        a.crossJoin(b)
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("va"),
+            F.col("a.rel").alias("rel"),
+            F.col("b.vec_id").alias("vb"),
+            F.round(
+                similarity.cosine_exact(
+                    F.col("a.embedding"), F.col("b.embedding")
+                ),
+                6,
+            ).alias("sim"),
+        )
+        .collect()
+    )
+    rel = {r["va"]: r["rel"] for r in mat}
+    sim = {(r["va"], r["vb"]): r["sim"] for r in mat}
+
+    def _round6(x: float) -> float:
+        # java.math.BigDecimal.valueOf(x).setScale(6, HALF_UP), the
+        # engine's double round — used for pick COMPARISON only; every
+        # emitted mmr is re-rounded by the engine in the final plan.
+        import decimal
+
+        return float(
+            decimal.Decimal(repr(x)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    selected: list[tuple] = []  # (vec_id, maxsim|None)
     for _ in range(MMR_K):
-        if not selected:
-            score = F.col("rel")
-        else:
-            sims = [
-                F.round(
-                    similarity.cosine_exact_q(
-                        F.col("embedding"),
-                        F.array(
-                            *[
-                                F.lit(q)
-                                for q in similarity.quantize_py(vec)
-                            ]
-                        ),
-                    ),
-                    6,
-                )
-                for (_vid, _rel, _mmr, vec) in selected
-            ]
-            maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
-            score = F.round(
-                F.lit(0.5) * F.col("rel") - F.lit(0.5) * maxsim, 6
-            )
-        pick = (
-            cand.filter(
-                ~F.col("vec_id").isin([s[0] for s in selected])
-                if selected
-                else F.lit(True)
-            )
-            .select("vec_id", "rel", score.alias("mmr"), "embedding")
-            .orderBy(F.desc("mmr"), F.asc("vec_id"))
-            .first()
-        )
-        selected.append(
-            (pick["vec_id"], pick["rel"], pick["mmr"], pick["embedding"])
-        )
+        best = None
+        for v in rel:
+            if any(v == s for s, _m in selected):
+                continue
+            if not selected:
+                maxsim, score = None, rel[v]
+            else:
+                maxsim = max(sim[(v, s)] for s, _m in selected)
+                score = _round6(0.5 * rel[v] - 0.5 * maxsim)
+            key = (-score, v)
+            if best is None or key < best[0]:
+                best = (key, v, maxsim)
+        selected.append((best[1], best[2]))
     rank_map = F.create_map(
         *[
             lit
-            for i, (vid, _rel, _mmr, _vec) in enumerate(selected)
+            for i, (vid, _m) in enumerate(selected)
             for lit in (F.lit(vid), F.lit(i + 1))
         ]
     )
-    mmr_map = F.create_map(
-        *[
-            lit
-            for (vid, _rel, mmr, _vec) in selected
-            for lit in (F.lit(vid), F.lit(float(mmr)))
-        ]
-    )
+    # mmr re-spelled in-engine per pick: rel for the first, the same
+    # round(0.5·rel − 0.5·maxsim, 6) as the loop for the rest, with
+    # maxsim an engine-computed rounded sim passed back as a literal
+    # (max-selection among doubles is exact — no driver arithmetic in
+    # any emitted value).
+    mmr_expr = F.col("rel")
+    for vid, maxsim in selected[1:]:
+        mmr_expr = F.when(
+            F.col("vec_id") == F.lit(vid),
+            F.round(
+                F.lit(0.5) * F.col("rel") - F.lit(0.5) * F.lit(maxsim), 6
+            ),
+        ).otherwise(mmr_expr)
     return (
-        cand.filter(F.col("vec_id").isin([s[0] for s in selected]))
+        cand.filter(F.col("vec_id").isin([vid for vid, _m in selected]))
         .select(
             rank_map[F.col("vec_id")].cast("int").alias("rank"),
             "vec_id",
             "rel",
-            mmr_map[F.col("vec_id")].alias("mmr"),
+            mmr_expr.alias("mmr"),
         )
         .orderBy("rank")
     )
@@ -6254,7 +6315,13 @@ def neardup_eval(t: Tables) -> DataFrame:
     truth = dedup.ngram_jaccard_pairs(
         docs, threshold=0.8, max_df=1000, stage_dir=stage
     ).select("doc_a", "doc_b")
-    pred = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # Round 12 (VERDICT r11 #6): the pred side shares the truth side's
+    # staged shingle frame (identical derivation, identical
+    # fingerprint) instead of re-running the tokenize+explode chain in
+    # its own pipeline — the eval builds the shingle space once.
+    pred = dedup.minhash_lsh_pairs(docs, stage_dir=stage).select(
+        "doc_a", "doc_b"
+    )
     # Same twice-consumed-pair-frame checkpoint as neardup_eval_capped:
     # count + hit join would otherwise re-execute both generators
     # (88 Exchanges / 4 documents scans in plans/r11/
@@ -6353,7 +6420,13 @@ def neardup_eval_capped(t: Tables) -> DataFrame:
         docs, threshold_num=4, threshold_den=5, max_df=1000,
         stage_dir=stage,
     ).select("doc_a", "doc_b")
-    pred = dedup.minhash_lsh_pairs(docs).select("doc_a", "doc_b")
+    # Round 12 (VERDICT r11 #6): pred scans the truth side's staged
+    # shingle frame — one tokenize for the whole eval, not one per
+    # pipeline (the eval's two generators stay independent ABOVE the
+    # raw shingle frame: prefix blocking vs MinHash banding).
+    pred = dedup.minhash_lsh_pairs(docs, stage_dir=stage).select(
+        "doc_a", "doc_b"
+    )
     # Both frames are referenced twice below (count + hit join); without
     # a checkpoint Spark re-executes the whole candidate pipeline per
     # reference — at sf10 fixed-vocab that doubles a ~4-minute truth

@@ -305,3 +305,96 @@ def test_lpa_adaptive_matches_fixed_round_at_convergence(spark):
     assert adaptive == fixed
     assert fixed == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10)}
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_mmr_rerank_matches_stepwise_loop_on_random_vectors(spark):
+    """Round 12 (VERDICT r11 #5): mmr_rerank's greedy stage now collects
+    the engine-computed shortlist sim matrix once and selects picks
+    driver-side (3 jobs instead of MMR_K sequential .first() jobs).
+    Every EMITTED value stays engine-computed; the one driver-side
+    operation that could diverge is the pick comparison's 6-dp HALF_UP
+    round. Pin the full output — ranks, ids, and bit-exact doubles —
+    against the reference step-by-step .first() loop (the r11
+    spelling, reproduced here verbatim) on seeded random vectors, so
+    the equivalence is tested beyond the committed fixture."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_course_project_2023_spark.plans import llmops
+
+    def reference_loop(cand):
+        selected = []
+        for _ in range(llmops.MMR_K):
+            if not selected:
+                score = F.col("rel")
+            else:
+                sims = [
+                    F.round(
+                        similarity.cosine_exact_q(
+                            F.col("embedding"),
+                            F.array(
+                                *[
+                                    F.lit(q)
+                                    for q in similarity.quantize_py(vec)
+                                ]
+                            ),
+                        ),
+                        6,
+                    )
+                    for (_vid, _rel, _mmr, vec) in selected
+                ]
+                maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+                score = F.round(
+                    F.lit(0.5) * F.col("rel") - F.lit(0.5) * maxsim, 6
+                )
+            pick = (
+                cand.filter(
+                    ~F.col("vec_id").isin([s[0] for s in selected])
+                    if selected
+                    else F.lit(True)
+                )
+                .select("vec_id", "rel", score.alias("mmr"), "embedding")
+                .orderBy(F.desc("mmr"), F.asc("vec_id"))
+                .first()
+            )
+            selected.append(
+                (pick["vec_id"], pick["rel"], pick["mmr"], pick["embedding"])
+            )
+        return [(i + 1, s[0], s[1], s[2]) for i, s in enumerate(selected)]
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        rows = [
+            (v, [rng.uniform(-1.0, 1.0) for _ in range(8)])
+            for v in range(0, 30)
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id int, embedding array<float>"
+        )
+        got = [
+            (r["rank"], r["vec_id"], r["rel"], r["mmr"])
+            for r in llmops.mmr_rerank({"embeddings": emb}).collect()
+        ]
+        q = emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+        cand = (
+            emb.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                "embedding",
+                F.round(
+                    similarity.cosine_exact(
+                        F.col("embedding"), F.col("query_vec")
+                    ),
+                    6,
+                ).alias("rel"),
+            )
+            .orderBy(F.desc("rel"), F.asc("vec_id"))
+            .limit(llmops.MMR_SHORTLIST)
+            .localCheckpoint()
+        )
+        want = reference_loop(cand)
+        assert got == want, f"seed {seed}: {got} != {want}"

@@ -20,6 +20,12 @@ These tests pin the four hardening properties added in round 11:
    to newer code;
 4. no trust in in-memory state: every call re-probes _SUCCESS, so a
    stage GC'd by a concurrent process is restaged, not served dead.
+
+Round 12 adds the per-RUN isolation property (VERDICT r11 #1): the
+stage path embeds the Spark applicationId, so a stage is only ever
+reused WITHIN the run that wrote it — a fresh bench/census/driver run
+always pays its own staging (no cross-run persisted intermediates),
+and sweeps the prior run's directories on first touch.
 """
 
 from __future__ import annotations
@@ -57,13 +63,52 @@ def test_stage_reuse_and_atomic_publish(spark, frame, tmp_path):
     assert not glob.glob(base + "-*.tmp")
     mtime = os.stat(dirs[0]).st_mtime_ns
 
-    # Second call with the same fingerprint reuses the stage verbatim
-    # (no rewrite — the dir's mtime is untouched) even in a fresh
-    # process (live-set cleared), i.e. cross-process reuse via _SUCCESS.
+    # Second call with the same fingerprint IN THE SAME RUN reuses the
+    # stage verbatim (no rewrite — the dir's mtime is untouched). The
+    # live set is cleared to prove the decision comes from the on-disk
+    # _SUCCESS probe, not in-memory state.
     dedup._STAGE_LIVE.clear()
     out2 = dedup.stage_parquet(frame, base, files, params=("p", 1))
     assert out2.count() == 3
     assert os.stat(dirs[0]).st_mtime_ns == mtime
+
+
+def test_no_cross_run_reuse(spark, frame, tmp_path, monkeypatch):
+    """VERDICT r11 #1: a DIFFERENT run (new applicationId) must never
+    inherit a prior run's finished stage — it stages afresh under its
+    own path, so every bench run pays its own staging cost inside its
+    own timed window. It must also never DELETE the other run's
+    directory (the two runs may be concurrent — measured this round:
+    a parity suite and a bench GC'ing each other's live stages)."""
+    base = str(tmp_path / "stage")
+    files = _fp(tmp_path)
+    dedup.stage_parquet(frame, base, files, params=("p", 1))
+    run1 = glob.glob(base + "-*")
+    assert len(run1) == 1
+    mtime1 = os.stat(run1[0]).st_mtime_ns
+
+    # Same inputs, same params, new run → fresh stage under a new
+    # path; the first run's stage is left for ITS atexit cleanup.
+    monkeypatch.setattr(dedup, "_session_tag", lambda _s: "other-run-42")
+    dedup._STAGE_LIVE.clear()
+    out = dedup.stage_parquet(frame, base, files, params=("p", 1))
+    assert out.count() == 3
+    run2 = sorted(glob.glob(base + "-*"))
+    assert len(run2) == 2 and run1[0] in run2
+    assert os.stat(run1[0]).st_mtime_ns == mtime1  # untouched
+
+
+def test_atexit_cleanup_removes_this_runs_stages(spark, frame, tmp_path):
+    """Each run removes its own staged directories at interpreter exit
+    (the cleanup hook over _STAGE_LIVE) — per-run isolation without
+    unbounded /tmp growth across bench/census invocations."""
+    base = str(tmp_path / "stage")
+    dedup.stage_parquet(frame, base, _fp(tmp_path), params=("p", 1))
+    staged = glob.glob(base + "-*")
+    assert len(staged) == 1 and staged[0] in dedup._STAGE_LIVE
+    dedup._cleanup_live_stages()
+    assert not os.path.exists(staged[0])
+    dedup._STAGE_LIVE.clear()  # cleaned paths are gone for this test
 
 
 def test_fingerprint_miss_gcs_stale_siblings(spark, frame, tmp_path):
