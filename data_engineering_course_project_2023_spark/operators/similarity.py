@@ -58,6 +58,17 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+# Round-12 negative result, recorded so it is not re-tried: an
+# "unrolled fixed-width dot" (a 64-term element_at(a,i)·element_at(b,i)
+# chain, bit-identical fold order, dim probed from the data) was built
+# for the quadratic pair-cosine sites on the theory that the
+# aggregate/zip_with fold is interpreted. Measured at sf0.1
+# (task_metrics --warmups 2): executor CPU WORSE ~3× on all three
+# consumers (semdedup_keep 7.3→21.6 s, knn_graph 13.5→44.1 s,
+# embedding_neardup 2.2→20.8 s) — the ~400-node expression falls out of
+# whole-stage codegen and every element_at pays its own ANSI bounds
+# check, losing badly to the fold primitive. The norm HOIST (below)
+# is the part that measured well and shipped.
 def norm(a: Column) -> Column:
     return F.sqrt(
         F.aggregate(
@@ -242,9 +253,25 @@ def blocked_cosine_pairs(
     a blocking key (label, shard, source...) — the standard way to make
     pairwise dedup tractable: the join is keyed by the block, so the
     shuffle is bounded and each block's quadratic cost is local.
-    Scores rounded to 6 dp (cross-engine 1-ulp tolerance)."""
+    Scores rounded to 6 dp (cross-engine 1-ulp tolerance).
+
+    Norms are computed ONCE PER ROW before the join (round 12):
+    ``cosine()`` inline spelled norm(a)·norm(b) per PAIR, so a block of
+    n rows paid 2n² extra array folds — and Spark's higher-order
+    aggregate/zip_with lambdas are interpreted (not codegen'd),
+    allocation-heavy work that the 32-core contention diagnosis showed
+    inflating superlinearly under load (semdedup_keep CPU 10.0→241 s
+    under a co-running bench for identical tasks/bytes). Per-pair work
+    is now exactly one dot fold. Bit-identical: the hoisted norm/sqrt
+    values are the same doubles the per-pair expression produced (same
+    fold order, same ops), and dot/(na·nb) is the same
+    multiply-then-divide. (A codegen-unrolled fixed-width dot was
+    measured for the per-pair kernel and REJECTED: see dot_fixed.)"""
     e = spread(df).select(
-        F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col)
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_nrm"),
     )
     a = e.alias("a")
     b = (
@@ -252,6 +279,7 @@ def blocked_cosine_pairs(
             F.col(id_col).alias("_idb"),
             F.col("_blk"),
             F.col(vec_col).alias("_vecb"),
+            F.col("_nrm").alias("_nrmb"),
         )
     ).alias("b")
     return (
@@ -260,7 +288,11 @@ def blocked_cosine_pairs(
         .select(
             F.col(id_col).alias("vec_a"),
             F.col("_idb").alias("vec_b"),
-            F.round(cosine(F.col(vec_col), F.col("_vecb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("_vecb"))
+                / (F.col("_nrm") * F.col("_nrmb")),
+                6,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -651,17 +683,23 @@ def knn_graph(
     by the block so the shuffle is bounded and each block's quadratic
     cost stays local; top-k is a per-vector window over the block join
     output, ordered by the ROUNDED score (+ neighbor id tiebreak) so
-    engine and oracle rank identically.
+    engine and oracle rank identically. Norms hoisted to once-per-row
+    before the join (round 12, same bit-identical rewrite as
+    blocked_cosine_pairs — per-pair work is one dot fold).
     """
     from pyspark.sql.window import Window
 
     e = spread(df).select(
-        F.col(id_col), F.col(block_col).alias("_blk"), F.col(vec_col)
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col),
+        norm(F.col(vec_col)).alias("_nrm"),
     )
     b = e.select(
         F.col(id_col).alias("_idb"),
         F.col("_blk"),
         F.col(vec_col).alias("_vecb"),
+        F.col("_nrm").alias("_nrmb"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -670,7 +708,11 @@ def knn_graph(
         .select(
             F.col(id_col),
             F.col("_idb").alias("neighbor_id"),
-            F.round(cosine(F.col(vec_col), F.col("_vecb")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("_vecb"))
+                / (F.col("_nrm") * F.col("_nrmb")),
+                6,
+            ).alias("cos_sim"),
         )
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
