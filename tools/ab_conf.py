@@ -22,15 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", required=True)
-    ap.add_argument("--conf", default="")
+    # repeatable k=v flags (ADVICE r11: a single comma-split string
+    # silently truncated conf values containing commas); a comma-joined
+    # list per flag still parses when every piece is k=v shaped.
+    ap.add_argument("--conf", action="append", default=[])
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=2)
     args = ap.parse_args()
 
     extra = {}
-    for kv in filter(None, args.conf.split(",")):
-        k, _, v = kv.partition("=")
-        extra[k] = v
+    for flag in args.conf:
+        parts = flag.split(",") if all(
+            "=" in p for p in flag.split(",")
+        ) else [flag]
+        for kv in filter(None, parts):
+            k, _, v = kv.partition("=")
+            extra[k] = v
 
     from data_engineering_course_project_2023_spark.plans import registry
     from data_engineering_course_project_2023_spark.session import get_spark

@@ -77,6 +77,13 @@ def main() -> None:
             out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             continue
         feats = {f: plan.count(f) for f in FEATURES}
+        # ADVICE r11: substring counting made every "PythonMapInArrow"
+        # occurrence also count as "MapInArrow"; subtract so the
+        # MapInArrow row reports only genuine standalone nodes. (Other
+        # features keep substring semantics on purpose — e.g.
+        # "Exchange" deliberately includes ReusedExchange, and prior
+        # rounds' audits are counted that way.)
+        feats["MapInArrow"] -= feats["PythonMapInArrow"]
         # Sort nodes that are not inside a SortMergeJoin prelude are
         # interesting; raw count still recorded, refined offline.
         feats["plan_chars"] = len(plan)

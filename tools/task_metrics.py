@@ -40,10 +40,14 @@ def main() -> None:
         "localizes WHICH join/sort a whole-query spill lives in",
     )
     ap.add_argument(
-        "--conf", default="",
-        help="extra session conf k=v[,k=v...] — lets a config A/B be "
-        "judged on engine metrics instead of wall-clock (round 11: "
-        "this box's 32-way contention makes wall ±50% noisy)",
+        "--conf", action="append", default=[],
+        help="extra session conf k=v, repeatable (ADVICE r11: the old "
+        "single comma-joined string silently truncated any conf value "
+        "containing a comma); a comma-joined list is still accepted "
+        "per flag for backward compatibility when no value needs a "
+        "comma. Lets a config A/B be judged on engine metrics instead "
+        "of wall-clock (round 11: this box's 32-way contention makes "
+        "wall ±50% noisy)",
     )
     ap.add_argument(
         "--warmups", type=int, default=0,
@@ -61,9 +65,15 @@ def main() -> None:
         "spark.eventLog.enabled": "true",
         "spark.eventLog.compress": "false",
     }
-    for kv in filter(None, args.conf.split(",")):
-        k, _, v = kv.partition("=")
-        extra[k] = v
+    for flag in args.conf:
+        # one k=v per flag is the safe form; split a comma-joined flag
+        # only when it parses as k=v pairs throughout (legacy form)
+        parts = flag.split(",") if all(
+            "=" in p for p in flag.split(",")
+        ) else [flag]
+        for kv in filter(None, parts):
+            k, _, v = kv.partition("=")
+            extra[k] = v
 
     evdir = tempfile.mkdtemp(prefix="spark_ev_")
     extra["spark.eventLog.dir"] = "file:" + evdir
@@ -73,17 +83,21 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm-up runs land in stages we exclude below (by job boundary:
-    # remember the highest stage id seen before the measured run).
-    min_stage = 0
+    # warm-up runs land in stages we exclude below. The boundary is
+    # derived from ALL jobs' stage ids via the event log's JobStart
+    # events, not statusTracker.getJobIdsForGroup(None) (ADVICE r11:
+    # the None group only enumerates group-less jobs, so a caller that
+    # sets a job group would leak its warm-up stages into the measured
+    # metrics). We mark the warm-ups with a dedicated job group and,
+    # after the run, take min_stage = 1 + max stage id of any job whose
+    # group property matches.
+    _WARM_GROUP = "task_metrics_warmup"
     for _ in range(args.warmups):
-        registry.run_query(args.query, spark, args.sf).count()
-        st = spark.sparkContext.statusTracker()
-        ids = st.getJobIdsForGroup(None) or []
-        for jid in ids:
-            ji = st.getJobInfo(jid)
-            if ji:
-                min_stage = max(min_stage, max(ji.stageIds, default=0) + 1)
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", _WARM_GROUP)
+        try:
+            registry.run_query(args.query, spark, args.sf).count()
+        finally:
+            spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
 
     t0 = time.monotonic()
     n = registry.run_query(args.query, spark, args.sf).count()
@@ -109,6 +123,25 @@ def main() -> None:
         for fn in files
         if not fn.startswith("appstatus_")
     ]
+    # pass 1: warm-up boundary = 1 + max stage id of any job started
+    # under the warm-up job group (stage ids are allocated
+    # monotonically and runs are sequential, so every measured stage
+    # id is above it).
+    min_stage = 0
+    for path in paths:
+        with open(path) as f:
+            for line in f:
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if ev.get("Event") != "SparkListenerJobStart":
+                    continue
+                props = ev.get("Properties") or {}
+                if props.get("spark.jobGroup.id") == "task_metrics_warmup":
+                    ids = ev.get("Stage IDs") or []
+                    min_stage = max(min_stage, max(ids, default=-1) + 1)
+
     stages: dict = {}
     stage_names: dict = {}
     for path in paths:
