@@ -100,6 +100,12 @@ def main() -> None:
     )
     if only:
         doc_name = f"BENCH_SUBSET_sf{sf}.json"
+    # Non-canonical CORE COUNTS also write a suffixed doc (VERDICT r11
+    # minor #6: the driver's 8-core scaling leg clobbered the committed
+    # 32-core canonical sweep). The printed contract line is unaffected.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if cpus != "32":
+        doc_name = doc_name.replace(".json", f"_c{cpus}.json")
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            doc_name), "w") as f:
         json.dump(out, f, indent=1)
