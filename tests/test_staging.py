@@ -45,6 +45,18 @@ def frame(spark):
     )
 
 
+@pytest.fixture(autouse=True)
+def _preserve_stage_live():
+    """These tests clear/mutate the module-global _STAGE_LIVE to
+    simulate fresh runs. Snapshot and restore it so stages registered
+    by OTHER tests in the same session (e.g. oracle parity's shingle
+    stage) keep their atexit-cleanup registration — round 12 found the
+    full suite leaking exactly those directories."""
+    saved = set(dedup._STAGE_LIVE)
+    yield
+    dedup._STAGE_LIVE |= saved
+
+
 def _fp(tmp_path, name="in.parquet"):
     # A stable fake file-identity tuple (the staged frame here is
     # in-memory; identity is what the fingerprint hashes, not reality).
